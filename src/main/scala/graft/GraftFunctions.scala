@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.GraftBridge.{column => toCol, expression => toExpr}
+
+import graft.expr._
+
+/** Column-level API of the graft sketch library — the Spark-native surface
+  * of the reference's `BloomFilter` class plus sibling sketches.
+  *
+  * Usage:
+  * {{{
+  *   import graft.functions._
+  *   val filter = df.agg(bloom_agg($"key", 1000000, 0.01)).head.getAs[Array[Byte]](0)
+  *   val hits   = probeDf.filter(bloom_contains(lit(filter), $"key"))
+  * }}}
+  */
+object functions {
+
+  private def lit(v: Any): Expression = Literal(v)
+
+  /** The abloom serializable-mode 64-bit key hash (XXH64 / CPython-numeric
+    * + mix64) for string/binary/integral/floating columns.
+    */
+  def abloom_key_hash(key: Column): Column = toCol(AbloomKeyHash(toExpr(key)))
+
+  /** Build an SBBF-512 Bloom filter over `key` — returns ABLM v2 bytes,
+    * bit-identical to `abloom.BloomFilter(capacity, fpRate,
+    * serializable=True)` fed the same keys.
+    */
+  def bloom_agg(key: Column, capacity: Long, fpRate: Double): Column =
+    toCol(BloomFilterAgg(AbloomKeyHash(toExpr(key)), lit(capacity), lit(fpRate))
+      .toAggregateExpression())
+
+  def bloom_agg(key: Column, capacity: Long): Column =
+    bloom_agg(key, capacity, 0.01)
+
+  /** Membership probe; may false-positive, never false-negative. */
+  def bloom_contains(filter: Column, key: Column): Column =
+    toCol(BloomMightContain(toExpr(filter), AbloomKeyHash(toExpr(key))))
+
+  /** Probe with a pre-computed 64-bit key hash. */
+  def bloom_contains_hash(filter: Column, keyHash: Column): Column =
+    toCol(BloomMightContain(toExpr(filter), toExpr(keyHash)))
+
+  /** New filter = word-wise OR of two serialized filters (params must match). */
+  def bloom_union(a: Column, b: Column): Column =
+    toCol(BloomUnion(toExpr(a), toExpr(b)))
+
+  /** OR-merge a column of serialized filters into one. */
+  def bloom_union_agg(filters: Column): Column =
+    toCol(BloomUnionAgg(toExpr(filters)).toAggregateExpression())
+
+  /** Read-only properties struct: capacity, fp_rate, block_count,
+    * byte_count, bit_count, k, is_empty.
+    */
+  def bloom_describe(filter: Column): Column =
+    toCol(BloomDescribe(toExpr(filter)))
+}

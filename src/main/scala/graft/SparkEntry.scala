@@ -1,13 +1,151 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` entry is an operator from SURVEY.md §2 exercised
+  * end-to-end on the driver-provided parquet tables; each has a DuckDB
+  * oracle in [[oracleSql]] (column names aligned on both sides, rows made
+  * deterministic with ORDER BY).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Build an SBBF over one column of a (possibly filtered) table and
+    * return the serialized filter. The collect is the partial->final
+    * aggregation of O(filter_size) bytes per partition, never row data.
+    */
+  private def buildFilter(df: DataFrame, key: String, cap: Long, fp: Double): Array[Byte] =
+    df.agg(bloom_agg(col(key), cap, fp)).head.getAs[Array[Byte]](0)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Bloom-accelerated semi-join: lineitems of high-value orders, the
+    * filter standing in for the runtime pre-filter a 100 TB fact scan
+    * would use before the exact join.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("bloom_semi_join")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.3/2.4: build over selective key set, probe the fact table, exact
+    // semi-join removes false positives -> exact result, bloom prunes early.
+    "bloom_semi_join" -> { (s, dir) =>
+      val orders = table(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      val filter = buildFilter(orders, "o_orderkey", 20000, 0.01)
+      val lineitem = table(s, dir, "lineitem")
+      lineitem
+        .filter(bloom_contains(lit(filter), col("l_orderkey")))
+        .join(orders.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // §2.4 + zero-false-negative guarantee: every inserted key probes
+    // positive, so the bloom-filtered count of the build side equals the
+    // plain count. (An FN would make this a strict inequality.)
+    "bloom_zero_fn" -> { (s, dir) =>
+      val orders = table(s, dir, "orders")
+      val filter = buildFilter(orders, "o_custkey", 20000, 0.01)
+      orders
+        .filter(bloom_contains(lit(filter), col("o_custkey")))
+        .agg(count(lit(1)).as("n_pass"))
+    },
+
+    // §2.2/2.7: read-only properties of a built filter (sizing is
+    // deterministic: block_count = 40 for capacity 2000 @ 1%).
+    "bloom_describe_props" -> { (s, dir) =>
+      val customer = table(s, dir, "customer")
+      val filter = buildFilter(customer, "c_custkey", 2000, 0.01)
+      import s.implicits._
+      Seq(filter).toDF("f")
+        .select(bloom_describe(col("f")).as("d"))
+        .selectExpr(
+          "d.capacity AS capacity",
+          "d.block_count AS block_count",
+          "d.byte_count AS byte_count",
+          "d.k AS k",
+          "CAST(d.is_empty AS BOOLEAN) AS is_empty")
+    },
+
+    // §2.5 merge algebra at the query level: per-group filters OR-merged
+    // must behave exactly like the single global filter -> the bloom-
+    // filtered semi-join result is identical either way, and equals the
+    // exact semi-join.
+    "bloom_merge_semantics" -> { (s, dir) =>
+      val orders = table(s, dir, "orders").filter(col("o_totalprice") > 450000)
+      val merged = orders
+        .groupBy(col("o_orderpriority"))
+        .agg(bloom_agg(col("o_orderkey"), 20000, 0.01).as("f"))
+        .agg(bloom_union_agg(col("f")))
+        .head.getAs[Array[Byte]](0)
+      val lineitem = table(s, dir, "lineitem")
+      lineitem
+        .filter(bloom_contains(lit(merged), col("l_orderkey")))
+        .join(orders.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("sum_qty"))
+    },
+
+    // Empirical probabilistic contract (reference tests/test_fpr.py): FPR
+    // over definite non-members <= 1.05x target, zero false negatives.
+    "bloom_fpr_bound" -> { (s, dir) =>
+      val orders = table(s, dir, "orders")
+      val filter = buildFilter(orders, "o_orderkey", 20000, 0.01)
+      // o_orderkey domain is bounded; shift far outside for guaranteed non-members
+      val probes = s.range(1000000000L, 1000500000L).toDF("id")
+      val fp = probes.filter(bloom_contains(lit(filter), col("id"))).count()
+      val fn = table(s, dir, "orders")
+        .filter(!bloom_contains(lit(filter), col("o_orderkey"))).count()
+      import s.implicits._
+      Seq((fp.toDouble / 500000 <= 0.01 * 1.05, fn == 0L))
+        .toDF("fpr_within_bound", "zero_false_negatives")
+    },
+
+    // Host-engine relational capability + oracle anchor: TPC-H Q1-ish.
+    // (sum over integral doubles and cent-scaled bigints: order-independent,
+    // so Spark and DuckDB agree bit-exactly)
+    "q1_agg" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    })
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "bloom_semi_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "bloom_zero_fn" ->
+      "SELECT count(*) AS n_pass FROM orders",
+    "bloom_describe_props" ->
+      """SELECT CAST(2000 AS BIGINT) AS capacity, CAST(40 AS BIGINT) AS block_count,
+        |CAST(2560 AS BIGINT) AS byte_count, CAST(8 AS INTEGER) AS k,
+        |CAST(0 AS BOOLEAN) AS is_empty""".stripMargin,
+    "bloom_merge_semantics" ->
+      """SELECT count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)""".stripMargin,
+    "bloom_fpr_bound" ->
+      """SELECT CAST(1 AS BOOLEAN) AS fpr_within_bound,
+        |CAST(1 AS BOOLEAN) AS zero_false_negatives""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |CAST(sum(round(l_extendedprice * 100)) AS BIGINT) AS sum_price_cents,
+        |count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
 }
