@@ -36,6 +36,13 @@ object functions {
   def bloom_agg(key: Column, capacity: Long): Column =
     bloom_agg(key, capacity, 0.01)
 
+  /** Build from a pre-computed 64-bit key hash column ([[abloom_key_hash]]).
+    * Keeps the hash inside whole-stage codegen upstream of the aggregate.
+    */
+  def bloom_agg_hashed(keyHash: Column, capacity: Long, fpRate: Double): Column =
+    toCol(BloomFilterAgg(toExpr(keyHash), lit(capacity), lit(fpRate))
+      .toAggregateExpression())
+
   /** Membership probe; may false-positive, never false-negative. */
   def bloom_contains(filter: Column, key: Column): Column =
     toCol(BloomMightContain(toExpr(filter), AbloomKeyHash(toExpr(key))))

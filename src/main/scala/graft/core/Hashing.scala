@@ -190,6 +190,67 @@ object Hashing {
 
   def xxh64(data: Array[Byte], seed: Long): Long = xxh64(data, 0, data.length, seed)
 
+  /** Zero-copy XXH64 over arbitrary memory (on-heap array + offset or
+    * off-heap), used to hash Spark `UTF8String` payloads without the
+    * per-row byte-array copy `getBytes` would cost. Little-endian reads
+    * via Platform match the byte-array path on x86/arm (Spark itself
+    * assumes unaligned LE access in its own hash expressions).
+    */
+  def xxh64Unsafe(base: AnyRef, offset: Long, len: Int, seed: Long): Long = {
+    import org.apache.spark.unsafe.Platform
+    var h: Long = 0L
+    var i = offset
+    val end = offset + len
+
+    if (len >= 32) {
+      var v1 = seed + P1 + P2
+      var v2 = seed + P2
+      var v3 = seed
+      var v4 = seed - P1
+      val limit = end - 32
+      while (i <= limit) {
+        v1 = round(v1, Platform.getLong(base, i))
+        v2 = round(v2, Platform.getLong(base, i + 8))
+        v3 = round(v3, Platform.getLong(base, i + 16))
+        v4 = round(v4, Platform.getLong(base, i + 24))
+        i += 32
+      }
+      h = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+      h = mergeRound(h, v1)
+      h = mergeRound(h, v2)
+      h = mergeRound(h, v3)
+      h = mergeRound(h, v4)
+    } else {
+      h = seed + P5
+    }
+
+    h += len
+
+    while (i + 8 <= end) {
+      h = rotl(h ^ round(0L, Platform.getLong(base, i)), 27) * P1 + P4
+      i += 8
+    }
+    if (i + 4 <= end) {
+      h = rotl(h ^ ((Platform.getInt(base, i) & 0xffffffffL) * P1), 23) * P2 + P3
+      i += 4
+    }
+    while (i < end) {
+      h = rotl(h ^ ((Platform.getByte(base, i) & 0xffL) * P5), 11) * P1
+      i += 1
+    }
+
+    h ^= h >>> 33
+    h *= P2
+    h ^= h >>> 29
+    h *= P3
+    h ^= h >>> 32
+    h
+  }
+
+  /** Hash a Spark UTF8String key without copying its bytes. */
+  def hashUTF8String(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    xxh64Unsafe(s.getBaseObject, s.getBaseOffset, s.numBytes, 0L)
+
   // ------------------------------------------------- abloom key-hash entry
 
   /** Hash of a binary key (reference serializable-mode bytes path). */

@@ -46,6 +46,30 @@ final class Sbbf private[core] (
     }
   }
 
+  /** Lock-free concurrent insert: atomic fetch-OR per word — the
+    * reference's `free_threading=True` mode (`_abloom.c:137-144`, C11
+    * `atomic_fetch_or`). Used by the per-executor shared-filter build
+    * (multiple Spark tasks of one executor inserting into a single
+    * filter), which keeps the merge fan-in at O(executors) instead of
+    * O(partitions) and the insert working set at one filter per node.
+    * Bit-equivalent to sequential insert for any interleaving (OR is
+    * commutative/associative), so partition-count invariance holds.
+    */
+  def insertHashAtomic(hash: Long): Unit = {
+    val blockIdx = java.lang.Long.remainderUnsigned(hash >>> 32, blockCount)
+    val hLow = hash.toInt
+    val base = (blockIdx * Sbbf.BlockWords).toInt
+    var i = 0
+    while (i < Sbbf.BlockWords) {
+      val bit = 1L << ((hLow * Sbbf.Salt(i)) >>> 26)
+      val idx = base + i
+      // skip the atomic when the bit is already visible (common once warm)
+      if ((words(idx) & bit) == 0L)
+        Sbbf.WordsHandle.getAndBitwiseOr(words, idx, bit)
+      i += 1
+    }
+  }
+
   /** Membership probe for a pre-computed hash (`bloom_check`, `_abloom.c:151-171`). */
   def checkHash(hash: Long): Boolean = {
     val blockIdx = java.lang.Long.remainderUnsigned(hash >>> 32, blockCount)
@@ -150,6 +174,12 @@ final class Sbbf private[core] (
 }
 
 object Sbbf {
+  /** VarHandle for atomic fetch-OR on the words array (C11 atomics
+    * equivalent, `_abloom.c:6-25`).
+    */
+  private val WordsHandle: java.lang.invoke.VarHandle =
+    java.lang.invoke.MethodHandles.arrayElementVarHandle(classOf[Array[Long]])
+
   final val BlockBits = 512
   final val BlockBytes = 64
   final val BlockWords = 8

@@ -34,7 +34,7 @@ case class AbloomKeyHash(child: Expression) extends UnaryExpression {
   }
 
   override protected def nullSafeEval(input: Any): Any = child.dataType match {
-    case StringType => Hashing.hashBytes(input.asInstanceOf[UTF8String].getBytes)
+    case StringType => Hashing.hashUTF8String(input.asInstanceOf[UTF8String])
     case BinaryType => Hashing.hashBytes(input.asInstanceOf[Array[Byte]])
     case LongType => Hashing.hashLong(input.asInstanceOf[Long])
     case IntegerType => Hashing.hashLong(input.asInstanceOf[Int].toLong)
@@ -47,7 +47,7 @@ case class AbloomKeyHash(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val h = Hashing.getClass.getName.stripSuffix("$") // graft.core.Hashing
     val call = child.dataType match {
-      case StringType => (c: String) => s"$h$$.MODULE$$.hashBytes($c.getBytes())"
+      case StringType => (c: String) => s"$h$$.MODULE$$.hashUTF8String($c)"
       case BinaryType => (c: String) => s"$h$$.MODULE$$.hashBytes($c)"
       case LongType => (c: String) => s"$h$$.MODULE$$.hashLong($c)"
       case IntegerType | ShortType | ByteType =>
