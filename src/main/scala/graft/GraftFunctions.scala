@@ -64,4 +64,49 @@ object functions {
     */
   def bloom_describe(filter: Column): Column =
     toCol(BloomDescribe(toExpr(filter)))
+
+  // ------------------------------------------------------ sibling sketches
+
+  private def castDouble(c: Column): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(toExpr(c),
+      org.apache.spark.sql.types.DoubleType)
+
+  /** HyperLogLog distinct-count sketch (std error 1.04/sqrt(2^p)). */
+  def hll_agg(key: Column, p: Int): Column =
+    toCol(HllAgg(AbloomKeyHash(toExpr(key)), lit(p)).toAggregateExpression())
+  def hll_agg(key: Column): Column = hll_agg(key, graft.core.Hll.DefaultP)
+
+  def hll_union_agg(sketches: Column): Column =
+    toCol(HllUnionAgg(toExpr(sketches)).toAggregateExpression())
+
+  def hll_estimate(sketch: Column): Column = toCol(HllEstimate(toExpr(sketch)))
+
+  /** Count-min frequency sketch: estimate in [true, true + eps*N] w.p. 1-delta. */
+  def cms_agg(key: Column, eps: Double, delta: Double): Column =
+    toCol(CmsAgg(AbloomKeyHash(toExpr(key)), lit(eps), lit(delta))
+      .toAggregateExpression())
+
+  def cms_query(sketch: Column, key: Column): Column =
+    toCol(CmsQuery(toExpr(sketch), AbloomKeyHash(toExpr(key))))
+
+  /** Merging t-digest quantile sketch (compression delta, default 100). */
+  def tdigest_agg(value: Column, compression: Double): Column =
+    toCol(TDigestAgg(castDouble(value), lit(compression)).toAggregateExpression())
+  def tdigest_agg(value: Column): Column =
+    tdigest_agg(value, graft.core.TDigest.DefaultCompression)
+
+  def tdigest_quantile(sketch: Column, q: Double): Column =
+    toCol(TDigestQuantile(toExpr(sketch), lit(q)))
+  def tdigest_cdf(sketch: Column, x: Column): Column =
+    toCol(TDigestCdf(toExpr(sketch), castDouble(x)))
+
+  /** KLL quantile sketch (additive rank error ~2.5/k). */
+  def kll_agg(value: Column, k: Int): Column =
+    toCol(KllAgg(castDouble(value), lit(k)).toAggregateExpression())
+  def kll_agg(value: Column): Column = kll_agg(value, graft.core.Kll.DefaultK)
+
+  def kll_quantile(sketch: Column, q: Double): Column =
+    toCol(KllQuantile(toExpr(sketch), lit(q)))
+  def kll_rank(sketch: Column, x: Column): Column =
+    toCol(KllRank(toExpr(sketch), castDouble(x)))
 }

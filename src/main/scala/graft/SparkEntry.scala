@@ -108,6 +108,73 @@ object SparkEntry {
         .toDF("fpr_within_bound", "zero_false_negatives")
     },
 
+    // §7.4 HLL: exact distinct (oracle-verified) + estimate within the
+    // published 3-sigma bound (sigma = 1.04/sqrt(2^14) = 0.81%).
+    "hll_distinct" -> { (s, dir) =>
+      val events = table(s, dir, "events")
+      val row = events.agg(
+        countDistinct(col("user_id")).as("exact"),
+        hll_estimate(hll_agg(col("user_id"))).as("est")).head
+      val exact = row.getLong(0)
+      val est = row.getLong(1)
+      import s.implicits._
+      Seq((exact, math.abs(est - exact).toDouble / exact <= 3 * 0.0082))
+        .toDF("exact_distinct", "within_bound")
+    },
+
+    // §7.4 count-min: per-event-type exact counts (oracle-verified) +
+    // the CM guarantee: never underestimates, overestimate <= eps * N.
+    "cms_frequencies" -> { (s, dir) =>
+      val events = table(s, dir, "events")
+      val sketch = events.agg(cms_agg(col("event_type"), 0.0005, 0.01))
+        .head.getAs[Array[Byte]](0)
+      val n = events.count()
+      val epsN = math.ceil(math.E / math.ceil(math.E / 0.0005) * n).toLong
+      events.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("true_count"))
+        .withColumn("est", cms_query(lit(sketch), col("event_type")))
+        .select(
+          col("event_type"),
+          col("true_count"),
+          (col("est") >= col("true_count")).as("no_underestimate"),
+          (col("est") <= col("true_count") + lit(epsN)).as("within_eps"))
+        .orderBy(col("event_type"))
+    },
+
+    // §7.4 t-digest: the estimate's exact rank must sit within the
+    // published rank-error envelope of the requested quantile.
+    "tdigest_quantiles" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      val sketch = li.agg(tdigest_agg(col("l_extendedprice"), 100.0))
+        .head.getAs[Array[Byte]](0)
+      val n = li.count()
+      import s.implicits._
+      val checks = Seq(0.01, 0.5, 0.99).map { q =>
+        val est = Seq(sketch).toDF("s")
+          .select(tdigest_quantile(col("s"), q)).head.getDouble(0)
+        val rank = li.filter(col("l_extendedprice") <= est).count().toDouble / n
+        val bound = if (q <= 0.01 || q >= 0.99) 0.005 else 0.02
+        (q, math.abs(rank - q) <= bound)
+      }
+      checks.toDF("q", "rank_within_bound").orderBy(col("q"))
+    },
+
+    // §7.4 KLL: additive rank error <= 2.5/k at k = 200 for every decile.
+    "kll_rank_error" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val sketch = ev.agg(kll_agg(col("value"), 200))
+        .head.getAs[Array[Byte]](0)
+      val n = ev.filter(!col("value").isNaN).count()
+      import s.implicits._
+      val checks = (1 to 9).map(_ / 10.0).map { q =>
+        val est = Seq(sketch).toDF("s")
+          .select(kll_quantile(col("s"), q)).head.getDouble(0)
+        val rank = ev.filter(col("value") <= est).count().toDouble / n
+        (q, math.abs(rank - q) <= 2.5 / 200.0)
+      }
+      checks.toDF("q", "rank_within_eps").orderBy(col("q"))
+    },
+
     // Host-engine relational capability + oracle anchor: TPC-H Q1-ish.
     // (sum over integral doubles and cent-scaled bigints: order-independent,
     // so Spark and DuckDB agree bit-exactly)
@@ -141,6 +208,20 @@ object SparkEntry {
     "bloom_fpr_bound" ->
       """SELECT CAST(1 AS BOOLEAN) AS fpr_within_bound,
         |CAST(1 AS BOOLEAN) AS zero_false_negatives""".stripMargin,
+    "hll_distinct" ->
+      """SELECT count(DISTINCT user_id) AS exact_distinct,
+        |CAST(1 AS BOOLEAN) AS within_bound FROM events""".stripMargin,
+    "cms_frequencies" ->
+      """SELECT event_type, count(*) AS true_count,
+        |CAST(1 AS BOOLEAN) AS no_underestimate, CAST(1 AS BOOLEAN) AS within_eps
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "tdigest_quantiles" ->
+      """SELECT q, CAST(1 AS BOOLEAN) AS rank_within_bound
+        |FROM (VALUES (0.01), (0.5), (0.99)) AS t(q) ORDER BY q""".stripMargin,
+    "kll_rank_error" ->
+      """SELECT q, CAST(1 AS BOOLEAN) AS rank_within_eps
+        |FROM (VALUES (0.1),(0.2),(0.3),(0.4),(0.5),(0.6),(0.7),(0.8),(0.9)) AS t(q)
+        |ORDER BY q""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

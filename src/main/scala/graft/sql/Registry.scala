@@ -3,7 +3,8 @@ package graft.sql
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.DoubleType
 
 import graft.expr._
 
@@ -36,7 +37,36 @@ object Registry {
       BloomUnion(args(0), args(1))
     },
     "bloom_union_agg" -> { args => BloomUnionAgg(args.head) },
-    "bloom_describe" -> { args => BloomDescribe(args.head) })
+    "bloom_describe" -> { args => BloomDescribe(args.head) },
+    "hll_agg" -> { args =>
+      val p = if (args.size > 1) args(1)
+        else org.apache.spark.sql.catalyst.expressions.Literal(graft.core.Hll.DefaultP)
+      HllAgg(AbloomKeyHash(args(0)), p)
+    },
+    "hll_union_agg" -> { args => HllUnionAgg(args.head) },
+    "hll_estimate" -> { args => HllEstimate(args.head) },
+    "cms_agg" -> { args =>
+      require(args.size == 3, "cms_agg(key, eps, delta)")
+      CmsAgg(AbloomKeyHash(args(0)), args(1), args(2))
+    },
+    "cms_query" -> { args =>
+      require(args.size == 2, "cms_query(sketch, key)")
+      CmsQuery(args(0), AbloomKeyHash(args(1)))
+    },
+    "tdigest_agg" -> { args =>
+      val c = if (args.size > 1) args(1)
+        else org.apache.spark.sql.catalyst.expressions.Literal(graft.core.TDigest.DefaultCompression)
+      TDigestAgg(Cast(args(0), DoubleType), c)
+    },
+    "tdigest_quantile" -> { args => TDigestQuantile(args(0), Cast(args(1), DoubleType)) },
+    "tdigest_cdf" -> { args => TDigestCdf(args(0), Cast(args(1), DoubleType)) },
+    "kll_agg" -> { args =>
+      val k = if (args.size > 1) args(1)
+        else org.apache.spark.sql.catalyst.expressions.Literal(graft.core.Kll.DefaultK)
+      KllAgg(Cast(args(0), DoubleType), k)
+    },
+    "kll_quantile" -> { args => KllQuantile(args(0), Cast(args(1), DoubleType)) },
+    "kll_rank" -> { args => KllRank(args(0), Cast(args(1), DoubleType)) })
 
   /** Register all sketch functions on an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -1,0 +1,96 @@
+package graft.expr
+
+import org.apache.spark.sql.functions.{col, countDistinct, lit}
+
+import graft.SparkTestBase
+import graft.core.{CountMin, Hashing, Hll, Kll, TDigest}
+import graft.functions._
+
+class SketchSparkSpec extends SparkTestBase {
+
+  import SparkTestBase.spark.implicits._
+
+  test("hll_agg distributed == driver build (byte-identical), estimate in bound") {
+    val n = 20000
+    val df = (0 until n).map(i => s"user${i % 7000}").toDF("k")
+    val bytes = df.agg(hll_agg(col("k"))).head.getAs[Array[Byte]](0)
+    val driver = Hll.empty()
+    (0 until n).foreach(i => driver.addHash(Hashing.hashString(s"user${i % 7000}")))
+    assert(java.util.Arrays.equals(bytes, driver.toBytes))
+    val est = Hll.fromBytes(bytes).estimate
+    assert(math.abs(est - 7000) <= 3 * 0.0082 * 7000)
+  }
+
+  test("hll partition invariance and union-agg equivalence") {
+    val df = (0 until 5000).map(i => s"u$i").toDF("k")
+    val whole = df.repartition(3).agg(hll_agg(col("k"))).head.getAs[Array[Byte]](0)
+    val other = df.repartition(11).agg(hll_agg(col("k"))).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(whole, other))
+    val unioned = df.withColumn("g", col("k").substr(2, 1))
+      .groupBy("g").agg(hll_agg(col("k")).as("s"))
+      .agg(hll_union_agg(col("s"))).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(unioned, whole))
+  }
+
+  test("hll_estimate expression and SQL surface") {
+    graft.sql.Registry.register(spark)
+    (0 until 1000).map(i => s"x$i").toDF("k").createOrReplaceTempView("hll_keys")
+    val est = spark.sql(
+      "SELECT hll_estimate(hll_agg(k)) AS e FROM hll_keys").head.getLong(0)
+    assert(math.abs(est - 1000) <= 3 * 0.0082 * 1000 + 5)
+  }
+
+  test("cms distributed == driver build; frequencies never underestimated") {
+    val rows = (0 until 10000).map(i => s"key${i % 100}")
+    val df = rows.toDF("k")
+    val bytes = df.agg(cms_agg(col("k"), 0.001, 0.01)).head.getAs[Array[Byte]](0)
+    val driver = CountMin.forError(0.001, 0.01)
+    rows.foreach(k => driver.addHash(Hashing.hashString(k)))
+    assert(java.util.Arrays.equals(bytes, driver.toBytes))
+
+    val probes = (0 until 100).map(i => s"key$i").toDF("k")
+    val ests = probes.select(col("k"), cms_query(lit(bytes), col("k")).as("est")).collect()
+    ests.foreach { r =>
+      assert(r.getLong(1) >= 100L, s"underestimate for ${r.getString(0)}")
+      assert(r.getLong(1) <= 100L + driver.errorBound)
+    }
+  }
+
+  test("tdigest quantiles via SQL within rank bounds") {
+    graft.sql.Registry.register(spark)
+    val n = 50000
+    val df = (0 until n).map(_.toDouble).toDF("v")
+    df.createOrReplaceTempView("td_vals")
+    val r = spark.sql(
+      """SELECT tdigest_quantile(s, 0.5d) AS q50, tdigest_quantile(s, 0.99d) AS q99
+        |FROM (SELECT tdigest_agg(v, 100) AS s FROM td_vals)""".stripMargin).head
+    assert(math.abs(r.getDouble(0) / n - 0.5) <= 0.02)
+    assert(math.abs(r.getDouble(1) / n - 0.99) <= 0.005)
+  }
+
+  test("kll quantile + rank via Column API within epsilon") {
+    val n = 60000
+    val df = (0 until n).map(i => ((i * 2654435761L) % 1000003).toDouble).toDF("v")
+    val bytes = df.agg(kll_agg(col("v"))).head.getAs[Array[Byte]](0)
+    val kll = Kll.fromBytes(bytes)
+    assert(kll.count === n)
+    val sorted = (0 until n).map(i => ((i * 2654435761L) % 1000003).toDouble).sorted
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val est = Seq(bytes).toDF("s").select(kll_quantile(col("s"), q)).head.getDouble(0)
+      val rankErr = math.abs(sorted.count(_ <= est).toDouble / n - q)
+      assert(rankErr <= 2 * kll.epsilon, s"q=$q err=$rankErr")
+    }
+    val rank = Seq(bytes).toDF("s")
+      .select(kll_rank(col("s"), lit(sorted(n / 2)))).head.getDouble(0)
+    assert(math.abs(rank - 0.5) <= 2 * kll.epsilon)
+  }
+
+  test("tdigest groupBy per-key digests") {
+    val df = (0 until 9000).map(i => (s"g${i % 3}", (i % 1000).toDouble)).toDF("g", "v")
+    val rows = df.groupBy("g").agg(tdigest_agg(col("v")).as("s"))
+      .select(col("g"), tdigest_quantile(col("s"), 0.5).as("med"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.values.foreach(m => assert(math.abs(m - 500) <= 30, s"median $m"))
+    assert(rows.size === 3)
+  }
+}
