@@ -175,6 +175,91 @@ object SparkEntry {
       checks.toDF("q", "rank_within_eps").orderBy(col("q"))
     },
 
+    // Training-data ops: exact dedup on deterministically planted copies
+    // (every 10th doc duplicated with id + 100000) — full SQL oracle.
+    "dedup_exact" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val planted = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      graft.ops.Dedup.exact(docs.unionByName(planted), "text", "doc_id")
+        .orderBy(col("digest"))
+    },
+
+    // MinHash + LSH near-dup detection with a FULL independent oracle:
+    // DuckDB recomputes exact 3-gram-shingle Jaccard over all pairs; our
+    // LSH pipeline must surface exactly the >= 0.7 pairs (banding catch
+    // probability at j >= 0.9, where all real pairs sit, is ~1).
+    "dedup_minhash" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val planted = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" graftdupmarker")))
+      graft.ops.Dedup.minhashPairs(
+        docs.unionByName(planted).select(col("doc_id"), col("text")),
+        "text", "doc_id", threshold = 0.7)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // SimHash dedup: candidate pairs at hamming <= 3, verified exact-equal
+    // (the exact-dup subset has a precise SQL oracle; hamming-0 collision
+    // for identical text is guaranteed, and banding must surface it).
+    "dedup_simhash" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val planted = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      val aug = docs.unionByName(planted).select(col("doc_id"), col("text"))
+      val pairs = graft.ops.Dedup.simhashPairs(aug, "text", "doc_id", maxDist = 3)
+      val ta = aug.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      val tb = aug.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+      pairs.join(ta, "id_a").join(tb, "id_b")
+        .filter(col("hamming") === 0 && col("text_a") === col("text_b"))
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Text analysis: token counts + quality stats, exact arithmetic with a
+    // direct DuckDB translation.
+    "text_stats" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      docs.select(
+        col("doc_id"),
+        graft.ops.TextAnalysis.token_count(col("text")).as("n_tokens"),
+        graft.ops.TextAnalysis.quality_stats(col("text")).as("st"))
+        .select(
+          col("doc_id"), col("n_tokens"),
+          col("st.n_chars").as("n_chars"),
+          col("st.alpha_ratio").as("alpha_ratio"),
+          col("st.space_ratio").as("space_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Embedding brute-force cosine top-k (ANN correctness baseline):
+    // DuckDB recomputes cosine exactly on the same vectors.
+    "similarity_topk" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+      graft.ops.Similarity.bruteForceTopK(emb, "embedding", "vec_id", query, 10)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy(col("cosine").desc, col("id"))
+    },
+
+    // Multimodal plumbing: binary payload + deterministic header-decode;
+    // the fake decode is length-derived so DuckDB verifies it exactly.
+    "multimodal_decode" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val media = graft.ops.Multimodal.attachMedia(docs, "doc_id", "text")
+      media.withColumn("meta",
+          graft.ops.Multimodal.decode_meta(col("payload"), col("kind")))
+        .groupBy(col("kind"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("meta.width")).cast("long").as("sum_width"),
+          sum(col("meta.height")).cast("long").as("sum_height"))
+        .orderBy(col("kind"))
+    },
+
     // Host-engine relational capability + oracle anchor: TPC-H Q1-ish.
     // (sum over integral doubles and cent-scaled bigints: order-independent,
     // so Spark and DuckDB agree bit-exactly)
@@ -222,6 +307,62 @@ object SparkEntry {
       """SELECT q, CAST(1 AS BOOLEAN) AS rank_within_eps
         |FROM (VALUES (0.1),(0.2),(0.3),(0.4),(0.5),(0.6),(0.7),(0.8),(0.9)) AS t(q)
         |ORDER BY q""".stripMargin,
+    "dedup_exact" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT sha256(text) AS digest, min(doc_id) AS representative_id,
+        |count(*) AS copies FROM aug GROUP BY sha256(text) ORDER BY digest""".stripMargin,
+    "dedup_minhash" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' graftdupmarker'
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE
+        |      WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) < 3
+        |      THEN [array_to_string(regexp_split_to_array(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_transform(
+        |        range(1, len(regexp_split_to_array(lower(trim(text)), '\s+')) - 1),
+        |        i -> regexp_split_to_array(lower(trim(text)), '\s+')[i] || ' ' ||
+        |             regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+        |             regexp_split_to_array(lower(trim(text)), '\s+')[i+2]) END) AS s
+        |  FROM aug)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |      len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_simhash" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents
+        |WHERE doc_id % 10 = 0 ORDER BY id_a, id_b""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id,
+        |CASE WHEN length(trim(text)) = 0 THEN 0
+        |     ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |length(text) AS n_chars,
+        |CASE WHEN length(text) > 0 THEN
+        |  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text), 6)
+        |  ELSE 0.0 END AS alpha_ratio,
+        |CASE WHEN length(text) > 0 THEN
+        |  round((length(text) - length(regexp_replace(text, '\s', '', 'g'))) * 1.0 / length(text), 6)
+        |  ELSE 0.0 END AS space_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "similarity_topk" ->
+      """SELECT vec_id AS id,
+        |round(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6), 4) AS cosine
+        |FROM embeddings
+        |ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
+    "multimodal_decode" ->
+      """SELECT (ARRAY['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+        |count(*) AS n,
+        |sum(32 + octet_length(encode(text)) % 608) AS sum_width,
+        |sum(32 + (octet_length(encode(text)) * 7) % 448) AS sum_height
+        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

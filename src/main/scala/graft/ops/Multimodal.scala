@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Hashing
+
+/** Multimodal-column plumbing for training-data pipelines: image/audio/
+  * video as opaque `binary` columns with typed metadata, plus decode /
+  * feature-extract / resize / frame-sample operators.
+  *
+  * The image/audio codec libraries are not available in this container,
+  * so the DECODE KERNELS ARE DETERMINISTIC FAKES (clearly marked below) —
+  * what is real and tested is the Spark-side contract a production decode
+  * would plug into: the schema, the binary column handling, the
+  * batch-shaped mapPartitions execution (the Scala equivalent of a Pandas
+  * UDF over mapInPandas: one kernel invocation per batch, not per row),
+  * and the partitioning behavior.
+  */
+object Multimodal {
+
+  /** Typed media row: kind in {image, audio, video}, payload opaque. */
+  final case class MediaRow(
+      media_id: Long,
+      kind: String,
+      payload: Array[Byte],
+      source: String)
+
+  final case class DecodedMeta(
+      media_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      channels: Int,
+      duration_ms: Long)
+
+  final case class MediaFeature(
+      media_id: Long,
+      feature: Array[Float])
+
+  /** Attach a synthetic media payload to a documents-like table —
+    * deterministic bytes from the text (stands in for reading blob
+    * storage; the column type and sizes are what matter).
+    */
+  def attachMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      lit("synthetic").as("source"))
+
+  /** FAKE DECODE (deterministic, SQL-expressible so the oracle can verify
+    * the plumbing exactly): "header parse" derives dimensions from payload
+    * length. A real pipeline swaps in an actual codec here — same schema.
+    */
+  def decode_meta(payload: Column, kind: Column): Column = {
+    val len = octet_length(payload)
+    struct(
+      (lit(32) + pmod(len, lit(608))).as("width"),
+      (lit(32) + pmod(len * 7, lit(448))).as("height"),
+      when(kind === "audio", 1).otherwise(3).as("channels"),
+      when(kind === "image", 0L)
+        .otherwise((pmod(len * 31, lit(60000)) + 1000).cast("long")).as("duration_ms"))
+  }
+
+  /** FAKE RESIZE: recompute metadata for a target box, preserving aspect
+    * ratio — pure arithmetic, exercised as a column op.
+    */
+  def resize_meta(meta: Column, maxW: Int, maxH: Int): Column = {
+    val w = meta.getField("width").cast("double")
+    val h = meta.getField("height").cast("double")
+    val scale = least(lit(maxW) / w, lit(maxH) / h, lit(1.0))
+    struct(
+      round(w * scale).cast("int").as("width"),
+      round(h * scale).cast("int").as("height"),
+      meta.getField("channels").as("channels"),
+      meta.getField("duration_ms").as("duration_ms"))
+  }
+
+  /** Batch-shaped feature extraction — the mapPartitions contract a real
+    * model-inference kernel (ONNX/JNI) plugs into: the kernel sees a
+    * buffered BATCH of payloads (here 64) per invocation, amortizing model
+    * dispatch, and emits fixed-width float vectors.
+    *
+    * FAKE KERNEL: 8 floats derived from XXH64 of the payload —
+    * deterministic, so tests can assert exact plumbing behavior.
+    */
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one "model call" per batch (the real kernel would run inference
+        // on the whole batch here)
+        batch.iterator.map { row =>
+          val base = Hashing.hashBytes(row.payload)
+          val feat = Array.tabulate(8) { i =>
+            (Hashing.mix64(base + i).toDouble / Long.MaxValue.toDouble).toFloat
+          }
+          MediaFeature(row.media_id, feat)
+        }
+      }
+    }
+  }
+
+  /** FAKE FRAME SAMPLER for video rows: one row per sampled frame at a
+    * fixed stride over the (fake) duration — the explode-shaped operator a
+    * real ffmpeg-backed sampler would implement.
+    */
+  def sampleFrames(df: DataFrame, everyMs: Long): DataFrame = {
+    val meta = decode_meta(col("payload"), col("kind"))
+    df.filter(col("kind") === "video")
+      .withColumn("duration_ms", meta.getField("duration_ms"))
+      .select(
+        col("media_id"),
+        explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))).as("frame_ts_ms"))
+  }
+
+  /** Assemble the typed media dataset from a documents-like table. */
+  def mediaDataset(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    attachMedia(docs, idCol, textCol).as[MediaRow]
+  }
+}

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.core.Hashing
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language identification, document fingerprinting.
+  *
+  * Wherever the semantics are expressible with built-in functions they are
+  * composed from `org.apache.spark.sql.functions` (whole-stage codegen,
+  * pushdown-friendly); only language-ID and fingerprinting need custom
+  * kernels (registered through the same expression machinery as the
+  * sketches).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count; empty/blank text counts 0. */
+  def token_count(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword proxy: word pieces and single punctuation marks
+    * (`\w+` runs or single non-word-non-space chars).
+    */
+  def regex_token_count(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]"), lit(0)))
+
+  /** Quality-score components, all deterministic arithmetic over counts so
+    * an exact SQL oracle exists: alpha ratio, digit ratio, punctuation
+    * ratio, whitespace ratio, mean token length.
+    */
+  def quality_stats(text: Column): Column = {
+    val n = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
+    val digit = length(regexp_replace(text, "[^0-9]", "")).cast("double")
+    val space = (n - length(regexp_replace(text, "\\s", ""))).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", "")).cast("double")
+    val toks = token_count(text).cast("double")
+    struct(
+      n.cast("long").as("n_chars"),
+      toks.cast("long").as("n_tokens"),
+      when(n > 0, round(alpha / n, 6)).otherwise(0.0).as("alpha_ratio"),
+      when(n > 0, round(digit / n, 6)).otherwise(0.0).as("digit_ratio"),
+      when(n > 0, round(punct / n, 6)).otherwise(0.0).as("punct_ratio"),
+      when(n > 0, round(space / n, 6)).otherwise(0.0).as("space_ratio"),
+      when(toks > 0, round((n - space) / toks, 6)).otherwise(0.0).as("mean_token_len"))
+  }
+
+  /** Composite quality score in [0, 1]: favors alphabetic text with sane
+    * token lengths and moderate punctuation (cheap heuristic in the
+    * Gopher/C4-filter family, deterministic and oracle-expressible).
+    */
+  def quality_score(text: Column): Column = {
+    val s = quality_stats(text)
+    val alphaTerm = s.getField("alpha_ratio")
+    val punctPenalty = least(s.getField("punct_ratio") * 5.0, lit(1.0))
+    val lenTerm = when(
+      s.getField("mean_token_len").between(3.0, 12.0), 1.0).otherwise(0.5)
+    round(greatest(lit(0.0), least(lit(1.0),
+      alphaTerm * 0.6 + lenTerm * 0.3 + (lit(1.0) - punctPenalty) * 0.1)), 6)
+  }
+
+  // ---------------------------------------------------------- language ID
+
+  /** Tiny trigram/stopword profiles for a handful of languages. Real
+    * pipelines plug in fastText/CLD3; the operator contract (string ->
+    * (lang, confidence)) and the Spark plumbing are what matter here.
+    */
+  private val profiles: Map[String, Set[String]] = Map(
+    "en" -> Set(" the ", " and ", " of ", " to ", " in ", " is ", " that ",
+      " it ", " for ", " with ", " was ", " on "),
+    "de" -> Set(" der ", " die ", " und ", " das ", " ist ", " von ", " mit ",
+      " den ", " nicht ", " ein ", " zu "),
+    "fr" -> Set(" le ", " la ", " les ", " de ", " des ", " et ", " est ",
+      " un ", " une ", " que ", " pour "),
+    "es" -> Set(" el ", " la ", " los ", " de ", " y ", " que ", " es ",
+      " un ", " una ", " en ", " por "),
+    "it" -> Set(" il ", " la ", " di ", " che ", " e ", " un ", " per ",
+      " del ", " con ", " una "))
+
+  /** Driver/executor kernel: stopword-hit voting. Returns (lang, score). */
+  def detectLanguage(text: String): (String, Double) = {
+    if (text == null || text.isEmpty) return ("und", 0.0)
+    val padded = " " + text.toLowerCase.replaceAll("[^\\p{L} ]", " ")
+      .replaceAll("\\s+", " ") + " "
+    var bestLang = "und"
+    var bestHits = 0
+    profiles.foreach { case (lang, words) =>
+      var hits = 0
+      words.foreach { w =>
+        var idx = padded.indexOf(w)
+        while (idx >= 0) { hits += 1; idx = padded.indexOf(w, idx + 1) }
+      }
+      if (hits > bestHits) { bestHits = hits; bestLang = lang }
+    }
+    val toks = padded.split(" ").count(_.nonEmpty).max(1)
+    (if (bestHits == 0) "und" else bestLang, math.min(1.0, bestHits.toDouble / toks))
+  }
+
+  private val langIdUdf = udf((s: String) => detectLanguage(s))
+
+  /** `lang_id(text) -> struct<lang, confidence>`. */
+  def lang_id(text: Column): Column =
+    langIdUdf(text).cast("struct<lang:string,confidence:double>")
+
+  // -------------------------------------------------------- fingerprinting
+
+  /** 64-bit document fingerprint: minimum XXH64 over sliding character
+    * 16-grams (Karp-Rabin-style winnowing representative) — stable under
+    * small appends/prepends elsewhere in the document, deterministic.
+    */
+  def fingerprintKernel(text: String): Long = {
+    if (text == null || text.length < 16) {
+      return if (text == null) 0L else Hashing.hashString(text)
+    }
+    val bytes = text.getBytes("UTF-8")
+    if (bytes.length < 16) return Hashing.hashBytes(bytes)
+    var min = Long.MaxValue
+    var i = 0
+    val end = bytes.length - 16
+    while (i <= end) {
+      val h = Hashing.xxh64(bytes, i, 16, 0L)
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  private val fingerprintUdf = udf((s: String) => fingerprintKernel(s))
+
+  /** `doc_fingerprint(text) -> long` — winnowing-style min-hash over
+    * character 16-grams.
+    */
+  def doc_fingerprint(text: Column): Column = fingerprintUdf(text)
+}

@@ -1,0 +1,195 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class OpsSpec extends SparkTestBase {
+
+  import SparkTestBase.spark.implicits._
+
+  private def docs = {
+    // base corpus + planted near-duplicates (id + 1000 = id's text with a
+    // small suffix edit) + one exact duplicate pair (2000/2001)
+    val base = (0 until 50).map { i =>
+      (i.toLong, s"the quick brown fox jumps over the lazy dog number $i " +
+        s"with some ${"padding " * 10}tail marker$i")
+    }
+    val nearDups = (0 until 50 by 10).map { i =>
+      (i.toLong + 1000, base(i)._2 + " extra")
+    }
+    val exactDup = Seq((2000L, "identical text body"), (2001L, "identical text body"))
+    (base ++ nearDups ++ exactDup).toDF("doc_id", "text")
+  }
+
+  test("exact dedup: one representative per distinct text") {
+    val d = Dedup.exact(docs, "text", "doc_id")
+    assert(d.count() === 56) // 50 base + 5 near (distinct) + 1 shared exact
+    val dupRow = d.filter(col("copies") === 2).collect()
+    assert(dupRow.length === 1 && dupRow(0).getLong(1) === 2000L)
+  }
+
+  test("minhash LSH finds all planted near-duplicates with correct jaccard") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val planted = (0 until 50 by 10).map(i => (i.toLong, i + 1000L)).toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(found), s"missing: ${planted -- found}")
+    // exact duplicate pair found at jaccard 1.0
+    assert(found.contains((2000L, 2001L)))
+    pairs.filter(p => (p._1, p._2) == ((2000L, 2001L)))
+      .foreach(p => assert(p._3 === 1.0))
+    // jaccard values verified against a manual computation
+    pairs.filter(p => planted((p._1, p._2))).foreach { case (a, b, j) =>
+      val ta = docs.filter(col("doc_id") === a).head.getString(1)
+      val tb = docs.filter(col("doc_id") === b).head.getString(1)
+      def sh(t: String) = t.toLowerCase.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+      val exact = sh(ta).intersect(sh(tb)).size.toDouble / sh(ta).union(sh(tb)).size
+      assert(math.abs(j - exact) < 1e-6, s"pair ($a,$b)")
+    }
+  }
+
+  test("simhash near-dup pairs within hamming distance") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(found.contains((2000L, 2001L))) // identical text -> distance 0
+    pairs.foreach { case (_, _, d) => assert(d <= 3) }
+    // planted near-dups differ by one token over ~80 -> simhash close
+    val planted = (0 until 50 by 10).map(i => (i.toLong, i + 1000L)).toSet
+    assert(planted.intersect(found).nonEmpty)
+  }
+
+  test("simhash kernel: hamming grows with edit size") {
+    val a = Dedup.simhashKernel("a b c d e f g h i j".split(" ").toSeq)
+    val b = Dedup.simhashKernel("a b c d e f g h i k".split(" ").toSeq)
+    val c = Dedup.simhashKernel("z y x w v u t s r q".split(" ").toSeq)
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(a, b) < ham(a, c))
+  }
+
+  test("embedding cosine pairs match a driver-side exact computation") {
+    val vecs = (0 until 30).map { i =>
+      val base = Array.tabulate(8)(d => math.sin(i * 0.37 + d).toFloat)
+      (i.toLong, base.toSeq)
+    }
+    // plant: 100+i = same direction as i (scaled) -> cosine 1.0
+    val planted = (0 until 30 by 7).map { i =>
+      (100L + i, vecs(i)._2.map(x => x * 2.0f))
+    }
+    val df = (vecs ++ planted).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(df, "embedding", "vec_id", 0.9999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 30 by 7).foreach(i => assert(pairs.contains((i.toLong, 100L + i)), s"i=$i"))
+  }
+
+  test("brute-force cosine top-k deterministic and correct") {
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(i * 0.13 + d * 0.7)).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val query = vecs(5)._2
+    val top = Similarity.bruteForceTopK(df, "embedding", "vec_id", query, 5).collect()
+    assert(top.head.getLong(0) === 5L) // self is most similar
+    assert(top.head.getDouble(1) === 1.0)
+    // scores non-increasing
+    val scores = top.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("LSH ANN recall >= 0.6 vs brute force on clustered data") {
+    val r = new scala.util.Random(3)
+    val centers = Array.tabulate(5)(_ => Array.fill(16)(r.nextGaussian()))
+    val vecs = (0 until 500).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => x + r.nextGaussian() * 0.1).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    val query = vecs(0)._2
+    val exact = Similarity.bruteForceTopK(df, "embedding", "vec_id", query, 10)
+    val ann = Similarity.lshTopK(df, "embedding", "vec_id", query, 10, nPlanes = 10)
+    val recall = Similarity.recallAtK(ann, exact)
+    assert(recall >= 0.6, s"recall=$recall")
+    df.unpersist()
+  }
+
+  test("text analysis: token counts and quality stats") {
+    val df = Seq(
+      ("hello world foo", 3),
+      ("  spaced   out  ", 2),
+      ("", 0),
+      ("one", 1)).toDF("text", "expected")
+    val rows = df.select(TextAnalysis.token_count(col("text")).as("n"), col("expected")).collect()
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+
+    val q = Seq("A clean English sentence with normal words.")
+      .toDF("text").select(TextAnalysis.quality_score(col("text"))).head.getDouble(0)
+    val junk = Seq("!!! ### $$$ %%% ^^^ &&& *** ((( )))")
+      .toDF("text").select(TextAnalysis.quality_score(col("text"))).head.getDouble(0)
+    assert(q > junk)
+
+    val stats = Seq("abc 123 !?").toDF("text")
+      .select(TextAnalysis.quality_stats(col("text")).as("s"))
+      .selectExpr("s.n_chars", "s.n_tokens", "s.alpha_ratio", "s.digit_ratio").head
+    assert(stats.getLong(0) === 10L && stats.getLong(1) === 3L)
+    assert(stats.getDouble(2) === 0.3 && stats.getDouble(3) === 0.3)
+  }
+
+  test("language id picks the right language on clear samples") {
+    assert(TextAnalysis.detectLanguage(
+      "the cat and the dog sat on the mat with a hat for the fun of it")._1 === "en")
+    assert(TextAnalysis.detectLanguage(
+      "der Hund und die Katze sind mit dem Ball von einem Haus nicht weit")._1 === "de")
+    assert(TextAnalysis.detectLanguage(
+      "le chat et le chien sont dans la maison pour une bonne raison")._1 === "fr")
+    assert(TextAnalysis.detectLanguage("")._1 === "und")
+    // Spark column form
+    val langs = Seq("the quick brown fox and the lazy dog with the hat")
+      .toDF("text").select(TextAnalysis.lang_id(col("text")).getField("lang")).head.getString(0)
+    assert(langs === "en")
+  }
+
+  test("document fingerprint: deterministic, text-sensitive") {
+    val a = TextAnalysis.fingerprintKernel("some reasonably long document text body here")
+    val b = TextAnalysis.fingerprintKernel("some reasonably long document text body here")
+    val c = TextAnalysis.fingerprintKernel("a completely different document body")
+    assert(a === b); assert(a !== c)
+    val viaSpark = Seq("some reasonably long document text body here").toDF("t")
+      .select(TextAnalysis.doc_fingerprint(col("t"))).head.getLong(0)
+    assert(viaSpark === a)
+  }
+
+  test("multimodal: fake decode plumbing, batch features, frame sampling") {
+    val media = Multimodal.attachMedia(docs, "doc_id", "text")
+    assert(media.schema.fieldNames.toSeq ===
+      Seq("media_id", "kind", "payload", "source"))
+    // decode meta consistent with the documented fake (length-derived)
+    val m = media.withColumn("meta",
+      Multimodal.decode_meta(col("payload"), col("kind")))
+      .selectExpr("media_id", "octet_length(payload) AS len",
+        "meta.width", "meta.height").collect()
+    m.foreach { r =>
+      assert(r.getInt(2) === 32 + (r.getInt(1) % 608))
+      assert(r.getInt(3) === 32 + ((r.getInt(1) * 7) % 448))
+    }
+    // resize preserves aspect bound
+    val resized = media.withColumn("meta",
+        Multimodal.resize_meta(Multimodal.decode_meta(col("payload"), col("kind")), 224, 224))
+      .selectExpr("meta.width", "meta.height").collect()
+    resized.foreach(r => assert(r.getInt(0) <= 224 && r.getInt(1) <= 224))
+
+    // feature extraction: fixed width, deterministic
+    val ds = Multimodal.mediaDataset(spark, docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(ds, batchSize = 16).collect()
+    assert(feats.length === docs.count())
+    assert(feats.forall(_.feature.length === 8))
+    val feats2 = Multimodal.extractFeatures(ds, batchSize = 7).collect()
+    assert(feats.sortBy(_.media_id).zip(feats2.sortBy(_.media_id))
+      .forall { case (x, y) => x.feature.toSeq == y.feature.toSeq })
+
+    // frame sampling only for video rows, deterministic count
+    val frames = Multimodal.sampleFrames(media.toDF(), everyMs = 5000)
+    val videoIds = media.filter(col("kind") === "video").count()
+    assert(frames.select("media_id").distinct().count() === videoIds)
+  }
+}
