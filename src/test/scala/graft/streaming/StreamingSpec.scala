@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkTestBase
+import graft.core.{Hll, Sbbf}
+
+class StreamingSpec extends SparkTestBase {
+
+  import SparkTestBase.spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("windowed bloom over a stream equals batch-built filters per window") {
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "key")
+
+    val q = StreamingSketches.windowedBloom(
+      events, "ts", "key", "10 minutes", "0 seconds", 1000, 0.01)
+      .writeStream.format("memory").queryName("wb").outputMode("append").start()
+
+    // two windows of data
+    input.addData((0 until 50).map(i => (ts(i % 10), s"w1k$i")): _*)
+    input.addData((0 until 30).map(i => (ts(10 + i % 10), s"w2k$i")): _*)
+    q.processAllAvailable()
+    // advance watermark far so both windows close and emit (append mode)
+    input.addData((ts(59), "latewm"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wb").collect()
+    assert(rows.length >= 2)
+    val byStart = rows.map(r => r.getTimestamp(0) -> r.getAs[Array[Byte]](2)).toMap
+    val w1 = Sbbf.fromBytes(byStart(Timestamp.valueOf("2026-01-01 10:00:00")))
+    (0 until 50).foreach(i => assert(w1.contains(s"w1k$i")))
+    val batch1 = Sbbf.empty(1000, 0.01)
+    (0 until 50).foreach(i => batch1.add(s"w1k$i"))
+    assert(java.util.Arrays.equals(w1.toBytes, batch1.toBytes))
+
+    val w2 = Sbbf.fromBytes(byStart(Timestamp.valueOf("2026-01-01 10:10:00")))
+    (0 until 30).foreach(i => assert(w2.contains(s"w2k$i")))
+  }
+
+  test("windowed HLL distinct over a stream within bound") {
+    val input = MemoryStream[(Timestamp, String)]
+    val q = StreamingSketches.windowedDistinct(
+      input.toDF().toDF("ts", "key"), "ts", "key", "10 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("wd").outputMode("append").start()
+
+    input.addData((0 until 2000).map(i => (ts(i % 10), s"u${i % 700}")): _*)
+    q.processAllAvailable()
+    input.addData((ts(59), "latewm"))
+    q.processAllAvailable()
+    q.stop()
+
+    val est = spark.table("wd")
+      .filter(col("window_start") === Timestamp.valueOf("2026-01-01 10:00:00"))
+      .head.getLong(2)
+    assert(math.abs(est - 700) <= 3 * 0.0082 * 700 + 5)
+  }
+
+  test("firstSeen stateful operator: sketch state across micro-batches") {
+    val input = MemoryStream[StreamingSketches.KeyedEvent]
+    val q = StreamingSketches.firstSeen(input.toDS(), 10000, 0.001)
+      .writeStream.format("memory").queryName("fs").outputMode("update").start()
+
+    input.addData(
+      StreamingSketches.KeyedEvent("e1", "a"),
+      StreamingSketches.KeyedEvent("e1", "b"),
+      StreamingSketches.KeyedEvent("e2", "a"))
+    q.processAllAvailable()
+    // second batch: repeats must NOT be new; state persisted across batches
+    input.addData(
+      StreamingSketches.KeyedEvent("e1", "a"),
+      StreamingSketches.KeyedEvent("e1", "c"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("fs")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(rows.count(_._3) === 4) // a,b (e1), a (e2), c (e1) are new
+    assert(rows.contains(("e1", "a", true)))
+    assert(rows.contains(("e1", "a", false))) // the batch-2 repeat
+    assert(rows.contains(("e1", "c", true)))
+  }
+}
