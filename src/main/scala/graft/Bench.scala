@@ -118,9 +118,10 @@ object Bench {
     def eff(lo: Int, hi: Int): Double =
       if (tp.contains(lo) && tp.contains(hi)) tp(hi) / ((hi.toDouble / lo) * tp(lo)) else -1
 
-    // FPR + zero-FN validation on a filter built at full parallelism
+    // FPR + zero-FN validation + probe (lookup) throughput on a filter
+    // built at full parallelism
     val s2 = session(cpus)
-    val (fpr, fnOk) = try {
+    val (fpr, fnOk, probeTp) = try {
       val keys = s2.range(0L, n, 1L, cpus * 2).select(col("id").as("k"))
       val f = BloomBuild.concurrent(keys, col("k"), n, 0.01)
       val bytes = f.toBytes
@@ -129,7 +130,12 @@ object Bench {
         .filter(bloom_contains(lit(bytes), col("k"))).count()
       val fn = s2.range(0L, probes).select(col("id").as("k"))
         .filter(!bloom_contains(lit(bytes), col("k"))).count()
-      (fp.toDouble / probes, fn == 0L)
+      // lookup throughput: probe all n member keys (all-8-word worst case)
+      val (_, probeSec) = time {
+        s2.range(0L, n, 1L, cpus * 2).select(col("id").as("k"))
+          .filter(bloom_contains(lit(bytes), col("k"))).count()
+      }
+      (fp.toDouble / probes, fn == 0L, n / probeSec)
     } finally s2.stop()
 
     // hardware scaling ceiling (pure CPU)
@@ -147,6 +153,7 @@ object Bench {
         s""""scaling_efficiency_2_to_8":${"%.3f".format(eff(2, 8))},""" +
         s""""scaling_efficiency_8_to_32":${"%.3f".format(eff(8, 32))},""" +
         s""""cpu_probe_efficiency_8_to_32":${"%.3f".format(cpuEff)},""" +
+        s""""probe_keys_per_sec":${probeTp.toLong},""" +
         s""""empirical_fpr":$fpr,"fpr_target":0.01,"fpr_bound_ok":${fpr <= 0.0105},"zero_fn":$fnOk}"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","bloom_build":$bloom}""")
