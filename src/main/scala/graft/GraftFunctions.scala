@@ -51,6 +51,14 @@ object functions {
   def bloom_contains_hash(filter: Column, keyHash: Column): Column =
     toCol(BloomMightContain(toExpr(filter), toExpr(keyHash)))
 
+  /** Probe against a broadcast filter — preferred for large filters: the
+    * bytes ship once per executor (torrent broadcast), not inside every
+    * stage's task binary.
+    */
+  def bloom_contains(filter: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+      key: Column): Column =
+    toCol(BloomBroadcastContain(filter, AbloomKeyHash(toExpr(key))))
+
   /** New filter = word-wise OR of two serialized filters (params must match). */
   def bloom_union(a: Column, b: Column): Column =
     toCol(BloomUnion(toExpr(a), toExpr(b)))

@@ -175,6 +175,25 @@ object SparkEntry {
       checks.toDF("q", "rank_within_eps").orderBy(col("q"))
     },
 
+    // North-rule skew handling: per-group sketches via two-phase salted
+    // aggregation (bit-identical to unsalted; exact distincts oracle-
+    // verified, estimates within the published bound).
+    "salted_group_sketch" -> { (s, dir) =>
+      val orders = table(s, dir, "orders")
+      val sketches = graft.job.SaltedAgg.hllByGroup(
+        orders, "o_orderpriority", "o_custkey", salts = 8)
+        .select(col("o_orderpriority"), hll_estimate(col("sketch")).as("est"))
+      val exact = orders.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+      exact.join(sketches, "o_orderpriority")
+        .select(
+          col("o_orderpriority"),
+          col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct")).cast("double") /
+            col("exact_distinct") <= 3 * 0.0082).as("within_bound"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // Training-data ops: exact dedup on deterministically planted copies
     // (every 10th doc duplicated with id + 100000) — full SQL oracle.
     "dedup_exact" -> { (s, dir) =>
@@ -307,6 +326,10 @@ object SparkEntry {
       """SELECT q, CAST(1 AS BOOLEAN) AS rank_within_eps
         |FROM (VALUES (0.1),(0.2),(0.3),(0.4),(0.5),(0.6),(0.7),(0.8),(0.9)) AS t(q)
         |ORDER BY q""".stripMargin,
+    "salted_group_sketch" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_distinct,
+        |CAST(1 AS BOOLEAN) AS within_bound
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "dedup_exact" ->
       """WITH aug AS (
         |  SELECT doc_id, text FROM documents

@@ -223,6 +223,42 @@ case class BloomMightContain(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Broadcast-variable-backed membership probe: the filter ships once per
+  * executor via torrent broadcast instead of riding inside the task binary
+  * (a 63 MB filter embedded via `lit()` costs ~2x its size in every
+  * stage's serialized plan — see BENCH/BASELINE.md §4). Parse happens once
+  * per executor (lazy), probes run through the same generated code path.
+  */
+case class BloomBroadcastContain(
+    bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains(broadcast) expects a long key hash, got ${dt.sql}")
+  }
+
+  @transient private lazy val filter: Sbbf = Sbbf.fromBytes(bcast.value)
+
+  /** Executor-side probe entry used by both eval and generated code. */
+  def probe(hash: Long): Boolean = filter.checkHash(hash)
+
+  override def nullSafeEval(hash: Any): Any = probe(hash.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBcExpr", this, classOf[BloomBroadcastContain].getName)
+    defineCodeGen(ctx, ev, h => s"$ref.probe($h)")
+  }
+
+  override def prettyName: String = "bloom_contains_bc"
+
+  override protected def withNewChildInternal(newChild: Expression): BloomBroadcastContain =
+    copy(child = newChild)
+}
+
 /** `bloom_union(a, b)` — new filter = word-wise OR of two serialized
   * filters (`__or__`, `_abloom.c:238-281`). Both sides must have identical
   * (capacity, fp_rate) or the expression throws, like the reference.
