@@ -73,6 +73,10 @@ object functions {
   def bloom_describe(filter: Column): Column =
     toCol(BloomDescribe(toExpr(filter)))
 
+  /** True iff the filter has no bit set (reference `bool(bf)` inverted). */
+  def bloom_is_empty(filter: Column): Column =
+    toCol(BloomIsEmpty(toExpr(filter)))
+
   // ------------------------------------------------------ sibling sketches
 
   private def castDouble(c: Column): Expression =

@@ -288,6 +288,23 @@ case class BloomUnion(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** `bloom_is_empty(filter) -> boolean` — true iff no bit is set
+  * (`__bool__` inverted, `_abloom.c:309-317`).
+  */
+case class BloomIsEmpty(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"bloom_is_empty expects binary, got ${dt.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Sbbf.fromBytes(input.asInstanceOf[Array[Byte]]).isEmpty
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Sbbf$$.MODULE$$.fromBytes($c).isEmpty()")
+  override def prettyName: String = "bloom_is_empty"
+  override protected def withNewChildInternal(c: Expression): BloomIsEmpty = copy(child = c)
+}
+
 /** `bloom_describe(filter)` -> struct of the reference's read-only
   * properties (`_abloom.c:568-598`): capacity, fp_rate, block_count,
   * byte_count, bit_count, k, is_empty.

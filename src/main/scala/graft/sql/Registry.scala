@@ -38,6 +38,7 @@ object Registry {
     },
     "bloom_union_agg" -> { args => BloomUnionAgg(args.head) },
     "bloom_describe" -> { args => BloomDescribe(args.head) },
+    "bloom_is_empty" -> { args => BloomIsEmpty(args.head) },
     "hll_agg" -> { args =>
       val p = if (args.size > 1) args(1)
         else org.apache.spark.sql.catalyst.expressions.Literal(graft.core.Hll.DefaultP)
