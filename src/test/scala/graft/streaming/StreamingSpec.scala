@@ -65,6 +65,39 @@ class StreamingSpec extends SparkTestBase {
     assert(math.abs(est - 700) <= 3 * 0.0082 * 700 + 5)
   }
 
+  test("firstSeen state survives query restart from checkpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    val input = MemoryStream[StreamingSketches.KeyedEvent]
+    val collected = new java.util.concurrent.ConcurrentLinkedQueue[(String, Boolean)]()
+    def start() = StreamingSketches.firstSeen(input.toDS(), 10000, 0.001)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingSketches.SeenResult], _: Long) =>
+        batch.collect().foreach(r => collected.add((r.key, r.isNew)))
+      }
+      .option("checkpointLocation", dir)
+      .outputMode("update").start()
+
+    val q1 = start()
+    input.addData(
+      StreamingSketches.KeyedEvent("e1", "a"),
+      StreamingSketches.KeyedEvent("e1", "b"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the checkpoint: the SBBF state must be restored, so the
+    // repeat of "a" is NOT new while "z" is
+    val q2 = start()
+    input.addData(
+      StreamingSketches.KeyedEvent("e1", "a"),
+      StreamingSketches.KeyedEvent("e1", "z"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val rows = collected.toArray.toList
+    assert(rows.contains(("a", false)), s"repeat after restart must not be new: $rows")
+    assert(rows.contains(("z", true)))
+  }
+
   test("firstSeen stateful operator: sketch state across micro-batches") {
     val input = MemoryStream[StreamingSketches.KeyedEvent]
     val q = StreamingSketches.firstSeen(input.toDS(), 10000, 0.001)
