@@ -124,16 +124,19 @@ object Bench {
     val (fpr, fnOk, probeTp) = try {
       val keys = s2.range(0L, n, 1L, cpus * 2).select(col("id").as("k"))
       val f = BloomBuild.concurrent(keys, col("k"), n, 0.01)
-      val bytes = f.toBytes
+      // broadcast probe: a capacity-n filter is tens of MB — shipping it
+      // as a literal costs per-task deserialization (measured 14-30x
+      // slower); the broadcast variant ships once per executor
+      val bc = s2.sparkContext.broadcast(f.toBytes)
       val probes = 500000L
       val fp = s2.range(n, n + probes).select(col("id").as("k"))
-        .filter(bloom_contains(lit(bytes), col("k"))).count()
+        .filter(bloom_contains(bc, col("k"))).count()
       val fn = s2.range(0L, probes).select(col("id").as("k"))
-        .filter(!bloom_contains(lit(bytes), col("k"))).count()
+        .filter(!bloom_contains(bc, col("k"))).count()
       // lookup throughput: probe all n member keys (all-8-word worst case)
       val (_, probeSec) = time {
         s2.range(0L, n, 1L, cpus * 2).select(col("id").as("k"))
-          .filter(bloom_contains(lit(bytes), col("k"))).count()
+          .filter(bloom_contains(bc, col("k"))).count()
       }
       (fp.toDouble / probes, fn == 0L, n / probeSec)
     } finally s2.stop()
