@@ -175,6 +175,34 @@ object SparkEntry {
       checks.toDF("q", "rank_within_eps").orderBy(col("q"))
     },
 
+    // The north-rule job end-to-end: deterministic Iceberg-shaped
+    // source_files table -> content-sha256 keys -> CHECKPOINTED partitioned
+    // build with per-partition lineage + metrics -> global filter; asserts
+    // zero FN over all keys, lineage completeness, and the per-row
+    // invariant (sha256 reproducible across partitionings). No DuckDB
+    // oracle (the synth table is not on disk) -> rows-only driver check.
+    "source_files_build" -> { (s, dir) =>
+      import s.implicits._
+      val files = graft.data.Synth.sourceFiles(s, nRepos = 40, filesPerRepo = 50,
+        partitions = 8)
+      val keys = files.select(sha2(col("content"), 256).as("key"))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sfb").toString + "/cp"
+      val filterBytes = graft.job.BloomBuild.partitioned(
+        keys.toDF(), col("key"), 2000, 0.01, ckpt)
+      val lineage = graft.job.BloomBuild.lineage(s, ckpt)
+      val nParts = lineage.count()
+      val rowsBuilt = lineage.agg(sum(col("rows"))).head.getLong(0)
+      val fn = keys.filter(!bloom_contains(lit(filterBytes), col("key"))).count()
+      // per-row invariant: sha256 is a pure function of (repo, path, commit)
+      // -> identical under a different partitioning
+      val keys2 = graft.data.Synth.sourceFiles(s, 40, 50, partitions = 3)
+        .select(sha2(col("content"), 256).as("key"))
+      val shaInvariant = keys.except(keys2).count() == 0 &&
+        keys2.except(keys).count() == 0
+      Seq((rowsBuilt, nParts, fn == 0, shaInvariant))
+        .toDF("rows_built", "lineage_partitions", "zero_fn", "sha_invariant")
+    },
+
     // North-rule skew handling: per-group sketches via two-phase salted
     // aggregation (bit-identical to unsalted; exact distincts oracle-
     // verified, estimates within the published bound).
