@@ -39,7 +39,7 @@ object SparkEntry {
     // semi-join removes false positives -> exact result, bloom prunes early.
     "bloom_semi_join" -> { (s, dir) =>
       val orders = table(s, dir, "orders").filter(col("o_totalprice") > 400000)
-      val filter = buildFilter(orders, "o_orderkey", 20000, 0.01)
+      val filter = buildFilter(orders, "o_orderkey", orders.count().max(1), 0.01)
       val lineitem = table(s, dir, "lineitem")
       lineitem
         .filter(bloom_contains(lit(filter), col("l_orderkey")))
@@ -53,7 +53,7 @@ object SparkEntry {
     // plain count. (An FN would make this a strict inequality.)
     "bloom_zero_fn" -> { (s, dir) =>
       val orders = table(s, dir, "orders")
-      val filter = buildFilter(orders, "o_custkey", 20000, 0.01)
+      val filter = buildFilter(orders, "o_custkey", orders.count().max(1), 0.01)
       orders
         .filter(bloom_contains(lit(filter), col("o_custkey")))
         .agg(count(lit(1)).as("n_pass"))
@@ -83,7 +83,7 @@ object SparkEntry {
       val orders = table(s, dir, "orders").filter(col("o_totalprice") > 450000)
       val merged = orders
         .groupBy(col("o_orderpriority"))
-        .agg(bloom_agg(col("o_orderkey"), 20000, 0.01).as("f"))
+        .agg(bloom_agg(col("o_orderkey"), 200000, 0.01).as("f"))
         .agg(bloom_union_agg(col("f")))
         .head.getAs[Array[Byte]](0)
       val lineitem = table(s, dir, "lineitem")
@@ -97,7 +97,10 @@ object SparkEntry {
     // over definite non-members <= 1.05x target, zero false negatives.
     "bloom_fpr_bound" -> { (s, dir) =>
       val orders = table(s, dir, "orders")
-      val filter = buildFilter(orders, "o_orderkey", 20000, 0.01)
+      // size for the actual key count (capacity = n): the FPR bound only
+      // holds at or under capacity, at any scale factor
+      val n = orders.count()
+      val filter = buildFilter(orders, "o_orderkey", n, 0.01)
       // o_orderkey domain is bounded; shift far outside for guaranteed non-members
       val probes = s.range(1000000000L, 1000500000L).toDF("id")
       val fp = probes.filter(bloom_contains(lit(filter), col("id"))).count()
