@@ -73,12 +73,16 @@ object Bench {
     val s = session(cores)
     try {
       val n = 30000000L
-      val (_, sec) = time {
-        s.range(0L, n, 1L, cores)
-          .select(sha2(col("id").cast("string"), 256).as("h"))
-          .select(length(col("h")).as("l")).agg(max("l")).head
+      // best of 2: this host's run-to-run CPU variance is ~1.8x
+      val secs = (1 to 2).map { _ =>
+        val (_, sec) = time {
+          s.range(0L, n, 1L, cores)
+            .select(sha2(col("id").cast("string"), 256).as("h"))
+            .select(length(col("h")).as("l")).agg(max("l")).head
+        }
+        sec
       }
-      n / sec
+      n / secs.min
     } finally s.stop()
   }
 

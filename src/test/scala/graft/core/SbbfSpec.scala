@@ -213,6 +213,19 @@ class SbbfSpec extends AnyFunSuite {
     while (i < cap) { assert(f.contains(i.toLong)); i += 1 }
   }
 
+  test("empirical FPR <= 1.05 x target (1M keys @ 0.1%) — reference grid") {
+    // tests/test_fpr.py grid: (100k, 1M) x (1%, 0.1%); the 1M x 0.1% cell
+    val cap = 1000000
+    val f = Sbbf.empty(cap, 0.001)
+    var i = 0
+    while (i < cap) { f.insertHash(Hashing.hashLong(i.toLong)); i += 1 }
+    var fp = 0
+    val probes = 500000
+    var j = 0
+    while (j < probes) { if (f.checkHash(Hashing.hashLong(cap + j.toLong))) fp += 1; j += 1 }
+    assert(fp.toDouble / probes <= 0.001 * 1.05, s"fpr=${fp.toDouble / probes}")
+  }
+
   test("incompatible filters cannot merge") {
     val a = Sbbf.empty(100, 0.01)
     intercept[IllegalArgumentException](a.or(Sbbf.empty(200, 0.01)))

@@ -85,6 +85,18 @@ class SketchSparkSpec extends SparkTestBase {
     assert(math.abs(rank - 0.5) <= 2 * kll.epsilon)
   }
 
+  test("hll estimate agrees with Spark's approx_count_distinct (cross-check)") {
+    // SURVEY §7.3: Spark's HLL++ kept as an independent cross-check only
+    val df = (0 until 30000).map(i => s"cc${i % 9000}").toDF("k")
+    val row = df.agg(
+      hll_estimate(hll_agg(col("k"))).as("ours"),
+      org.apache.spark.sql.functions.approx_count_distinct(col("k"), 0.01).as("sparks")).head
+    val (ours, sparks) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(ours - 9000) <= 3 * 0.0082 * 9000)
+    // the two independent estimators agree within their combined error
+    assert(math.abs(ours - sparks).toDouble / 9000 <= 0.05, s"ours=$ours sparks=$sparks")
+  }
+
   test("tdigest groupBy per-key digests") {
     val df = (0 until 9000).map(i => (s"g${i % 3}", (i % 1000).toDouble)).toDF("g", "v")
     val rows = df.groupBy("g").agg(tdigest_agg(col("v")).as("s"))
