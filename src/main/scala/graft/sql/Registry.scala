@@ -25,8 +25,10 @@ object Registry {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "abloom_key_hash" -> { args => AbloomKeyHash(args.head) },
     "bloom_agg" -> { args =>
-      require(args.size == 3, "bloom_agg(key, capacity, fp_rate)")
-      BloomFilterAgg(AbloomKeyHash(args(0)), args(1), args(2))
+      require(args.size == 2 || args.size == 3, "bloom_agg(key, capacity[, fp_rate])")
+      val fp = if (args.size == 3) args(2)
+        else org.apache.spark.sql.catalyst.expressions.Literal(0.01) // reference default
+      BloomFilterAgg(AbloomKeyHash(args(0)), args(1), fp)
     },
     "bloom_contains" -> { args =>
       require(args.size == 2, "bloom_contains(filter, key)")
