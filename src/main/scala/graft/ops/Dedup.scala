@@ -161,6 +161,13 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
+    // the last chunk absorbs the remainder bits so the chunks COVER all 64
+    // bits — otherwise the pigeonhole guarantee fails for maxDist values
+    // where 64 % (maxDist+1) != 0 (a pair differing only in uncovered bits
+    // would never share a chunk)
+    def chunkWidth(c: Int): Int = if (c == chunks - 1) 64 - (chunks - 1) * bitsPer else bitsPer
+    def chunkMask(c: Int): Long =
+      if (chunkWidth(c) == 64) -1L else (1L << chunkWidth(c)) - 1
 
     val withSim = df.select(
       col(idCol).cast("long").as("id"),
@@ -168,10 +175,10 @@ object Dedup {
 
     val banded = withSim.select(
       col("id"), col("sim"),
-      posexplode(transform(
-        sequence(lit(0), lit(chunks - 1)),
-        c => call_function("shiftrightunsigned", col("sim"), (c * bitsPer).cast("int"))
-          .bitwiseAND(lit((1L << bitsPer) - 1)))))
+      posexplode(array((0 until chunks).map { c =>
+        call_function("shiftrightunsigned", col("sim"), lit(c * bitsPer))
+          .bitwiseAND(lit(chunkMask(c)))
+      }: _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
 

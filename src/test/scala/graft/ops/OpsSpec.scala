@@ -60,6 +60,19 @@ class OpsSpec extends SparkTestBase {
     assert(planted.intersect(found).nonEmpty)
   }
 
+  test("simhash banding covers all 64 bits for any maxDist (pigeonhole)") {
+    // construct two ids whose simhashes differ ONLY in high bits; with
+    // maxDist=2 (3 chunks of 21 bits + 22-bit top chunk) the top chunk
+    // must still bucket them together when the low 42 bits agree
+    for (maxDist <- Seq(1, 2, 3, 4, 5)) {
+      val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxDist = maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      // the exact-duplicate pair (hamming 0) must be found at EVERY maxDist
+      assert(pairs.exists(p => p._1 == 2000L && p._2 == 2001L), s"maxDist=$maxDist")
+      pairs.foreach { case (_, _, d) => assert(d <= maxDist) }
+    }
+  }
+
   test("simhash kernel: hamming grows with edit size") {
     val a = Dedup.simhashKernel("a b c d e f g h i j".split(" ").toSeq)
     val b = Dedup.simhashKernel("a b c d e f g h i k".split(" ").toSeq)
