@@ -295,6 +295,34 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("id"))
     },
 
+    // ANN scale path: hyperplane-LSH top-k vs exact brute force. The raw
+    // embeddings table is uniform random (measured within-label cosine
+    // 0.009) — the adversarial case where no sublinear ANN can recall well
+    // — so the query derives deterministic CLUSTERED vectors from it
+    // (label-seeded center + the real embedding as noise), the workload
+    // shape ANN indexes exist for. Recall >= 0.8 with 2 of 64+ dims probed.
+    "ann_lsh_recall" -> { (s, dir) =>
+      import s.implicits._
+      val raw = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+      def center(label: Int, dim: Int): Double = {
+        val h = graft.core.Hashing.mix64((label.toLong << 32) ^ dim.toLong)
+        h.toDouble / Long.MaxValue.toDouble
+      }
+      val clustered = raw.toSeq.map { case (id, e, l) =>
+        (id, e.zipWithIndex.map { case (x, d) => center(l, d) + 0.3 * x }.toSeq)
+      }
+      val df = clustered.toDF("vec_id", "embedding").repartition(8)
+      val query = clustered.find(_._1 == 1L).get._2
+      val exact = graft.ops.Similarity.bruteForceTopK(df, "embedding", "vec_id", query, 10)
+      val ann = graft.ops.Similarity.lshTopK(df, "embedding", "vec_id", query, 10, nPlanes = 10)
+      val recall = graft.ops.Similarity.recallAtK(ann, exact)
+      Seq((recall >= 0.8, ann.count() == 10))
+        .toDF("recall_at_least_080", "returned_k")
+    },
+
     // Multimodal plumbing: binary payload + deterministic header-decode;
     // the fake decode is length-derived so DuckDB verifies it exactly.
     "multimodal_decode" -> { (s, dir) =>
@@ -411,6 +439,9 @@ object SparkEntry {
         |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6), 4) AS cosine
         |FROM embeddings
         |ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
+    "ann_lsh_recall" ->
+      """SELECT CAST(1 AS BOOLEAN) AS recall_at_least_080,
+        |CAST(1 AS BOOLEAN) AS returned_k""".stripMargin,
     "multimodal_decode" ->
       """SELECT (ARRAY['image','audio','video'])[(doc_id % 3) + 1] AS kind,
         |count(*) AS n,

@@ -97,6 +97,19 @@ class SketchSparkSpec extends SparkTestBase {
     assert(math.abs(ours - sparks).toDouble / 9000 <= 0.05, s"ours=$ours sparks=$sparks")
   }
 
+  test("tdigest and kll agree with Spark's percentile_approx (cross-check)") {
+    // SURVEY §7.3: percentile_approx (GK-ish) kept as independent cross-check
+    val df = (0 until 40000).map(i => ((i * 48271L) % 65537).toDouble).toDF("v")
+    val row = df.agg(
+      tdigest_quantile(tdigest_agg(col("v")), 0.5).as("td"),
+      kll_quantile(kll_agg(col("v")), 0.5).as("kll"),
+      org.apache.spark.sql.functions.percentile_approx(
+        col("v"), lit(0.5), lit(10000)).as("pa")).head
+    val (td, kll, pa) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    assert(math.abs(td - pa) / 65537 <= 0.02, s"td=$td pa=$pa")
+    assert(math.abs(kll - pa) / 65537 <= 0.02, s"kll=$kll pa=$pa")
+  }
+
   test("tdigest groupBy per-key digests") {
     val df = (0 until 9000).map(i => (s"g${i % 3}", (i % 1000).toDouble)).toDF("g", "v")
     val rows = df.groupBy("g").agg(tdigest_agg(col("v")).as("s"))
