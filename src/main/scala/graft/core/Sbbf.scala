@@ -106,7 +106,8 @@ final class Sbbf private[core] (
   private def requireCompatible(other: Sbbf): Unit =
     if (!compatible(other))
       throw new IllegalArgumentException(
-        "Cannot combine BloomFilters with different parameters")
+        "BloomFilters must have the same capacity, fp_rate, serializable, " +
+          "and free_threading") // reference message, _abloom.c:246-249
 
   /** In-place word-wise OR (`__ior__`, `_abloom.c:283-307`). Returns this. */
   def orInPlace(other: Sbbf): Sbbf = {

@@ -87,36 +87,37 @@ object Dedup {
     val withSig = withShingles
       .withColumn("sig", minhashUdf(k)(col("sh")))
 
-    // band hash = xxh64 over the band's signature slice (hash of longs via
-    // their string join is avoidable: use builtin hash() which is fine for
-    // bucketing — candidate verification is exact anyway)
+    // band hash over the band's signature slice (builtin hash() is fine
+    // for bucketing — candidate verification is exact anyway). ONLY
+    // (band, band_hash, id) triples are shuffled — never document content.
     val banded = withSig.select(
-      col("id"), col("sh"),
+      col("id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
 
-    // bucket join; cap pathological buckets to bound skew
+    // bucket candidates; cap pathological buckets to bound skew
     val buckets = banded.groupBy(col("band"), col("band_hash"))
-      .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
 
-    val pairs = buckets.select(explode(expr(
+    val candidates = buckets.select(explode(expr(
       """filter(
-        |  flatten(transform(members, (a, i) ->
-        |    transform(slice(members, i + 2, size(members)), b ->
-        |      struct(a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b)))),
+        |  flatten(transform(ids, (a, i) ->
+        |    transform(slice(ids, i + 2, size(ids)), b ->
+        |      struct(least(a, b) AS id_a, greatest(a, b) AS id_b)))),
         |  p -> p.id_a <> p.id_b)""".stripMargin)).as("p"))
-      .select(
-        least(col("p.id_a"), col("p.id_b")).as("id_a"),
-        greatest(col("p.id_a"), col("p.id_b")).as("id_b"),
-        col("p.sh_a"), col("p.sh_b"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // exact Jaccard verification (false positives from banding removed)
-    pairs.withColumn("jaccard",
+    // exact Jaccard verification: join the (small) candidate-pair set back
+    // to the shingle table — document content never rides the LSH shuffle
+    val shA = withShingles.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = withShingles.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
