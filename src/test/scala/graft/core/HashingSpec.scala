@@ -81,6 +81,16 @@ class HashingSpec extends AnyFunSuite {
     assert(Hashing.pyHashDouble(Double.NaN) === 0L)
   }
 
+  test("pyHash matches CPython on 400 random bit patterns (extended KAT)") {
+    for (row <- golden("pyhash_random_kat.txt")) row(0) match {
+      case "float" =>
+        val v = java.lang.Double.longBitsToDouble(row(1).toLong)
+        assert(Hashing.pyHashDouble(v) === row(2).toLong, s"bits=${row(1)}")
+      case "int" =>
+        assert(Hashing.pyHashLong(row(1).toLong) === row(2).toLong, s"n=${row(1)}")
+    }
+  }
+
   test("hashString == hashBytes(utf8)") {
     for (s <- Seq("", "a", "héllo wörld", "日本語", "x" * 1000))
       assert(Hashing.hashString(s) ===
