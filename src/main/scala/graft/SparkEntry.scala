@@ -20,9 +20,13 @@ object SparkEntry {
   /** Build an SBBF over one column of a (possibly filtered) table and
     * return the serialized filter. The collect is the partial->final
     * aggregation of O(filter_size) bytes per partition, never row data.
+    * The key hash is computed in a codegen'd projection UPSTREAM of the
+    * aggregate (bloom_agg_hashed), so the per-row work inside the
+    * ObjectHashAggregate update path is a single getLong.
     */
   private def buildFilter(df: DataFrame, key: String, cap: Long, fp: Double): Array[Byte] =
-    df.agg(bloom_agg(col(key), cap, fp)).head.getAs[Array[Byte]](0)
+    df.select(abloom_key_hash(col(key)).as("__kh"))
+      .agg(bloom_agg_hashed(col("__kh"), cap, fp)).head.getAs[Array[Byte]](0)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Bloom-accelerated semi-join: lineitems of high-value orders, the
@@ -95,6 +99,8 @@ object SparkEntry {
 
     // Empirical probabilistic contract (reference tests/test_fpr.py): FPR
     // over definite non-members <= 1.05x target, zero false negatives.
+    // fp and fn are fused into ONE conditional aggregation over a tagged
+    // union (one job, one scan each side) instead of two separate counts.
     "bloom_fpr_bound" -> { (s, dir) =>
       val orders = table(s, dir, "orders")
       // size for the actual key count (capacity = n): the FPR bound only
@@ -102,12 +108,18 @@ object SparkEntry {
       val n = orders.count()
       val filter = buildFilter(orders, "o_orderkey", n, 0.01)
       // o_orderkey domain is bounded; shift far outside for guaranteed non-members
-      val probes = s.range(1000000000L, 1000500000L).toDF("id")
-      val fp = probes.filter(bloom_contains(lit(filter), col("id"))).count()
-      val fn = table(s, dir, "orders")
-        .filter(!bloom_contains(lit(filter), col("o_orderkey"))).count()
+      val probes = s.range(1000000000L, 1000500000L).toDF("k")
+        .withColumn("is_member", lit(false))
+      val members = orders.select(col("o_orderkey").as("k"))
+        .withColumn("is_member", lit(true))
+      val r = probes.unionByName(members)
+        .select(col("is_member"), bloom_contains(lit(filter), col("k")).as("hit"))
+        .agg(
+          sum(when(!col("is_member") && col("hit"), 1).otherwise(0)).as("fp"),
+          sum(when(col("is_member") && !col("hit"), 1).otherwise(0)).as("fn"))
+        .head
       import s.implicits._
-      Seq((fp.toDouble / 500000 <= 0.01 * 1.05, fn == 0L))
+      Seq((r.getLong(0).toDouble / 500000 <= 0.01 * 1.05, r.getLong(1) == 0L))
         .toDF("fpr_within_bound", "zero_false_negatives")
     },
 
@@ -300,27 +312,50 @@ object SparkEntry {
     // 0.009) — the adversarial case where no sublinear ANN can recall well
     // — so the query derives deterministic CLUSTERED vectors from it
     // (label-seeded center + the real embedding as noise), the workload
-    // shape ANN indexes exist for. Recall >= 0.8 with 2 of 64+ dims probed.
+    // shape ANN indexes exist for — DISTRIBUTED, as a column expression
+    // (no driver collect of row data; only the single query vector and the
+    // k result rows ever reach the driver). Also verifies the persisted
+    // bucket index returns the identical top-k. Recall >= 0.8 with 2 of
+    // 64+ dims probed.
     "ann_lsh_recall" -> { (s, dir) =>
       import s.implicits._
-      val raw = table(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"), col("label"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
-      def center(label: Int, dim: Int): Double = {
-        val h = graft.core.Hashing.mix64((label.toLong << 32) ^ dim.toLong)
-        h.toDouble / Long.MaxValue.toDouble
-      }
-      val clustered = raw.toSeq.map { case (id, e, l) =>
-        (id, e.zipWithIndex.map { case (x, d) => center(l, d) + 0.3 * x }.toSeq)
-      }
-      val df = clustered.toDF("vec_id", "embedding").repartition(8)
-      val query = clustered.find(_._1 == 1L).get._2
+      val clusterUdf = udf((e: Seq[Float], l: Int) =>
+        e.zipWithIndex.map { case (x, d) =>
+          val h = graft.core.Hashing.mix64((l.toLong << 32) ^ d.toLong)
+          h.toDouble / Long.MaxValue.toDouble + 0.3 * x
+        })
+      val df = table(s, dir, "embeddings")
+        .select(col("vec_id"), clusterUdf(col("embedding"), col("label")).as("embedding"))
+      // the query PARAMETER: one row, fetched by key — not a data collect
+      val query = df.filter(col("vec_id") === 1L).head.getSeq[Double](1)
       val exact = graft.ops.Similarity.bruteForceTopK(df, "embedding", "vec_id", query, 10)
       val ann = graft.ops.Similarity.lshTopK(df, "embedding", "vec_id", query, 10, nPlanes = 10)
       val recall = graft.ops.Similarity.recallAtK(ann, exact)
-      Seq((recall >= 0.8, ann.count() == 10))
-        .toDF("recall_at_least_080", "returned_k")
+      // persisted write-once index must return the identical top-k
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-ann-idx").toString + "/idx"
+      graft.ops.Similarity.writeIndex(df, "embedding", "vec_id", 10, idxDir)
+      val viaIndex = graft.ops.Similarity.lshTopKIndexed(
+        graft.ops.Similarity.readIndex(s, idxDir), "embedding", query, 10, nPlanes = 10)
+      val indexed = viaIndex.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val direct = ann.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      Seq((recall >= 0.8, direct.size == 10, indexed == direct))
+        .toDF("recall_at_least_080", "returned_k", "indexed_matches")
+    },
+
+    // Embedding near-duplicate pairs over multi-table hyperplane LSH with
+    // exact cosine re-rank, against a FULL all-pairs DuckDB oracle:
+    // planted dups (x2-scaled copies -> cosine exactly 1.0, so every table
+    // buckets them together deterministically) must surface, and nothing
+    // else sits above 0.95 in this corpus, so both sides agree exactly.
+    "embedding_pairs" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(2.0f)))
+      graft.ops.Dedup.embeddingPairs(
+        emb.unionByName(planted), "embedding", "vec_id", threshold = 0.95)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
     },
 
     // Multimodal plumbing: binary payload + deterministic header-decode;
@@ -441,12 +476,23 @@ object SparkEntry {
         |ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
     "ann_lsh_recall" ->
       """SELECT CAST(1 AS BOOLEAN) AS recall_at_least_080,
-        |CAST(1 AS BOOLEAN) AS returned_k""".stripMargin,
+        |CAST(1 AS BOOLEAN) AS returned_k,
+        |CAST(1 AS BOOLEAN) AS indexed_matches""".stripMargin,
+    "embedding_pairs" ->
+      """WITH aug AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+        |  FROM embeddings WHERE vec_id % 10 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
     "multimodal_decode" ->
       """SELECT (ARRAY['image','audio','video'])[(doc_id % 3) + 1] AS kind,
         |count(*) AS n,
-        |sum(32 + octet_length(encode(text)) % 608) AS sum_width,
-        |sum(32 + (octet_length(encode(text)) * 7) % 448) AS sum_height
+        |CAST(sum(32 + octet_length(encode(text)) % 608) AS BIGINT) AS sum_width,
+        |CAST(sum(32 + (octet_length(encode(text)) * 7) % 448) AS BIGINT) AS sum_height
         |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -312,10 +312,36 @@ object Sbbf {
     new Sbbf(capacity, fpRateBits, blockCount, words, freeThreading)
   }
 
-  /** Header-only peek: (capacity, fpRate, blockCount) without copying words. */
+  /** Header-only peek: (capacity, fpRate, blockCount) without copying
+    * words. Validates magic/version/length/parameter consistency exactly
+    * like [[fromBytes]] but reads only the 30-byte header — O(1) even for
+    * the 63 MB filters the bench builds.
+    */
   def describe(data: Array[Byte]): (Long, Double, Long) = {
-    val f = fromBytes(data)
-    (f.capacity, f.fpRate, f.blockCount)
+    def fail(msg: String) = throw new SbbfFormatException(msg)
+    if (data.length < HeaderSize) fail("Invalid data: too short for header")
+    if (data(0) != 'A' || data(1) != 'B' || data(2) != 'L' || data(3) != 'M')
+      fail("Invalid data: wrong magic bytes")
+    val version = data(4) & 0xff
+    if (version != Version)
+      fail(s"Unsupported version: $version (expected $Version)")
+    val capacity = readBE64(data, 5)
+    val fpRateBits = readBE64(data, 13)
+    val fpRate = java.lang.Double.longBitsToDouble(fpRateBits)
+    val blockCount = readBE64(data, 21)
+    val expectedTotal =
+      if (blockCount < 0 || blockCount > (Int.MaxValue.toLong - HeaderSize) / BlockBytes) -1L
+      else HeaderSize + blockCount * BlockBytes
+    if (data.length.toLong != expectedTotal)
+      fail(s"Invalid data: expected $expectedTotal bytes, got ${data.length}")
+    if (capacity == 0) fail("Invalid data: capacity is 0")
+    if (!(fpRate > 0.0 && fpRate < 1.0)) fail("Invalid data: fp_rate out of range")
+    val expectedBlocks =
+      try blockCountFor(capacity, fpRate)
+      catch { case _: IllegalArgumentException => -1L }
+    if (expectedBlocks <= 0 || blockCount != expectedBlocks)
+      fail("Invalid data: block_count doesn't match capacity/fp_rate")
+    (capacity, fpRate, blockCount)
   }
 
   // --------------------------------------------------------------- BE codec

@@ -151,6 +151,10 @@ object BloomRuntime {
   // Per-thread single-entry cache keyed by byte-array identity: the filter
   // blob is typically a literal/broadcast value, so every row in a
   // partition sees the same array reference and parses it exactly once.
+  // The entry is dropped at task completion (a tens-of-MB filter must not
+  // stay pinned to an executor task thread for the JVM lifetime); a
+  // non-literal filter column (fresh array per row) defeats the identity
+  // key and reparses per row — use a literal/broadcast filter on hot paths.
   private val cache = new ThreadLocal[(Array[Byte], Sbbf)]
 
   def parse(bytes: Array[Byte]): Sbbf = {
@@ -158,6 +162,11 @@ object BloomRuntime {
     if (c != null && (c._1 eq bytes)) c._2
     else {
       val f = Sbbf.fromBytes(bytes)
+      if (c == null) {
+        // first parse on this task thread: arm the cleanup hook
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => cache.remove())
+      }
       cache.set((bytes, f))
       f
     }

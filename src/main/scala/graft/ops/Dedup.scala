@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
 
 import graft.core.Hashing
 
@@ -11,18 +12,25 @@ import graft.core.Hashing
   *  - [[exact]]: hash-groupBy on content digest (one shuffle, map-side
   *    partial aggregation).
   *  - [[minhashPairs]]: shingle -> MinHash signature -> LSH banding ->
-  *    bucket join -> exact-Jaccard verification. Signature computation is
-  *    a single pass per document; candidate generation shuffles only
-  *    (band_id, band_hash, doc_id) triples — never documents.
+  *    bucket join -> exact-Jaccard verification. Documents are reduced to
+  *    SORTED DISTINCT 64-bit shingle hashes in one kernel pass — no string
+  *    arrays ever materialize in Tungsten rows, and exact verification is
+  *    an O(m+n) sorted-merge over longs. Candidate generation shuffles
+  *    only (band, band_hash, doc_id) triples — never document content.
   *  - [[simhashPairs]]: 64-bit SimHash, near-dup via chunk banding
   *    (Hamming distance <= 3 guarantees one of four 16-bit chunks equal),
   *    Hamming verification on candidates.
-  *  - [[embeddingPairs]]: cosine near-duplicates over an embedding column.
+  *  - [[embeddingPairs]]: cosine near-duplicates over an embedding column
+  *    via multi-table hyperplane LSH + exact cosine re-rank (never
+  *    all-pairs); [[embeddingPairsExact]] is the row-count-guarded exact
+  *    baseline.
   *
   * Scale notes (100 TB): all-pairs never materializes — LSH/banding keeps
   * the join keyed on bucket hashes; pathological buckets (boilerplate
-  * shingles, zero vectors) are capped with `maxBucket` to bound skew, and
-  * the cap is reported rather than silently applied.
+  * shingles, zero vectors) are capped with `maxBucket` to bound skew.
+  * Pass a `droppedBuckets` accumulator to observe how many buckets the
+  * cap discarded (at-least-once semantics, like all Spark accumulators
+  * updated in transformations); without one the cap applies silently.
   */
 object Dedup {
 
@@ -34,7 +42,9 @@ object Dedup {
         count(lit(1)).as("copies"))
 
   /** Word n-gram shingles (lowercased, whitespace-tokenized) as an array
-    * column — built-in higher-order functions, no UDF.
+    * column — built-in higher-order functions, no UDF. Kept for
+    * composability; the dedup hot path uses [[shingleHashKernel]], which
+    * hashes the same shingles without materializing them.
     */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(lower(trim(text)), "\\s+")
@@ -44,30 +54,129 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** MinHash signature kernel: k minimums over the shingle set, using the
-    * Kirsch-Mitzenmacher construction (h1 + j*h2) from one XXH64 pass per
-    * shingle — O(shingles + k) per doc instead of O(shingles * k).
+  /** Regex-\s whitespace (Java/Spark `\s` class: space, tab, LF, VT, FF,
+    * CR) — matches both [[shingles]]' `split(\\s+)` and the DuckDB oracle.
     */
-  def minhashKernel(shingleArr: Seq[String], k: Int): Array[Long] = {
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Sorted DISTINCT XXH64 hashes of the word n-gram shingle set of
+    * `text` — the document's entire dedup footprint in 8 bytes/shingle.
+    * Semantics identical to hashing [[shingles]] output: lowercase, trim,
+    * split on `\s+`, n-token windows joined by one space; texts shorter
+    * than n tokens collapse to a single whole-text shingle.
+    */
+  def shingleHashKernel(text: String, n: Int): Array[Long] = {
+    val t = text.trim.toLowerCase
+    // tokenize in place (no regex)
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val len = t.length
+    while (i < len) {
+      while (i < len && isWs(t.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(t.charAt(i))) i += 1
+      if (i > start) toks += t.substring(start, i)
+    }
+    val m = toks.length
+    val sb = new java.lang.StringBuilder(64)
+    val out =
+      if (m < n) {
+        // split("\\s+") of an empty string yields [""] -> one "" shingle
+        var j = 0
+        while (j < m) { if (j > 0) sb.append(' '); sb.append(toks(j)); j += 1 }
+        Array(Hashing.hashString(sb.toString))
+      } else {
+        val hs = new Array[Long](m - n + 1)
+        var w = 0
+        while (w <= m - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(w + j))
+            j += 1
+          }
+          hs(w) = Hashing.hashString(sb.toString)
+          w += 1
+        }
+        hs
+      }
+    java.util.Arrays.sort(out)
+    // dedupe in place (sorted)
+    var r = 0
+    var wp = 0
+    while (r < out.length) {
+      if (wp == 0 || out(r) != out(wp - 1)) { out(wp) = out(r); wp += 1 }
+      r += 1
+    }
+    if (wp == out.length) out else java.util.Arrays.copyOf(out, wp)
+  }
+
+  /** MinHash signature from a document's shingle-hash set, using the
+    * Kirsch-Mitzenmacher construction (h1 + j*h2) — O(|set| + k) hash work
+    * per doc instead of O(|set| * k) independent hashes.
+    */
+  def minhashKernel(shingleHashes: Array[Long], k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
-    shingleArr.foreach { s =>
-      val h1 = Hashing.hashString(s)
+    var s = 0
+    while (s < shingleHashes.length) {
+      val h1 = shingleHashes(s)
       val h2 = Hashing.mix64(h1) | 1L
       var j = 0
+      var h = h1
       while (j < k) {
-        val h = h1 + j * h2
         if (h < sig(j)) sig(j) = h
+        h += h2
         j += 1
       }
+      s += 1
     }
     sig
   }
 
-  private def minhashUdf(k: Int) = udf((s: Seq[String]) => minhashKernel(s, k))
+  /** Exact Jaccard of two sorted distinct long arrays: O(m+n) merge. */
+  def jaccardSortedKernel(a: Seq[Long], b: Seq[Long]): Double = {
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i)
+      val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** Bucket-size filter: keeps [2, maxBucket], counting capped buckets in
+    * the optional accumulator so the skew cap is observable, not silent.
+    */
+  private def bucketFilter(
+      sizeCol: Column,
+      maxBucket: Int,
+      dropped: Option[LongAccumulator]): Column =
+    dropped match {
+      case None => sizeCol.between(2, maxBucket)
+      case Some(acc) =>
+        val keep = udf((sz: Int) => {
+          if (sz > maxBucket) acc.add(1L)
+          sz >= 2 && sz <= maxBucket
+        })
+        keep(sizeCol)
+    }
 
   /** Candidate near-duplicate pairs by MinHash + LSH banding, verified
-    * with exact Jaccard over the shingle sets. Returns
+    * with exact Jaccard over the (hashed) shingle sets. Returns
     * (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    * 64-bit shingle hashing makes the Jaccard exact up to a ~2^-64
+    * per-pair collision probability.
+    *
+    * @param droppedBuckets optional accumulator incremented once per LSH
+    *        bucket discarded for exceeding `maxBucket` (skew cap). Read it
+    *        only after an action on the result.
     */
   def minhashPairs(
       df: DataFrame,
@@ -77,15 +186,16 @@ object Dedup {
       k: Int = 128,
       bands: Int = 32,
       threshold: Double = 0.8,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      droppedBuckets: Option[LongAccumulator] = None): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
 
-    val withShingles = df.select(
-      col(idCol).cast("long").as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
-    val withSig = withShingles
-      .withColumn("sig", minhashUdf(k)(col("sh")))
+    val hashesUdf = udf((t: String) => shingleHashKernel(t, shingleN))
+    val sigUdf = udf((hs: Seq[Long]) => minhashKernel(hs.toArray, k))
+
+    val base = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    val withSig = base.select(col("id"), sigUdf(hashesUdf(col("t"))).as("sig"))
 
     // band hash over the band's signature slice (builtin hash() is fine
     // for bucketing — candidate verification is exact anyway). ONLY
@@ -101,7 +211,7 @@ object Dedup {
     // bucket candidates; cap pathological buckets to bound skew
     val buckets = banded.groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+      .filter(bucketFilter(size(col("ids")), maxBucket, droppedBuckets))
 
     val candidates = buckets.select(explode(expr(
       """filter(
@@ -113,13 +223,14 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     // exact Jaccard verification: join the (small) candidate-pair set back
-    // to the shingle table — document content never rides the LSH shuffle
-    val shA = withShingles.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val shB = withShingles.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    // to the hashed-shingle table — document content never rides the LSH
+    // shuffle, and the verify join ships 8 bytes per distinct shingle
+    val jaccardUdf = udf((a: Seq[Long], b: Seq[Long]) => jaccardSortedKernel(a, b))
+    val withHashes = base.select(col("id"), hashesUdf(col("t")).as("hs"))
+    val shA = withHashes.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val shB = withHashes.select(col("id").as("id_b"), col("hs").as("hs_b"))
     candidates.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", jaccardUdf(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -153,13 +264,16 @@ object Dedup {
     * banding the 64-bit hash into (maxDist + 1) chunks — the pigeonhole
     * guarantee that any pair within maxDist shares at least one exact
     * chunk — then verifying Hamming distance on bucket candidates.
+    *
+    * @param droppedBuckets see [[minhashPairs]].
     */
   def simhashPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       maxDist: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      droppedBuckets: Option[LongAccumulator] = None): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
     // the last chunk absorbs the remainder bits so the chunks COVER all 64
@@ -185,7 +299,7 @@ object Dedup {
 
     val buckets = banded.groupBy(col("chunk"), col("chunk_val"))
       .agg(collect_list(struct(col("id"), col("sim"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
+      .filter(bucketFilter(size(col("members")), maxBucket, droppedBuckets))
 
     buckets.select(explode(expr(
       """filter(
@@ -211,15 +325,90 @@ object Dedup {
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
   }
 
-  /** Embedding near-duplicate pairs: cosine >= threshold. Exact
-    * (all-pairs within blocks) — the baseline; the LSH-bucketed scale path
-    * is [[Similarity.hyperplaneLsh]].
+  /** Probability a pair at the given cosine lands in the same bucket in at
+    * least one of `tables` hyperplane-LSH tables of `bits` planes each —
+    * use it to size [[embeddingPairs]] for a target recall.
+    */
+  def lshCatchProbability(cosine: Double, bits: Int, tables: Int): Double = {
+    val theta = math.acos(math.max(-1.0, math.min(1.0, cosine)))
+    val pPlane = 1.0 - theta / math.Pi
+    1.0 - math.pow(1.0 - math.pow(pPlane, bits.toDouble), tables.toDouble)
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, found by
+    * multi-table hyperplane LSH (each table buckets on a `bits`-bit
+    * signature from independent deterministic hyperplanes) with exact
+    * cosine re-rank on candidates. Never materializes all-pairs: only
+    * (table, signature, id) triples shuffle, candidates join back to the
+    * vectors for exact verification.
+    *
+    * Recall is probabilistic: a true pair at cosine c is caught with
+    * probability [[lshCatchProbability]](c, bits, tables) — the defaults
+    * give > 1 - 1e-6 at c >= 0.99 (the near-duplicate regime this is
+    * for) and examine ~1.6% of random pairs. Precision is exact (re-rank).
+    *
+    * @param droppedBuckets see [[minhashPairs]].
     */
   def embeddingPairs(
       df: DataFrame,
       vecCol: String,
       idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      bits: Int = 10,
+      tables: Int = 16,
+      maxBucket: Int = 1000,
+      droppedBuckets: Option[LongAccumulator] = None): DataFrame = {
+    require(bits >= 1 && bits <= 24, "bits must be in [1, 24]")
+    val base = df.select(
+      col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+
+    // one signature per table from independent deterministic hyperplanes;
+    // plane components derive on the fly from mix64(table, plane, dim) so
+    // no driver-side dimension probe or plane broadcast is needed
+    val sigsUdf = udf((v: Seq[Double]) =>
+      Array.tabulate(tables)(t => Similarity.tableSignature(v, t, bits)))
+    val banded = base
+      .select(col("id"), posexplode(sigsUdf(col("v"))))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "sig")
+
+    val buckets = banded.groupBy(col("tbl"), col("sig"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(bucketFilter(size(col("ids")), maxBucket, droppedBuckets))
+
+    val candidates = buckets.select(explode(expr(
+      """filter(
+        |  flatten(transform(ids, (a, i) ->
+        |    transform(slice(ids, i + 2, size(ids)), b ->
+        |      struct(least(a, b) AS id_a, greatest(a, b) AS id_b)))),
+        |  p -> p.id_a <> p.id_b)""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    val va = base.select(col("id").as("id_a"), col("v").as("va"))
+    val vb = base.select(col("id").as("id_b"), col("v").as("vb"))
+    candidates.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Exact all-pairs cosine baseline — O(n^2), for validation at small n
+    * only. Guarded: refuses inputs above `maxRows` so the cartesian plan
+    * cannot reach production data by accident; use [[embeddingPairs]] at
+    * scale.
+    */
+  def embeddingPairsExact(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      maxRows: Long = 100000): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"embeddingPairsExact is an O(n^2) baseline: $n rows > maxRows=$maxRows; " +
+        "use embeddingPairs (LSH) at scale")
     val a = df.select(col(idCol).cast("long").as("id_a"),
       transform(col(vecCol), x => x.cast("double")).as("va"))
     val b = df.select(col(idCol).cast("long").as("id_b"),

@@ -62,8 +62,14 @@ object StreamingSketches {
   /** Event for the stateful per-entity dedup/membership operator. */
   final case class KeyedEvent(entity: String, key: String)
 
-  /** Output: was the key new for this entity, plus running stats. */
+  /** Output: was the key new for this entity, plus the running number of
+    * events this entity has EVER emitted (persisted in state, so it keeps
+    * counting across micro-batches and checkpoint restarts).
+    */
   final case class SeenResult(entity: String, key: String, isNew: Boolean, seenCount: Long)
+
+  /** Per-entity sketch state: (serialized filter, running event count). */
+  final case class SeenState(filter: Array[Byte], seen: Long)
 
   /** Explicit sketch state per entity: first-seen detection backed by an
     * SBBF (constant memory per entity regardless of key cardinality; a
@@ -79,20 +85,20 @@ object StreamingSketches {
     import spark.implicits._
     events
       .groupByKey(_.entity)
-      .flatMapGroupsWithState[Array[Byte], SeenResult](
+      .flatMapGroupsWithState[SeenState, SeenResult](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (entity: String, batch: Iterator[KeyedEvent], state: GroupState[Array[Byte]]) =>
-          val filter =
-            if (state.exists) Sbbf.fromBytes(state.get)
-            else Sbbf.empty(capacity, fpRate)
-          var seen = 0L
+        (entity: String, batch: Iterator[KeyedEvent], state: GroupState[SeenState]) =>
+          val (filter, seen0) =
+            if (state.exists) (Sbbf.fromBytes(state.get.filter), state.get.seen)
+            else (Sbbf.empty(capacity, fpRate), 0L)
+          var seen = seen0
           val out = batch.map { e =>
             val isNew = !filter.contains(e.key)
             if (isNew) filter.add(e.key)
             seen += 1
             SeenResult(entity, e.key, isNew, seen)
           }.toList
-          state.update(filter.toBytes)
+          state.update(SeenState(filter.toBytes, seen))
           out.iterator
       }
   }

@@ -73,6 +73,90 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("shingle hash kernel matches the declarative shingles column") {
+    // the long-array kernel must hash EXACTLY the string shingles the
+    // `shingles` column produces (lowercase, trim, \s+ split, n-windows)
+    val texts = Seq(
+      "The quick  brown\tfox jumps.",
+      "  leading and trailing  ",
+      "one two",
+      "one",
+      "",
+      "a\nb\r\nc d e  f")
+    val df = texts.toDF("text")
+    val viaColumn = df.select(Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0).map(graft.core.Hashing.hashString).distinct.sorted)
+    val viaKernel = texts.map(t => Dedup.shingleHashKernel(t, 3).toSeq)
+    viaColumn.zip(viaKernel).zip(texts).foreach { case ((c, k), t) =>
+      assert(c.toSeq === k, s"text=<$t>")
+    }
+  }
+
+  test("sorted-long jaccard kernel matches set arithmetic") {
+    val r = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val a = Seq.fill(r.nextInt(30) + 1)(r.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(r.nextInt(30) + 1)(r.nextInt(40).toLong).distinct.sorted
+      val expected = a.toSet.intersect(b.toSet).size.toDouble / a.toSet.union(b.toSet).size
+      assert(Dedup.jaccardSortedKernel(a, b) === expected)
+    }
+  }
+
+  test("maxBucket skew cap is reported via the droppedBuckets accumulator") {
+    // 30 identical docs -> every band bucket has 30 members > maxBucket=10
+    val many = (0 until 30).map(i => (i.toLong, "same text for every doc here"))
+      .toDF("doc_id", "text")
+    val acc = spark.sparkContext.longAccumulator("dropped")
+    val pairs = Dedup.minhashPairs(many, "text", "doc_id",
+      maxBucket = 10, droppedBuckets = Some(acc))
+    assert(pairs.count() === 0) // all buckets capped away
+    assert(acc.value > 0, "drop count must surface")
+
+    val acc2 = spark.sparkContext.longAccumulator("dropped2")
+    val pairs2 = Dedup.simhashPairs(many, "text", "doc_id",
+      maxBucket = 10, droppedBuckets = Some(acc2))
+    assert(pairs2.count() === 0)
+    assert(acc2.value > 0)
+  }
+
+  test("embeddingPairsExact refuses inputs above the row guard") {
+    val df = (0 until 20).map(i => (i.toLong, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingPairsExact(df, "embedding", "vec_id", 0.9, maxRows = 10)
+    }
+    assert(e.getMessage.contains("O(n^2)"))
+    // under the guard it works
+    assert(Dedup.embeddingPairsExact(df, "embedding", "vec_id", 0.9, maxRows = 100)
+      .count() > 0)
+  }
+
+  test("lshCatchProbability: monotone in cosine, bits lower it, tables raise it") {
+    val p1 = Dedup.lshCatchProbability(0.99, 10, 16)
+    val p2 = Dedup.lshCatchProbability(0.90, 10, 16)
+    assert(p1 > p2)
+    assert(Dedup.lshCatchProbability(0.99, 16, 16) < p1)
+    assert(Dedup.lshCatchProbability(0.99, 10, 32) > p1)
+    assert(p1 > 0.999999, s"defaults must catch near-dups: $p1")
+  }
+
+  test("persisted LSH index returns the identical top-k as the direct path") {
+    val r = new scala.util.Random(11)
+    val centers = Array.tabulate(5)(_ => Array.fill(16)(r.nextGaussian()))
+    val vecs = (0 until 400).map { i =>
+      (i.toLong, centers(i % 5).map(x => x + r.nextGaussian() * 0.1).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val query = vecs(0)._2
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString + "/idx"
+    Similarity.writeIndex(df, "embedding", "vec_id", 10, dir)
+    val direct = Similarity.lshTopK(df, "embedding", "vec_id", query, 10, nPlanes = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val indexed = Similarity.lshTopKIndexed(
+      Similarity.readIndex(spark, dir), "embedding", query, 10, nPlanes = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(indexed === direct)
+  }
+
   test("simhash kernel: hamming grows with edit size") {
     val a = Dedup.simhashKernel("a b c d e f g h i j".split(" ").toSeq)
     val b = Dedup.simhashKernel("a b c d e f g h i k".split(" ").toSeq)

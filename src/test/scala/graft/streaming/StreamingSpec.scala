@@ -120,5 +120,10 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains(("e1", "a", true)))
     assert(rows.contains(("e1", "a", false))) // the batch-2 repeat
     assert(rows.contains(("e1", "c", true)))
+    // seenCount is a RUNNING per-entity count persisted in state: e1 saw
+    // a,b in batch 1 then a,c in batch 2, so "c" is its 4th event ever
+    val e1c = spark.table("fs")
+      .filter(col("entity") === "e1" && col("key") === "c").head
+    assert(e1c.getLong(3) === 4L, s"seenCount must run across batches: $e1c")
   }
 }
