@@ -7,13 +7,19 @@ import graft.core.Sbbf
 import graft.functions._
 import graft.job.BloomBuild
 
-/** Benchmark main. Prints ONE JSON line:
-  * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...,
-  *  "bloom_build":{...north-rule scaling results...}}
+/** Benchmark main. Prints ONE JSON line (undecorated on stdout — build.sbt
+  * sets `run / outputStrategy := StdoutOutput` so sbt does not prefix it):
+  * {"metric":...,"value":N,"unit":"sec","queries":{...},"failed":{...},
+  *  "sf":...,"bloom_build":{...north-rule scaling results...}}
   *
   * Two parts:
   *  1. per-query timings of SparkEntry.queries on SPARK_GRAFT_SF_DIR
-  *     (driver contract);
+  *     (driver contract). Each query runs TWICE and the min is reported:
+  *     this host has ~1.8x run-to-run CPU variance and the first pass
+  *     carries codegen/session warmup, so pass-2 (warm) is the honest
+  *     steady-state number; both pass totals are recorded. A query that
+  *     throws is listed in "failed" with its error and contributes no
+  *     timing (never a fake near-zero one).
   *  2. the BASELINE.json north-rule metric: Bloom build+merge keys/sec at
   *     multiple parallelism levels over the same input, with empirical FPR
   *     and scaling efficiency = throughput(4N) / (4 x throughput(N)) — the
@@ -23,10 +29,13 @@ import graft.job.BloomBuild
   *  - build strategy = per-executor shared filter with atomic bit-OR
   *    (the reference's free-threading mode, graft.job.BloomBuild.concurrent);
   *    merge fan-in is O(executors), zero in single-JVM local mode.
-  *  - runs are interleaved across core counts and the best of `reps` per
-  *    level is taken: this host shows ~1.8x run-to-run CPU variance
-  *    (shared hardware), and best-of-k at alternating levels is the
-  *    noise-robust estimator.
+  *  - runs are interleaved across core counts and the MEDIAN of `reps`
+  *    per level is taken (round 1 used best-of-2, which let one
+  *    catastrophically slow c2 run produce a >1 efficiency — medians of
+  *    interleaved sweeps are the noise-robust estimator on this shared
+  *    host).
+  *  - spark.local.dir points at /dev/shm (126 GB tmpfs) so shuffle/spill
+  *    never touches the 434 MB/s disk.
   *  - both (2 -> 8) and (8 -> 32) pairs are reported. Insert is
   *    DRAM-latency-bound at high core counts on a single box (one memory
   *    system — unlike a real 4N-node cluster, which adds DRAM with nodes);
@@ -42,6 +51,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -51,6 +61,13 @@ object Bench {
     val t0 = System.nanoTime()
     val r = f
     (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) -1
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
   /** One timed build at `cores`: global SBBF over `n` long keys through
@@ -69,12 +86,11 @@ object Bench {
   /** Pure-CPU scaling probe (no sketch, no memory pressure): bounds what
     * this host can show for ANY embarrassingly parallel job.
     */
-  private def cpuProbe(cores: Int): Double = {
+  private def cpuProbe(cores: Int, reps: Int): Double = {
     val s = session(cores)
     try {
       val n = 30000000L
-      // best of 2: this host's run-to-run CPU variance is ~1.8x
-      val secs = (1 to 2).map { _ =>
+      val secs = (1 to reps).map { _ =>
         val (_, sec) = time {
           s.range(0L, n, 1L, cores)
             .select(sha2(col("id").cast("string"), 256).as("h"))
@@ -82,42 +98,63 @@ object Bench {
         }
         sec
       }
-      n / secs.min
+      n / median(secs)
     } finally s.stop()
+  }
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_KEYS", "50000000").toLong
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
 
-    // -------- part 1: harness queries at local[cpus]
+    // -------- part 1: harness queries at local[cpus], two passes, min
     val s = session(cpus)
-    val queryTimes = try {
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val (_, sec) = time {
-          try fn(s, sfDir).count()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val times = scala.collection.mutable.Map[String, Double]()
+    val failed = scala.collection.mutable.Map[String, String]()
+    val passTotals = scala.collection.mutable.ArrayBuffer[Double]()
+    try {
+      for (pass <- 1 to 2) {
+        var passTotal = 0.0
+        names.foreach { name =>
+          if (!failed.contains(name)) {
+            try {
+              val (_, sec) = time(SparkEntry.queries(name)(s, sfDir).count())
+              passTotal += sec
+              if (!times.contains(name) || sec < times(name)) times(name) = sec
+            } catch {
+              case e: Throwable =>
+                failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                  .linesIterator.take(1).mkString
+                times.remove(name)
+            }
+          }
         }
-        name -> sec
+        passTotals += passTotal
       }
     } finally s.stop()
 
-    // -------- part 2: north-rule scaling protocol
-    val levels = Seq(2, 8, 32).filter(_ <= cpus) :+ cpus
-    val distinctLevels = levels.distinct.sorted
-    val best = scala.collection.mutable.Map[Int, Double]().withDefaultValue(Double.MaxValue)
+    // -------- part 2: north-rule scaling protocol (interleaved medians)
+    val levels = (Seq(2, 8, 32).filter(_ <= cpus) :+ cpus).distinct.sorted
+    val samples = scala.collection.mutable.Map[Int, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
     // one warmup sweep (JIT) then `reps` interleaved measured sweeps
-    distinctLevels.foreach(c => buildOnce(c, math.min(n, 20000000L)))
+    levels.foreach(c => buildOnce(c, math.min(n, 20000000L)))
     (1 to reps).foreach { _ =>
-      distinctLevels.foreach { c =>
-        val sec = buildOnce(c, n)
-        if (sec < best(c)) best(c) = sec
-      }
+      levels.foreach { c => samples(c) = samples(c) :+ buildOnce(c, n) }
     }
-    val tp = distinctLevels.map(c => c -> n / best(c)).toMap
+    val tp = levels.map(c => c -> n / median(samples(c))).toMap
 
     def eff(lo: Int, hi: Int): Double =
       if (tp.contains(lo) && tp.contains(hi)) tp(hi) / ((hi.toDouble / lo) * tp(lo)) else -1
@@ -138,28 +175,32 @@ object Bench {
       val fn = s2.range(0L, probes).select(col("id").as("k"))
         .filter(!bloom_contains(bc, col("k"))).count()
       // lookup throughput: probe all n member keys (all-8-word worst
-      // case); best of 2 for host-noise robustness
-      val probeSec = (1 to 2).map { _ =>
+      // case); median of `reps` for host-noise robustness
+      val probeSecs = (1 to reps).map { _ =>
         val (_, sec) = time {
           s2.range(0L, n, 1L, cpus * 2).select(col("id").as("k"))
             .filter(bloom_contains(bc, col("k"))).count()
         }
         sec
-      }.min
-      (fp.toDouble / probes, fn == 0L, n / probeSec)
+      }
+      (fp.toDouble / probes, fn == 0L, n / median(probeSecs))
     } finally s2.stop()
 
     // hardware scaling ceiling (pure CPU)
-    val cpuLow = cpuProbe(8)
-    val cpuHigh = cpuProbe(32)
+    val cpuLow = cpuProbe(8, reps)
+    val cpuHigh = cpuProbe(32, reps)
     val cpuEff = cpuHigh / (4.0 * cpuLow)
 
-    val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = names.filter(times.contains)
+      .map(k => "\"" + k + "\":" + times(k)).mkString("{", ",", "}")
+    val fails = failed.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }
       .mkString("{", ",", "}")
-    val total = queryTimes.map(_._2).sum
-    val tpJson = distinctLevels.map(c => s""""c$c":${tp(c).toLong}""").mkString("{", ",", "}")
+    val total = times.values.sum
+    val tpJson = levels.map(c => s""""c$c":${tp(c).toLong}""").mkString("{", ",", "}")
     val bloom =
-      s"""{"keys":$n,"strategy":"shared-filter atomic OR (free-threading mode), merge fan-in O(executors)",""" +
+      s"""{"keys":$n,"reps":$reps,"estimator":"median of interleaved sweeps",""" +
+        s""""strategy":"shared-filter atomic OR (free-threading mode), merge fan-in O(executors)",""" +
         s""""keys_per_sec":$tpJson,""" +
         s""""scaling_efficiency_2_to_8":${"%.3f".format(eff(2, 8))},""" +
         s""""scaling_efficiency_8_to_32":${"%.3f".format(eff(8, 32))},""" +
@@ -167,6 +208,8 @@ object Bench {
         s""""probe_keys_per_sec":${probeTp.toLong},""" +
         s""""empirical_fpr":$fpr,"fpr_target":0.01,"fpr_bound_ok":${fpr <= 0.0105},"zero_fn":$fnOk}"""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","bloom_build":$bloom}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fails,""" +
+        s""""query_passes":${passTotals.map(t => "%.3f".format(t)).mkString("[", ",", "]")},""" +
+        s""""sf":"$sfDir","bloom_build":$bloom}""")
   }
 }

@@ -77,6 +77,35 @@ object functions {
   def bloom_is_empty(filter: Column): Column =
     toCol(BloomIsEmpty(toExpr(filter)))
 
+  // --------------------------------------------------- counting bloom (CBF)
+
+  /** Build a Counting Bloom filter: like [[bloom_agg]] but with per-row
+    * integer weights (+1 insert, -1 delete) and delete support — returns
+    * ABCM v1 bytes. Merge is exact under any partitioning/ordering of
+    * inserts and deletes.
+    */
+  def cbf_agg(key: Column, weight: Column, capacity: Long, fpRate: Double): Column =
+    toCol(CbfAgg(AbloomKeyHash(toExpr(key)),
+      org.apache.spark.sql.catalyst.expressions.Cast(toExpr(weight),
+        org.apache.spark.sql.types.IntegerType),
+      lit(capacity), lit(fpRate)).toAggregateExpression())
+
+  /** Insert-only counting build (weight 1 per row). */
+  def cbf_agg(key: Column, capacity: Long, fpRate: Double): Column =
+    cbf_agg(key, toCol(lit(1)), capacity, fpRate)
+
+  /** Cell-wise-add merge of a column of serialized counting filters. */
+  def cbf_union_agg(filters: Column): Column =
+    toCol(CbfUnionAgg(toExpr(filters)).toAggregateExpression())
+
+  /** Membership probe (net count > 0); zero FN, SBBF-rate FP. */
+  def cbf_contains(filter: Column, key: Column): Column =
+    toCol(CbfContains(toExpr(filter), AbloomKeyHash(toExpr(key))))
+
+  /** Count-min style upper bound on the key's net count. */
+  def cbf_count(filter: Column, key: Column): Column =
+    toCol(CbfCount(toExpr(filter), AbloomKeyHash(toExpr(key))))
+
   // ------------------------------------------------------ sibling sketches
 
   private def castDouble(c: Column): Expression =

@@ -123,6 +123,38 @@ object SparkEntry {
         .toDF("fpr_within_bound", "zero_false_negatives")
     },
 
+    // Counting Bloom filter (reference CHANGELOG "Planned: Counting BF"):
+    // insert every order key, delete the %7 subset, all in ONE mergeable
+    // aggregation (deletes may precede inserts in any partition). Checks:
+    // every remaining key still passes (zero FN -> exact count, the cross-
+    // engine oracle), deleted-key FPR within bound, min-cell count never
+    // underestimates the net count.
+    "cbf_delete_semantics" -> { (s, dir) =>
+      val orders = table(s, dir, "orders")
+      val n = orders.count()
+      val keys = orders.select(col("o_orderkey").as("k"))
+      val ops = keys.withColumn("w", lit(1))
+        .unionByName(keys.filter(col("k") % 7 === 0).withColumn("w", lit(-1)))
+      val bytes = ops.agg(cbf_agg(col("k"), col("w"), n, 0.01))
+        .head.getAs[Array[Byte]](0)
+      val stats = keys
+        .withColumn("deleted", col("k") % 7 === 0)
+        .withColumn("hit", cbf_contains(lit(bytes), col("k")))
+        .withColumn("cnt", cbf_count(lit(bytes), col("k")))
+        .agg(
+          sum(when(!col("deleted") && col("hit"), 1L).otherwise(0L)).as("pass"),
+          sum(when(col("deleted") && col("hit"), 1L).otherwise(0L)).as("del_fp"),
+          sum(when(col("deleted"), 1L).otherwise(0L)).as("n_del"),
+          sum(when(col("cnt") <
+            when(col("deleted"), 0L).otherwise(1L), 1L).otherwise(0L)).as("under"))
+        .head
+      import s.implicits._
+      Seq((stats.getLong(0),
+        stats.getLong(1).toDouble / stats.getLong(2).max(1L) <= 0.015,
+        stats.getLong(3) == 0L))
+        .toDF("n_remaining_pass", "deleted_fpr_ok", "counts_no_underestimate")
+    },
+
     // §7.4 HLL: exact distinct (oracle-verified) + estimate within the
     // published 3-sigma bound (sigma = 1.04/sqrt(2^14) = 0.81%).
     "hll_distinct" -> { (s, dir) =>
@@ -406,6 +438,11 @@ object SparkEntry {
     "bloom_fpr_bound" ->
       """SELECT CAST(1 AS BOOLEAN) AS fpr_within_bound,
         |CAST(1 AS BOOLEAN) AS zero_false_negatives""".stripMargin,
+    "cbf_delete_semantics" ->
+      """SELECT CAST((SELECT count(*) FROM orders WHERE o_orderkey % 7 <> 0) AS BIGINT)
+        |  AS n_remaining_pass,
+        |CAST(1 AS BOOLEAN) AS deleted_fpr_ok,
+        |CAST(1 AS BOOLEAN) AS counts_no_underestimate""".stripMargin,
     "hll_distinct" ->
       """SELECT count(DISTINCT user_id) AS exact_distinct,
         |CAST(1 AS BOOLEAN) AS within_bound FROM events""".stripMargin,

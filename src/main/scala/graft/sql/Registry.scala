@@ -41,6 +41,23 @@ object Registry {
     "bloom_union_agg" -> { args => BloomUnionAgg(args.head) },
     "bloom_describe" -> { args => BloomDescribe(args.head) },
     "bloom_is_empty" -> { args => BloomIsEmpty(args.head) },
+    "cbf_agg" -> { args =>
+      require(args.size == 3 || args.size == 4,
+        "cbf_agg(key, weight, capacity[, fp_rate])")
+      val fp = if (args.size == 4) args(3)
+        else org.apache.spark.sql.catalyst.expressions.Literal(0.01)
+      CbfAgg(AbloomKeyHash(args(0)),
+        Cast(args(1), org.apache.spark.sql.types.IntegerType), args(2), fp)
+    },
+    "cbf_union_agg" -> { args => CbfUnionAgg(args.head) },
+    "cbf_contains" -> { args =>
+      require(args.size == 2, "cbf_contains(filter, key)")
+      CbfContains(args(0), AbloomKeyHash(args(1)))
+    },
+    "cbf_count" -> { args =>
+      require(args.size == 2, "cbf_count(filter, key)")
+      CbfCount(args(0), AbloomKeyHash(args(1)))
+    },
     "hll_agg" -> { args =>
       val p = if (args.size > 1) args(1)
         else org.apache.spark.sql.catalyst.expressions.Literal(graft.core.Hll.DefaultP)
@@ -71,12 +88,18 @@ object Registry {
     "kll_quantile" -> { args => KllQuantile(args(0), Cast(args(1), DoubleType)) },
     "kll_rank" -> { args => KllRank(args(0), Cast(args(1), DoubleType)) })
 
-  /** Register all sketch functions on an existing session. */
+  /** Register all sketch functions on an existing session, plus the
+    * automatic bloom join pre-filter rule (via experimental optimizations
+    * — config-time sessions get it through [[GraftExtensions]] instead).
+    */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     functions.foreach { case (name, builder) =>
       registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(graft.plans.InjectBloomPreFilter))
+      spark.experimental.extraOptimizations = extra :+ graft.plans.InjectBloomPreFilter
   }
 }
 
@@ -89,5 +112,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name),
         builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.InjectBloomPreFilter)
   }
 }

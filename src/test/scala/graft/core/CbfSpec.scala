@@ -1,0 +1,111 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class CbfSpec extends AnyFunSuite {
+
+  test("insert/delete: remaining keys always contained, counts upper-bound") {
+    val f = Cbf.empty(10000, 0.01)
+    (0L until 5000L).foreach(k => f.add(k, 1))
+    (0L until 5000L by 7).foreach(k => f.add(k, -1))
+    // zero FN on every net-present key
+    (0L until 5000L).filter(_ % 7 != 0).foreach(k => assert(f.contains(k), s"k=$k"))
+    // count is an upper bound on the net count
+    (0L until 5000L).foreach { k =>
+      val net = if (k % 7 == 0) 0 else 1
+      assert(f.count(k) >= net)
+    }
+  }
+
+  test("deleted-key FPR stays near the SBBF target") {
+    val f = Cbf.empty(20000, 0.01)
+    (0L until 20000L).foreach(k => f.add(k, 1))
+    (0L until 20000L by 2).foreach(k => f.add(k, -1))
+    val fp = (0L until 20000L by 2).count(f.contains)
+    // deleted keys may false-positive via surviving neighbors; with half
+    // the keys removed the filter is under-loaded, so the SBBF bound holds
+    assert(fp.toDouble / 10000 <= 0.01 * 1.5, s"fp=$fp")
+    // definite never-members too
+    val fpOut = (1000000L until 1050000L).count(f.contains)
+    assert(fpOut.toDouble / 50000 <= 0.01 * 1.5, s"fpOut=$fpOut")
+  }
+
+  test("multiset counts: weights add, min-cell never underestimates") {
+    val f = Cbf.empty(1000, 0.01)
+    f.add("a", 3)
+    f.add("b", 1)
+    f.add("a", 2)
+    assert(f.count("a") >= 5)
+    assert(f.count("b") >= 1)
+    f.add("a", -4)
+    assert(f.count("a") >= 1)
+    assert(f.contains("a"))
+  }
+
+  test("merge: cell-wise add is commutative/associative, zero identity, order-free deletes") {
+    val r = new scala.util.Random(42)
+    for (_ <- 1 to 20) {
+      val keys = Seq.fill(200)(r.nextLong() % 1000)
+      val dels = keys.filter(_ => r.nextBoolean())
+      // sequential truth: all inserts then all deletes
+      val seqF = Cbf.empty(500, 0.05)
+      keys.foreach(k => seqF.add(k, 1))
+      dels.foreach(k => seqF.add(k, -1))
+      // partitioned: deletes land in a DIFFERENT partial than inserts and
+      // merge in the opposite order
+      val p1 = Cbf.empty(500, 0.05)
+      val p2 = Cbf.empty(500, 0.05)
+      dels.foreach(k => p2.add(k, -1)) // deletes first
+      keys.zipWithIndex.foreach { case (k, i) =>
+        (if (i % 2 == 0) p1 else p2).add(k, 1)
+      }
+      val merged = p2.copy().addInPlace(p1) // reverse merge order
+      assert(merged === seqF)
+      // identity
+      assert(seqF.copy().addInPlace(Cbf.empty(500, 0.05)) === seqF)
+      // associativity with a third partial
+      val p3 = Cbf.empty(500, 0.05)
+      val left = p1.copy().addInPlace(p2).addInPlace(p3)
+      val right = p1.copy().addInPlace(p2.copy().addInPlace(p3))
+      assert(left === right)
+    }
+  }
+
+  test("wire round trip is exact; validation matrix rejects corruption") {
+    val f = Cbf.empty(300, 0.02)
+    (0L until 250L).foreach(k => f.add(k, 1))
+    (0L until 250L by 3).foreach(k => f.add(k, -1))
+    val bytes = f.toBytes
+    val g = Cbf.fromBytes(bytes)
+    assert(g === f)
+    assert(g.toBytes.toSeq === bytes.toSeq)
+
+    def corrupt(mut: Array[Byte] => Unit): Unit = {
+      val b = bytes.clone()
+      mut(b)
+      intercept[SbbfFormatException](Cbf.fromBytes(b))
+    }
+    corrupt(b => b(0) = 'X')                      // magic
+    corrupt(b => b(4) = 9)                        // version
+    intercept[SbbfFormatException](Cbf.fromBytes(bytes.take(10)))     // short
+    intercept[SbbfFormatException](Cbf.fromBytes(bytes ++ Array[Byte](0))) // trailing
+    corrupt(b => Sbbf.writeBE64(b, 5, 0L))        // capacity 0
+    corrupt(b => Sbbf.writeBE64(b, 13,
+      java.lang.Double.doubleToRawLongBits(2.0))) // fp out of range
+    corrupt(b => Sbbf.writeBE64(b, 21, 1L))       // block-count mismatch (also length)
+  }
+
+  test("incompatible merge throws; geometry matches SBBF probes") {
+    val a = Cbf.empty(1000, 0.01)
+    val b = Cbf.empty(2000, 0.01)
+    intercept[IllegalArgumentException](a.addInPlace(b))
+    // a CBF with net-positive keys probes positive exactly where the SBBF
+    // with the same (capacity, fp_rate) and keys does
+    val s = Sbbf.empty(1000, 0.01)
+    val c = Cbf.empty(1000, 0.01)
+    (0L until 1000L).foreach { k => s.add(k); c.add(k, 1) }
+    (5000L until 7000L).foreach { k =>
+      assert(s.contains(k) === c.contains(k), s"k=$k")
+    }
+  }
+}
