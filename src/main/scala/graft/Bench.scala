@@ -175,8 +175,10 @@ object Bench {
       val fn = s2.range(0L, probes).select(col("id").as("k"))
         .filter(!bloom_contains(bc, col("k"))).count()
       // lookup throughput: probe all n member keys (all-8-word worst
-      // case); median of `reps` for host-noise robustness
-      val probeSecs = (1 to reps).map { _ =>
+      // case); median of >= 5 reps — this host shows rare 10x+ stalls
+      // (measured: 1.9s/1.9s/37s/7.4s for identical probe jobs), and the
+      // probe is cheap enough that extra reps are the right insurance
+      val probeSecs = (1 to math.max(reps, 5)).map { _ =>
         val (_, sec) = time {
           s2.range(0L, n, 1L, cpus * 2).select(col("id").as("k"))
             .filter(bloom_contains(bc, col("k"))).count()

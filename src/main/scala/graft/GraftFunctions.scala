@@ -102,9 +102,44 @@ object functions {
   def cbf_contains(filter: Column, key: Column): Column =
     toCol(CbfContains(toExpr(filter), AbloomKeyHash(toExpr(key))))
 
+  /** Broadcast-backed probe — preferred for counting filters, which are
+    * 32x the SBBF's size and cross the ~1 MB literal line early.
+    */
+  def cbf_contains(filter: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+      key: Column): Column =
+    toCol(CbfBroadcastContains(filter, AbloomKeyHash(toExpr(key))))
+
   /** Count-min style upper bound on the key's net count. */
   def cbf_count(filter: Column, key: Column): Column =
     toCol(CbfCount(toExpr(filter), AbloomKeyHash(toExpr(key))))
+
+  /** Broadcast-backed net-count upper bound. */
+  def cbf_count(filter: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+      key: Column): Column =
+    toCol(CbfBroadcastCount(filter, AbloomKeyHash(toExpr(key))))
+
+  // --------------------------------------------------- scalable bloom (SBF)
+
+  /** Build a Scalable Bloom filter for UNKNOWN-cardinality key streams:
+    * no capacity sizing — the filter grows stages geometrically
+    * (Almeida et al. 2007). Returns ABSF v1 bytes. Compound FP <=
+    * fp0 / (1 - 0.9) per partition lineage; zero false negatives always.
+    */
+  def sbf_agg(key: Column, initialCapacity: Long, fp0: Double): Column =
+    toCol(SbfAgg(AbloomKeyHash(toExpr(key)), lit(initialCapacity), lit(fp0))
+      .toAggregateExpression())
+
+  def sbf_agg(key: Column): Column = sbf_agg(key, 4096, 0.001)
+
+  /** Membership probe across all stages; zero FN. */
+  def sbf_contains(filter: Column, key: Column): Column =
+    toCol(SbfContains(toExpr(filter), AbloomKeyHash(toExpr(key))))
+
+  /** Read-only properties: initial_capacity, fp0, growth, tightening,
+    * stage_count, inserted_count, compound_fp_bound.
+    */
+  def sbf_describe(filter: Column): Column =
+    toCol(SbfDescribe(toExpr(filter)))
 
   // ------------------------------------------------------ sibling sketches
 

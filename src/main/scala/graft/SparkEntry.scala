@@ -137,10 +137,13 @@ object SparkEntry {
         .unionByName(keys.filter(col("k") % 7 === 0).withColumn("w", lit(-1)))
       val bytes = ops.agg(cbf_agg(col("k"), col("w"), n, 0.01))
         .head.getAs[Array[Byte]](0)
+      // counting filters are 32x SBBF bytes (6+ MB at sf0.1): broadcast,
+      // never lit — a literal would ride every task binary
+      val bc = s.sparkContext.broadcast(bytes)
       val stats = keys
         .withColumn("deleted", col("k") % 7 === 0)
-        .withColumn("hit", cbf_contains(lit(bytes), col("k")))
-        .withColumn("cnt", cbf_count(lit(bytes), col("k")))
+        .withColumn("hit", cbf_contains(bc, col("k")))
+        .withColumn("cnt", cbf_count(bc, col("k")))
         .agg(
           sum(when(!col("deleted") && col("hit"), 1L).otherwise(0L)).as("pass"),
           sum(when(col("deleted") && col("hit"), 1L).otherwise(0L)).as("del_fp"),
@@ -153,6 +156,26 @@ object SparkEntry {
         stats.getLong(1).toDouble / stats.getLong(2).max(1L) <= 0.015,
         stats.getLong(3) == 0L))
         .toDF("n_remaining_pass", "deleted_fpr_ok", "counts_no_underestimate")
+    },
+
+    // Scalable Bloom filter (reference CHANGELOG "Planned: Scalable BF"):
+    // build over event_id with NO capacity sizing (initial 4096 <<
+    // row count, so the stage series must grow). Zero FN makes the
+    // passing count exactly count(*) — the cross-engine oracle; FPR must
+    // sit within the filter's own serialized compound union bound.
+    "sbf_unknown_cardinality" -> { (s, dir) =>
+      val events = table(s, dir, "events")
+      val bytes = events.agg(sbf_agg(col("event_id"), 4096, 0.001))
+        .head.getAs[Array[Byte]](0)
+      val desc = graft.core.Sbf.fromBytes(bytes)
+      val pass = events.filter(sbf_contains(lit(bytes), col("event_id"))).count()
+      val probes = 500000L
+      val fp = s.range(1000000000L, 1000000000L + probes).toDF("k")
+        .filter(sbf_contains(lit(bytes), col("k"))).count()
+      import s.implicits._
+      Seq((pass, desc.stageCount > 1,
+        fp.toDouble / probes <= desc.compoundFpBound * 1.5))
+        .toDF("n_pass", "grew_stages", "fpr_within_compound_bound")
     },
 
     // §7.4 HLL: exact distinct (oracle-verified) + estimate within the
@@ -443,6 +466,9 @@ object SparkEntry {
         |  AS n_remaining_pass,
         |CAST(1 AS BOOLEAN) AS deleted_fpr_ok,
         |CAST(1 AS BOOLEAN) AS counts_no_underestimate""".stripMargin,
+    "sbf_unknown_cardinality" ->
+      """SELECT count(*) AS n_pass, CAST(1 AS BOOLEAN) AS grew_stages,
+        |CAST(1 AS BOOLEAN) AS fpr_within_compound_bound FROM events""".stripMargin,
     "hll_distinct" ->
       """SELECT count(DISTINCT user_id) AS exact_distinct,
         |CAST(1 AS BOOLEAN) AS within_bound FROM events""".stripMargin,

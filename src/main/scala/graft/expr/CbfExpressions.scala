@@ -214,6 +214,70 @@ case class CbfContains(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Broadcast-backed CBF membership probe: counting filters are 32x the
+  * SBBF's bytes (int cells), so even modest capacities cross the ~1 MB
+  * "ship it as a literal" line — the broadcast variant sends the blob
+  * once per executor and parses it once (cf. [[BloomBroadcastContain]]).
+  */
+case class CbfBroadcastContains(
+    bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: Expression) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"cbf_contains(broadcast) expects a long key hash, got ${dt.sql}")
+  }
+
+  @transient private lazy val filter: Cbf = Cbf.fromBytes(bcast.value)
+
+  def probe(hash: Long): Boolean = filter.checkHash(hash)
+
+  override def nullSafeEval(hash: Any): Any = probe(hash.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cbfBcExpr", this, classOf[CbfBroadcastContains].getName)
+    defineCodeGen(ctx, ev, h => s"$ref.probe($h)")
+  }
+
+  override def prettyName: String = "cbf_contains_bc"
+
+  override protected def withNewChildInternal(newChild: Expression): CbfBroadcastContains =
+    copy(child = newChild)
+}
+
+/** Broadcast-backed CBF net-count upper bound (see [[CbfBroadcastContains]]). */
+case class CbfBroadcastCount(
+    bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: Expression) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"cbf_count(broadcast) expects a long key hash, got ${dt.sql}")
+  }
+
+  @transient private lazy val filter: Cbf = Cbf.fromBytes(bcast.value)
+
+  def probe(hash: Long): Long = filter.countHash(hash)
+
+  override def nullSafeEval(hash: Any): Any = probe(hash.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cbfBcExpr", this, classOf[CbfBroadcastCount].getName)
+    defineCodeGen(ctx, ev, h => s"$ref.probe($h)")
+  }
+
+  override def prettyName: String = "cbf_count_bc"
+
+  override protected def withNewChildInternal(newChild: Expression): CbfBroadcastCount =
+    copy(child = newChild)
+}
+
 /** `cbf_count(filter, key_hash)` — count-min style upper bound on the
   * key's net count (never an underestimate, clamped at 0).
   */

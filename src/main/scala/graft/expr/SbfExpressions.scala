@@ -1,0 +1,187 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+import graft.core.Sbf
+
+/** Distributed Scalable-Bloom-filter build for UNKNOWN-cardinality key
+  * streams: no capacity sizing needed — each partition's partial grows its
+  * own stage series, and the merge concatenates/compacts stages. Unlike
+  * the fixed SBBF/CBF, the merged byte layout may depend on the
+  * aggregation tree (bin-packing of stages is not confluent); membership
+  * semantics, zero FN, and the compound FP bound hold for ANY layout, so
+  * partial aggregation is correct — just don't compare SBF blobs by
+  * equality across different partitionings.
+  */
+case class SbfAgg(
+    child: Expression,
+    capacityExpr: Expression,
+    fpRateExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Sbf] {
+
+  def this(child: Expression, capacityExpr: Expression, fpRateExpr: Expression) =
+    this(child, capacityExpr, fpRateExpr, 0, 0)
+
+  private lazy val initialCapacity: Long = capacityExpr.eval() match {
+    case d: Decimal => d.toLong
+    case n: Number => n.longValue()
+  }
+  private lazy val fp0: Double = fpRateExpr.eval() match {
+    case d: Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+  }
+
+  override def children: Seq[Expression] = Seq(child, capacityExpr, fpRateExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"sbf_agg expects a 64-bit key hash (use abloom_key_hash), got ${child.dataType.sql}")
+    else if (!capacityExpr.foldable || !fpRateExpr.foldable)
+      TypeCheckResult.TypeCheckFailure("initial_capacity and fp_rate must be constants")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): Sbf = Sbf.empty(initialCapacity, fp0)
+
+  override def update(buffer: Sbf, input: InternalRow): Sbf = {
+    val v = child.eval(input)
+    if (v != null) buffer.addHash(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: Sbf, other: Sbf): Sbf = buffer.mergeInPlace(other)
+
+  override def eval(buffer: Sbf): Any = buffer.toBytes
+
+  override def serialize(buffer: Sbf): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): Sbf = Sbf.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SbfAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SbfAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): SbfAgg =
+    copy(child = newChildren(0), capacityExpr = newChildren(1), fpRateExpr = newChildren(2))
+
+  override def prettyName: String = "sbf_agg"
+}
+
+/** Runtime parse cache for scalable filters (task-scoped identity cache,
+  * same design as [[BloomRuntime]]).
+  */
+object SbfRuntime {
+  private val cache = new ThreadLocal[(Array[Byte], Sbf)]
+
+  def parse(bytes: Array[Byte]): Sbf = {
+    val c = cache.get()
+    if (c != null && (c._1 eq bytes)) c._2
+    else {
+      val f = Sbf.fromBytes(bytes)
+      if (c == null) {
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => cache.remove())
+      }
+      cache.set((bytes, f))
+      f
+    }
+  }
+
+  def checkHash(filterBytes: Array[Byte], hash: Long): Boolean =
+    parse(filterBytes).checkHash(hash)
+}
+
+/** `sbf_contains(filter, key_hash)` — OR across stages; zero FN. */
+case class SbfContains(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sbf_contains expects (binary filter, long key hash), got (${l.sql}, ${r.sql})")
+    }
+
+  @transient private lazy val foldedFilter: Sbf =
+    if (left.foldable) {
+      val b = left.eval(null)
+      if (b == null) null else Sbf.fromBytes(b.asInstanceOf[Array[Byte]])
+    } else null
+
+  override def nullSafeEval(filterBytes: Any, hash: Any): Any = {
+    val f =
+      if (foldedFilter != null) foldedFilter
+      else SbfRuntime.parse(filterBytes.asInstanceOf[Array[Byte]])
+    f.checkHash(hash.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    if (left.foldable && foldedFilter != null) {
+      val ref = ctx.addReferenceObj("sbf", foldedFilter, classOf[Sbf].getName)
+      defineCodeGen(ctx, ev, (_, h) => s"$ref.checkHash($h)")
+    } else {
+      val rt = SbfRuntime.getClass.getName.stripSuffix("$")
+      defineCodeGen(ctx, ev, (f, h) => s"$rt$$.MODULE$$.checkHash($f, $h)")
+    }
+  }
+
+  override def prettyName: String = "sbf_contains"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SbfContains =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `sbf_describe(filter)` -> struct(initial_capacity, fp0, growth,
+  * tightening, stage_count, inserted_count, compound_fp_bound).
+  */
+case class SbfDescribe(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = SbfDescribe.schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"sbf_describe expects binary, got ${dt.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SbfDescribe.describe(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val d = SbfDescribe.getClass.getName.stripSuffix("$")
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $d$$.MODULE$$.describe($c);"
+    })
+
+  override def prettyName: String = "sbf_describe"
+
+  override protected def withNewChildInternal(newChild: Expression): SbfDescribe =
+    copy(child = newChild)
+}
+
+object SbfDescribe {
+  val schema: StructType = StructType(Seq(
+    StructField("initial_capacity", LongType, nullable = false),
+    StructField("fp0", DoubleType, nullable = false),
+    StructField("growth", LongType, nullable = false),
+    StructField("tightening", DoubleType, nullable = false),
+    StructField("stage_count", IntegerType, nullable = false),
+    StructField("inserted_count", LongType, nullable = false),
+    StructField("compound_fp_bound", DoubleType, nullable = false)))
+
+  def describe(bytes: Array[Byte]): InternalRow = {
+    val f = Sbf.fromBytes(bytes)
+    InternalRow(f.initialCapacity, f.fp0, f.growth, f.tightening,
+      f.stageCount, f.insertedCount, f.compoundFpBound)
+  }
+}

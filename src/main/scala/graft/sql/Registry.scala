@@ -58,6 +58,19 @@ object Registry {
       require(args.size == 2, "cbf_count(filter, key)")
       CbfCount(args(0), AbloomKeyHash(args(1)))
     },
+    "sbf_agg" -> { args =>
+      require(args.size == 1 || args.size == 3, "sbf_agg(key[, initial_capacity, fp_rate])")
+      val cap = if (args.size == 3) args(1)
+        else org.apache.spark.sql.catalyst.expressions.Literal(4096L)
+      val fp = if (args.size == 3) args(2)
+        else org.apache.spark.sql.catalyst.expressions.Literal(0.001)
+      SbfAgg(AbloomKeyHash(args(0)), cap, fp)
+    },
+    "sbf_contains" -> { args =>
+      require(args.size == 2, "sbf_contains(filter, key)")
+      SbfContains(args(0), AbloomKeyHash(args(1)))
+    },
+    "sbf_describe" -> { args => SbfDescribe(args.head) },
     "hll_agg" -> { args =>
       val p = if (args.size > 1) args(1)
         else org.apache.spark.sql.catalyst.expressions.Literal(graft.core.Hll.DefaultP)

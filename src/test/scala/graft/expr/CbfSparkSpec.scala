@@ -41,6 +41,24 @@ class CbfSparkSpec extends SparkTestBase {
     assert(under === 0L)
   }
 
+  test("broadcast probe variants agree with the literal path") {
+    val inserts = (0L until 2000L).map((_, 1))
+    val deletes = (0L until 2000L by 3).map((_, -1))
+    val bytes = (inserts ++ deletes).toDF("k", "w")
+      .agg(cbf_agg(col("k"), col("w"), 2000, 0.01)).head.getAs[Array[Byte]](0)
+    val bc = spark.sparkContext.broadcast(bytes)
+    val probe = (0L until 3000L).toDF("k")
+    val viaLit = probe.select(col("k"),
+      cbf_contains(lit(bytes), col("k")).as("c"),
+      cbf_count(lit(bytes), col("k")).as("n")).collect()
+    val viaBc = probe.select(col("k"),
+      cbf_contains(bc, col("k")).as("c"),
+      cbf_count(bc, col("k")).as("n")).collect()
+    viaLit.zip(viaBc).foreach { case (a, b) =>
+      assert(a.getBoolean(1) === b.getBoolean(1) && a.getLong(2) === b.getLong(2))
+    }
+  }
+
   test("cbf_union_agg merges per-group filters into the global filter") {
     val df = (0L until 2000L).map(k => (k, (k % 4).toString)).toDF("k", "g")
     val global = df.agg(cbf_agg(col("k"), 2000, 0.01)).head.getAs[Array[Byte]](0)

@@ -35,11 +35,20 @@ class PlanQualitySpec extends SparkTestBase {
   }
 
   test("dedup LSH pipelines contain no cartesian product") {
-    for (q <- Seq("dedup_minhash", "dedup_simhash")) {
+    for (q <- Seq("dedup_minhash", "dedup_simhash", "embedding_pairs")) {
       val plan = planOf(q)
       assert(!plan.contains("CartesianProduct"), s"$q plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plan")
     }
+  }
+
+  test("embeddingPairs API goes through LSH buckets, not all-pairs") {
+    val df = (0 until 50).map(i => (i.toLong, Seq.tabulate(8)(d => (i * 0.1 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = graft.ops.Dedup.embeddingPairs(df, "embedding", "vec_id", 0.99)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 
   test("bloom_contains probe stays inside whole-stage codegen") {
