@@ -110,9 +110,9 @@ object Registry {
     functions.foreach { case (name, builder) =>
       registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    val rules = Seq(graft.plans.InjectBloomPreFilter, graft.plans.HoistSketchKeyHash)
     val extra = spark.experimental.extraOptimizations
-    if (!extra.contains(graft.plans.InjectBloomPreFilter))
-      spark.experimental.extraOptimizations = extra :+ graft.plans.InjectBloomPreFilter
+    spark.experimental.extraOptimizations = extra ++ rules.filterNot(extra.contains)
   }
 }
 

@@ -157,6 +157,21 @@ class OpsSpec extends SparkTestBase {
     assert(indexed === direct)
   }
 
+  test("simhash text kernel matches the token-sequence kernel exactly") {
+    val texts = Seq(
+      "The quick  brown\tfox",
+      "  leading and trailing  ",
+      "one",
+      "",
+      "   ",
+      "a\nb\r\nc d")
+    texts.foreach { t =>
+      val viaTokens = Dedup.simhashKernel(
+        t.trim.toLowerCase.split("\\s+").toSeq)
+      assert(Dedup.simhashTextKernel(t) === viaTokens, s"text=<$t>")
+    }
+  }
+
   test("simhash kernel: hamming grows with edit size") {
     val a = Dedup.simhashKernel("a b c d e f g h i j".split(" ").toSeq)
     val b = Dedup.simhashKernel("a b c d e f g h i k".split(" ").toSeq)
