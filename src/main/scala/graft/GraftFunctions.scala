@@ -25,6 +25,12 @@ object functions {
     */
   def abloom_key_hash(key: Column): Column = toCol(AbloomKeyHash(toExpr(key)))
 
+  /** Shard selector over a pre-computed key hash (see
+    * [[graft.job.BloomShards]]).
+    */
+  def shard_of(keyHash: Column, shards: Int): Column =
+    toCol(ShardOf(toExpr(keyHash), lit(shards)))
+
   /** Build an SBBF-512 Bloom filter over `key` — returns ABLM v2 bytes,
     * bit-identical to `abloom.BloomFilter(capacity, fpRate,
     * serializable=True)` fed the same keys.

@@ -123,6 +123,31 @@ object SparkEntry {
         .toDF("fpr_within_bound", "zero_false_negatives")
     },
 
+    // Sharded build+probe: the beyond-single-array scale path (a 10^12-key
+    // filter is ~1.3 TB — no single JVM array). Key space splits into 8
+    // independent filters; probe co-partitions fact rows and filters on
+    // the same partitioner (filter bytes ship once per shard, not per
+    // row). Zero FN makes the member pass-count exactly count(*) — the
+    // cross-engine oracle; non-member FPR stays at the per-shard rate.
+    "sharded_build_probe" -> { (s, dir) =>
+      val orders = table(s, dir, "orders")
+      val n = orders.count()
+      val shardTable = graft.job.BloomShards.build(
+        orders, col("o_orderkey"), n, 0.01, shards = 8).cache()
+      val nShards = shardTable.count().toInt
+      val pass = graft.job.BloomShards.probe(
+        orders.select(col("o_orderkey")), col("o_orderkey"), shardTable, 8)
+        .filter(col("might_contain")).count()
+      val probes = 500000L
+      val fp = graft.job.BloomShards.probe(
+        s.range(1000000000L, 1000000000L + probes).toDF("k"), col("k"), shardTable, 8)
+        .filter(col("might_contain")).count()
+      shardTable.unpersist()
+      import s.implicits._
+      Seq((pass, nShards, fp.toDouble / probes <= 0.01 * 1.05))
+        .toDF("n_pass", "n_shards", "fpr_within_bound")
+    },
+
     // Counting Bloom filter (reference CHANGELOG "Planned: Counting BF"):
     // insert every order key, delete the %7 subset, all in ONE mergeable
     // aggregation (deletes may precede inserts in any partition). Checks:
@@ -461,6 +486,9 @@ object SparkEntry {
     "bloom_fpr_bound" ->
       """SELECT CAST(1 AS BOOLEAN) AS fpr_within_bound,
         |CAST(1 AS BOOLEAN) AS zero_false_negatives""".stripMargin,
+    "sharded_build_probe" ->
+      """SELECT count(*) AS n_pass, CAST(8 AS INTEGER) AS n_shards,
+        |CAST(1 AS BOOLEAN) AS fpr_within_bound FROM orders""".stripMargin,
     "cbf_delete_semantics" ->
       """SELECT CAST((SELECT count(*) FROM orders WHERE o_orderkey % 7 <> 0) AS BIGINT)
         |  AS n_remaining_pass,

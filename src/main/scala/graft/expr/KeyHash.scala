@@ -22,6 +22,38 @@ import graft.core.Hashing
   * operators consume this hash, mirroring the reference's "one 64-bit hash
   * per key, everything derives from it" design.
   */
+/** Shard selector for [[graft.job.BloomShards]]: mix64 of the key hash
+  * modulo the shard count — independent of the SBBF's block-select and
+  * salt bits. Codegen'd, stays inside whole-stage codegen.
+  */
+case class ShardOf(child: Expression, shardsExpr: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = shardsExpr
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, shardsExpr.dataType) match {
+      case (LongType, IntegerType) if shardsExpr.foldable => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "shard_of expects (long key hash, constant int shard count)")
+    }
+
+  override def nullSafeEval(hash: Any, shards: Any): Any =
+    graft.job.BloomShards.shardOf(hash.asInstanceOf[Long], shards.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (h, s) =>
+      s"graft.job.BloomShards$$.MODULE$$.shardOf($h, $s)")
+
+  override def prettyName: String = "shard_of"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShardOf =
+    copy(child = newLeft, shardsExpr = newRight)
+}
+
 case class AbloomKeyHash(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
