@@ -59,13 +59,21 @@ object InjectBloomPreFilter extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  /** An equivalent bloom pre-filter already present anywhere below (added
-    * by this rule in an earlier fixpoint iteration, or by hand).
+  /** A bloom pre-filter already present anywhere below (added by this
+    * rule earlier, or by hand). Deliberately COARSE — any
+    * `bloom_contains` filter in the subtree suppresses injection: when
+    * this rule shares a fixpoint batch with PushDownPredicates, the
+    * pushed-down filter's key attribute gets substituted through
+    * projections, so a key-equality check stops matching its own
+    * injection and the rule re-injects every iteration (measured: 100
+    * stacked filters, then MergeScalarSubqueries hangs merging hundreds
+    * of subqueries). One pre-filter per subtree is the conservative,
+    * loop-proof policy.
     */
   private def hasBloomFilter(plan: LogicalPlan, key: Expression): Boolean =
     plan.exists {
       case Filter(cond, _) => cond.exists {
-        case BloomMightContain(_, AbloomKeyHash(k)) => k.semanticEquals(key)
+        case _: BloomMightContain => true
         case _ => false
       }
       case _ => false

@@ -125,6 +125,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name),
         builder))
     }
-    ext.injectOptimizerRule(_ => graft.plans.InjectBloomPreFilter)
+    // Pre-CBO batch: runs ONCE after the operator-optimization fixpoint
+    // (stats available, no ping-pong with PushDownPredicates) — the same
+    // slot Spark's own InjectRuntimeFilter effectively occupies.
+    ext.injectPreCBORule(_ => graft.plans.InjectBloomPreFilter)
   }
 }
