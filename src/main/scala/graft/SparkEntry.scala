@@ -360,19 +360,23 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // Text analysis: token counts + quality stats, exact arithmetic with a
+    // Text analysis: whitespace + BPE-ish regex token counts, quality
+    // stats, and the composite quality score — exact arithmetic with a
     // direct DuckDB translation.
     "text_stats" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
       docs.select(
         col("doc_id"),
         graft.ops.TextAnalysis.token_count(col("text")).as("n_tokens"),
-        graft.ops.TextAnalysis.quality_stats(col("text")).as("st"))
+        graft.ops.TextAnalysis.regex_token_count(col("text")).as("n_subwords"),
+        graft.ops.TextAnalysis.quality_stats(col("text")).as("st"),
+        graft.ops.TextAnalysis.quality_score(col("text")).as("quality"))
         .select(
-          col("doc_id"), col("n_tokens"),
+          col("doc_id"), col("n_tokens"), col("n_subwords"),
           col("st.n_chars").as("n_chars"),
           col("st.alpha_ratio").as("alpha_ratio"),
-          col("st.space_ratio").as("space_ratio"))
+          col("st.space_ratio").as("space_ratio"),
+          col("quality"))
         .orderBy(col("doc_id"))
     },
 
@@ -548,17 +552,29 @@ object SparkEntry {
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents
         |WHERE doc_id % 10 = 0 ORDER BY id_a, id_b""".stripMargin,
     "text_stats" ->
-      """SELECT doc_id,
-        |CASE WHEN length(trim(text)) = 0 THEN 0
-        |     ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-        |length(text) AS n_chars,
-        |CASE WHEN length(text) > 0 THEN
-        |  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text), 6)
-        |  ELSE 0.0 END AS alpha_ratio,
-        |CASE WHEN length(text) > 0 THEN
-        |  round((length(text) - length(regexp_replace(text, '\s', '', 'g'))) * 1.0 / length(text), 6)
-        |  ELSE 0.0 END AS space_ratio
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH t AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+        |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+        |    length(text) - length(regexp_replace(text, '\s', '', 'g')) AS sp,
+        |    length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS punct
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n, toks,
+        |    CAST(len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]')) AS INTEGER) AS n_subwords,
+        |    CASE WHEN n > 0 THEN round(alpha * 1.0 / n, 6) ELSE 0.0 END AS alpha_ratio,
+        |    CASE WHEN n > 0 THEN round(sp * 1.0 / n, 6) ELSE 0.0 END AS space_ratio,
+        |    CASE WHEN n > 0 THEN round(punct * 1.0 / n, 6) ELSE 0.0 END AS punct_ratio,
+        |    CASE WHEN toks > 0 THEN round((n - sp) * 1.0 / toks, 6) ELSE 0.0 END AS mean_len
+        |  FROM t)
+        |SELECT doc_id, toks AS n_tokens, n_subwords, n AS n_chars,
+        |  alpha_ratio, space_ratio,
+        |  round(greatest(0.0, least(1.0,
+        |    alpha_ratio * 0.6 +
+        |    (CASE WHEN mean_len BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+        |    (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.1)), 6) AS quality
+        |FROM r ORDER BY doc_id""".stripMargin,
     "similarity_topk" ->
       """SELECT vec_id AS id,
         |round(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
