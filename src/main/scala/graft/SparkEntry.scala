@@ -426,6 +426,30 @@ object SparkEntry {
         .toDF("recall_at_least_080", "returned_k", "indexed_matches")
     },
 
+    // IVF ANN (the second scale path next to hyperplane LSH): k-means
+    // coarse quantizer -> inverted lists -> nprobe-list probe + exact
+    // re-rank, on the same derived clustered vectors as ann_lsh_recall.
+    "ann_ivf_recall" -> { (s, dir) =>
+      import s.implicits._
+      val clusterUdf = udf((e: Seq[Float], l: Int) =>
+        e.zipWithIndex.map { case (x, d) =>
+          val h = graft.core.Hashing.mix64((l.toLong << 32) ^ d.toLong)
+          h.toDouble / Long.MaxValue.toDouble + 0.3 * x
+        })
+      val df = table(s, dir, "embeddings")
+        .select(col("vec_id"), clusterUdf(col("embedding"), col("label")).as("embedding"))
+      val query = df.filter(col("vec_id") === 1L).head.getSeq[Double](1)
+      val centroids = graft.ops.Similarity.kmeansCentroids(
+        df, "embedding", "vec_id", k = 8, iters = 3)
+      val index = graft.ops.Similarity.ivfIndex(df, "embedding", "vec_id", centroids)
+      val ann = graft.ops.Similarity.ivfTopK(
+        index, "embedding", query, centroids, 10, nprobe = 2)
+      val exact = graft.ops.Similarity.bruteForceTopK(df, "embedding", "vec_id", query, 10)
+      val recall = graft.ops.Similarity.recallAtK(ann, exact)
+      Seq((recall >= 0.8, ann.count() == 10))
+        .toDF("recall_at_least_080", "returned_k")
+    },
+
     // Embedding near-duplicate pairs over multi-table hyperplane LSH with
     // exact cosine re-rank, against a FULL all-pairs DuckDB oracle:
     // planted dups (x2-scaled copies -> cosine exactly 1.0, so every table
@@ -585,6 +609,9 @@ object SparkEntry {
       """SELECT CAST(1 AS BOOLEAN) AS recall_at_least_080,
         |CAST(1 AS BOOLEAN) AS returned_k,
         |CAST(1 AS BOOLEAN) AS indexed_matches""".stripMargin,
+    "ann_ivf_recall" ->
+      """SELECT CAST(1 AS BOOLEAN) AS recall_at_least_080,
+        |CAST(1 AS BOOLEAN) AS returned_k""".stripMargin,
     "embedding_pairs" ->
       """WITH aug AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -173,6 +173,102 @@ object Similarity {
     rerank(index.filter(col("bucket").isin(probeBuckets(query, nPlanes): _*)),
       vecCol, query, k)
 
+  // ------------------------------------------------------------------- IVF
+
+  /** Deterministic k-means coarse quantizer for IVF: k centroids over the
+    * vector column, Lloyd iterations executed as DataFrame aggregations.
+    * Only the centroids (k x dim doubles — the coarse quantizer is small
+    * BY DESIGN; that is the point of IVF) ever reach the driver; the
+    * assignment and averaging passes are distributed.
+    *
+    * Initialization picks the k vectors with the smallest mix64(id) —
+    * deterministic across runs and partitionings.
+    */
+  def kmeansCentroids(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      iters: Int = 5): Array[Array[Double]] = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      toDoubleArr(col(vecCol)).as("v"))
+    val mixUdf = udf((id: Long) => Hashing.mix64(id))
+    var centroids: Array[Array[Double]] = base
+      .withColumn("m", mixUdf(col("id")))
+      .orderBy(col("m"), col("id")).limit(k)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+
+    for (_ <- 1 to iters) {
+      val cents = centroids
+      val assignUdf = udf((v: Seq[Double]) => nearestCentroid(v, cents)._1)
+      // element-wise mean per cluster via posexplode + groupBy — shuffles
+      // only (cluster, dim, partial sums), never whole vectors
+      val newCents = base
+        .withColumn("c", assignUdf(col("v")))
+        .select(col("c"), posexplode(col("v")))
+        .groupBy(col("c"), col("pos"))
+        .agg(avg(col("col")).as("m"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      centroids = centroids.indices.map(i => newCents.getOrElse(i, centroids(i))).toArray
+    }
+    centroids
+  }
+
+  /** (index, distance^2) of the nearest centroid (ties -> lowest index). */
+  def nearestCentroid(v: Seq[Double], centroids: Array[Array[Double]]): (Int, Double) = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var d = 0.0
+      var i = 0
+      val n = math.min(v.length, cent.length)
+      while (i < n) { val x = v(i) - cent(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    (best, bestD)
+  }
+
+  /** IVF inverted-list table: (id, embedding, list) — `list` is the
+    * nearest-centroid index. Persist sorted by `list` (like
+    * [[writeIndex]]) for row-group-pruned repeated queries.
+    */
+  def ivfIndex(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val assignUdf = udf((v: Seq[Double]) => nearestCentroid(v, centroids)._1)
+    df.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol),
+      assignUdf(toDoubleArr(col(vecCol))).as("list"))
+  }
+
+  /** ANN top-k via IVF: probe the `nprobe` lists nearest to the query,
+    * exact cosine re-rank on their members. Same schema as
+    * [[bruteForceTopK]].
+    */
+  def ivfTopK(
+      index: DataFrame,
+      vecCol: String,
+      query: Seq[Double],
+      centroids: Array[Array[Double]],
+      k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val lists = centroids.indices
+      .map(c => c -> nearestCentroid(query, Array(centroids(c)))._2)
+      .sortBy(_._2).take(nprobe).map(_._1)
+    rerank(index.filter(col("list").isin(lists: _*)), vecCol, query, k)
+  }
+
   /** Recall of the ANN result against the exact top-k (evaluation helper). */
   def recallAtK(ann: DataFrame, exact: DataFrame): Double = {
     val a = ann.select("id").collect().map(_.getLong(0)).toSet

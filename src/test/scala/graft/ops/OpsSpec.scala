@@ -139,6 +139,30 @@ class OpsSpec extends SparkTestBase {
     assert(p1 > 0.999999, s"defaults must catch near-dups: $p1")
   }
 
+  test("IVF ANN: recall >= 0.8 on clustered data, deterministic centroids") {
+    val r = new scala.util.Random(5)
+    val centers = Array.tabulate(5)(_ => Array.fill(16)(r.nextGaussian()))
+    val vecs = (0 until 500).map { i =>
+      (i.toLong, centers(i % 5).map(x => x + r.nextGaussian() * 0.1).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    val query = vecs(0)._2
+    val centroids = Similarity.kmeansCentroids(df, "embedding", "vec_id", 5, iters = 4)
+    assert(centroids.length === 5)
+    val index = Similarity.ivfIndex(df, "embedding", "vec_id", centroids)
+    val ann = Similarity.ivfTopK(index, "embedding", query, centroids, 10, nprobe = 2)
+    val exact = Similarity.bruteForceTopK(df, "embedding", "vec_id", query, 10)
+    val recall = Similarity.recallAtK(ann, exact)
+    assert(recall >= 0.8, s"recall=$recall")
+    // centroid init is deterministic: same input under another
+    // partitioning picks the same seeds
+    val centroids2 = Similarity.kmeansCentroids(
+      df.repartition(7), "embedding", "vec_id", 5, iters = 0)
+    val init1 = Similarity.kmeansCentroids(df, "embedding", "vec_id", 5, iters = 0)
+    assert(centroids2.map(_.toSeq).toSeq === init1.map(_.toSeq).toSeq)
+    df.unpersist()
+  }
+
   test("persisted LSH index returns the identical top-k as the direct path") {
     val r = new scala.util.Random(11)
     val centers = Array.tabulate(5)(_ => Array.fill(16)(r.nextGaussian()))
