@@ -137,6 +137,10 @@ object functions {
 
   def sbf_agg(key: Column): Column = sbf_agg(key, 4096, 0.001)
 
+  /** Concat/compact-merge a column of serialized scalable filters. */
+  def sbf_union_agg(filters: Column): Column =
+    toCol(SbfUnionAgg(toExpr(filters)).toAggregateExpression())
+
   /** Membership probe across all stages; zero FN. */
   def sbf_contains(filter: Column, key: Column): Column =
     toCol(SbfContains(toExpr(filter), AbloomKeyHash(toExpr(key))))

@@ -66,6 +66,7 @@ object Registry {
         else org.apache.spark.sql.catalyst.expressions.Literal(0.001)
       SbfAgg(AbloomKeyHash(args(0)), cap, fp)
     },
+    "sbf_union_agg" -> { args => SbfUnionAgg(args.head) },
     "sbf_contains" -> { args =>
       require(args.size == 2, "sbf_contains(filter, key)")
       SbfContains(args(0), AbloomKeyHash(args(1)))

@@ -35,6 +35,19 @@ class SbfSparkSpec extends SparkTestBase {
     assert(fp.toDouble / probes <= bound * 1.5, s"fp=$fp bound=$bound")
   }
 
+  test("sbf_union_agg tree-merges stored partials; all keys still contained") {
+    // build per-group partials, merge the stored blobs, probe everything
+    val df = (0L until 12000L).map(k => (k, (k % 5).toString)).toDF("k", "g")
+    val merged = df.groupBy(col("g"))
+      .agg(sbf_agg(col("k"), 1024, 0.001).as("f"))
+      .agg(sbf_union_agg(col("f"))).head.getAs[Array[Byte]](0)
+    val f = Sbf.fromBytes(merged)
+    assert(f.insertedCount === 12000L)
+    val fn = (0L until 12000L).toDF("k")
+      .filter(!sbf_contains(lit(merged), col("k"))).count()
+    assert(fn === 0L)
+  }
+
   test("SQL surface: sbf_agg/sbf_contains/sbf_describe") {
     val s = spark
     (0L until 9000L).toDF("k").createOrReplaceTempView("sbf_in")
