@@ -26,6 +26,28 @@ object SaltedAgg {
   private def saltCol(value: Column, salts: Int): Column =
     pmod(abloom_key_hash(value), lit(salts.toLong)).cast("int")
 
+  /** Generic two-phase salted per-group sketch: phase 1 aggregates the
+    * given partial on `(group, salt)`, phase 2 merges partials per group
+    * with the given union aggregate. Works for ANY of the library's
+    * mergeable sketches (their merges are exactly associative +
+    * commutative), producing a result bit-identical to the unsalted
+    * single-phase plan (for SBF: membership-identical — its stage layout
+    * is merge-shape-dependent by design).
+    */
+  def sketchByGroup(
+      df: DataFrame,
+      groupCol: String,
+      saltKey: Column,
+      partialAgg: Column,
+      mergeAgg: Column => Column,
+      salts: Int = 16,
+      outCol: String = "sketch"): DataFrame =
+    df.withColumn("__salt", saltCol(saltKey, salts))
+      .groupBy(col(groupCol), col("__salt"))
+      .agg(partialAgg.as("__partial"))
+      .groupBy(col(groupCol))
+      .agg(mergeAgg(col("__partial")).as(outCol))
+
   /** Per-group Bloom filter with salted skew mitigation:
     * phase 1 `groupBy(group, salt)` partial filters, phase 2 OR-merge per
     * group. Bit-identical to `df.groupBy(group).agg(bloom_agg(key))`.
@@ -37,11 +59,9 @@ object SaltedAgg {
       capacity: Long,
       fpRate: Double,
       salts: Int = 16): DataFrame =
-    df.withColumn("__salt", saltCol(col(keyCol), salts))
-      .groupBy(col(groupCol), col("__salt"))
-      .agg(bloom_agg(col(keyCol), capacity, fpRate).as("partial"))
-      .groupBy(col(groupCol))
-      .agg(bloom_union_agg(col("partial")).as("filter"))
+    sketchByGroup(df, groupCol, col(keyCol),
+      bloom_agg(col(keyCol), capacity, fpRate),
+      bloom_union_agg, salts, outCol = "filter")
 
   /** Per-group HLL distinct sketch with salted skew mitigation. */
   def hllByGroup(
@@ -50,9 +70,22 @@ object SaltedAgg {
       keyCol: String,
       p: Int = graft.core.Hll.DefaultP,
       salts: Int = 16): DataFrame =
-    df.withColumn("__salt", saltCol(col(keyCol), salts))
-      .groupBy(col(groupCol), col("__salt"))
-      .agg(hll_agg(col(keyCol), p).as("partial"))
-      .groupBy(col(groupCol))
-      .agg(graft.functions.hll_union_agg(col("partial")).as("sketch"))
+    sketchByGroup(df, groupCol, col(keyCol),
+      hll_agg(col(keyCol), p),
+      graft.functions.hll_union_agg(_), salts)
+
+  /** Per-group counting filter (delete-capable) with salted skew
+    * mitigation — bit-identical to the unsalted plan (cell-add merge).
+    */
+  def cbfByGroup(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      weightCol: Column,
+      capacity: Long,
+      fpRate: Double,
+      salts: Int = 16): DataFrame =
+    sketchByGroup(df, groupCol, col(keyCol),
+      cbf_agg(col(keyCol), weightCol, capacity, fpRate),
+      cbf_union_agg, salts, outCol = "filter")
 }

@@ -62,4 +62,28 @@ class SaltedAggSpec extends SparkTestBase {
     assert(viaBc === viaLit) // identical decisions on every probe
     bc.destroy()
   }
+
+  test("salted CBF per group == unsalted (bit-identical), deletes included") {
+    val ops = skewed.withColumn("w",
+      when(col("key").endsWith("1"), lit(-1)).otherwise(lit(1)))
+    // every delete needs a matching insert: union inserts for the -1 rows
+    val df = ops.withColumn("w", lit(1))
+      .unionByName(ops.filter(col("w") === -1))
+    val salted = SaltedAgg.cbfByGroup(df, "grp", "key", col("w"), 5000, 0.01, salts = 8)
+      .collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    val plain = df.groupBy(col("grp"))
+      .agg(cbf_agg(col("key"), col("w"), 5000, 0.01).as("filter"))
+      .collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    assert(salted === plain)
+  }
+
+  test("generic sketchByGroup hosts any mergeable sketch (SBF example)") {
+    val out = SaltedAgg.sketchByGroup(skewed, "grp", col("key"),
+      sbf_agg(col("key"), 1024, 0.001), sbf_union_agg(_), salts = 4)
+      .collect().map(r => (r.getString(0), graft.core.Sbf.fromBytes(r.getAs[Array[Byte]](1))))
+    out.foreach { case (g, f) =>
+      val expected = if (g == "hot") 4000L else 200L
+      assert(f.insertedCount === expected, s"group $g")
+    }
+  }
 }
