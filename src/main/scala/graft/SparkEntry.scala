@@ -298,6 +298,44 @@ object SparkEntry {
         .toDF("rows_built", "lineage_partitions", "zero_fn", "sha_invariant")
     },
 
+    // Structured Streaming end-to-end under the correctness gate: the
+    // events table replayed as a file stream -> windowed HLL distinct
+    // (AvailableNow trigger, memory sink) -> per-day estimates joined
+    // against the exact batch distincts. Day windows + exact counts give
+    // a deterministic DuckDB oracle; the estimate must sit within the
+    // published bound.
+    "streaming_windowed_distinct" -> { (s, dir) =>
+      val events = table(s, dir, "events")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-swd").toString
+      events.write.parquet(s"$tmp/in")
+      // the synthetic ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP
+      // (session TZ is UTC, so the cast is value-preserving)
+      val stream = s.readStream.schema(events.schema).parquet(s"$tmp/in")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val agg = graft.streaming.StreamingSketches.windowedDistinct(
+        stream, "ts", "user_id", "1 day", "1 hour")
+      val qname = "swd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val est = s.table(qname).select(
+        col("window_start").cast("date").as("day"),
+        col("approx_distinct"))
+      val exact = events
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        .select(col("window.start").cast("date").as("day"), col("exact_distinct"))
+      exact.join(est, "day")
+        .select(
+          col("day"), col("exact_distinct"),
+          (abs(col("approx_distinct") - col("exact_distinct")) <=
+            greatest(lit(3 * 0.0082) * col("exact_distinct"), lit(2.0)))
+            .as("within_bound"))
+        .orderBy(col("day"))
+    },
+
     // North-rule skew handling: per-group sketches via two-phase salted
     // aggregation (bit-identical to unsalted; exact distincts oracle-
     // verified, estimates within the published bound).
@@ -539,6 +577,11 @@ object SparkEntry {
       """SELECT q, CAST(1 AS BOOLEAN) AS rank_within_eps
         |FROM (VALUES (0.1),(0.2),(0.3),(0.4),(0.5),(0.6),(0.7),(0.8),(0.9)) AS t(q)
         |ORDER BY q""".stripMargin,
+    "streaming_windowed_distinct" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |count(DISTINCT user_id) AS exact_distinct,
+        |CAST(1 AS BOOLEAN) AS within_bound
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "salted_group_sketch" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_distinct,
         |CAST(1 AS BOOLEAN) AS within_bound
