@@ -204,7 +204,20 @@ case class BloomMightContain(left: Expression, right: Expression)
   @transient private lazy val foldedFilter: Sbbf =
     if (left.foldable) {
       val b = left.eval(null)
-      if (b == null) null else Sbbf.fromBytes(b.asInstanceOf[Array[Byte]])
+      if (b == null) null
+      else {
+        val bytes = b.asInstanceOf[Array[Byte]]
+        if (bytes.length > BloomMightContain.LitWarnBytes) {
+          // the measured 14-30x footgun: a literal filter rides every
+          // stage's task binary; the broadcast variant ships once per
+          // executor (graft.functions.bloom_contains(Broadcast, key))
+          BloomMightContain.log.warn(
+            s"bloom_contains literal filter is ${bytes.length} bytes " +
+              "(> 1 MB): prefer the broadcast variant " +
+              "bloom_contains(sparkContext.broadcast(bytes), key)")
+        }
+        Sbbf.fromBytes(bytes)
+      }
     } else null
 
   override def nullSafeEval(filterBytes: Any, hash: Any): Any = {
@@ -230,6 +243,14 @@ case class BloomMightContain(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BloomMightContain =
     copy(left = newLeft, right = newRight)
+}
+
+object BloomMightContain {
+  /** Above this, a literal filter costs more in task-binary shipping than
+    * the probe saves — warn toward the broadcast variant.
+    */
+  final val LitWarnBytes: Int = 1 << 20
+  private[expr] val log = org.slf4j.LoggerFactory.getLogger(classOf[BloomMightContain])
 }
 
 /** Broadcast-variable-backed membership probe: the filter ships once per

@@ -1,0 +1,48 @@
+package graft.typed
+
+import graft.SparkTestBase
+import graft.core.{Hll, Sbbf}
+
+// top-level: Dataset encoders for inner case classes need an outer scope
+case class File(repo: String, sha: String, size: Long)
+
+class TypedSketchesSpec extends SparkTestBase {
+
+  import SparkTestBase.spark.implicits._
+
+  private def files = (0 until 3000).map { i =>
+    File(s"repo${i % 4}", f"sha$i%05d", i.toLong)
+  }
+
+  test("typed bloom aggregator per group: bit-identical to the expression build") {
+    val ds = files.toDS()
+    val perRepo = ds.groupByKey(_.repo)
+      .agg(TypedSketches.bloomOfString[File](_.sha, 1000, 0.01).toColumn.name("filter"))
+      .collect().toMap
+    assert(perRepo.size === 4)
+    // same keys through the untyped expression path -> same bytes
+    import org.apache.spark.sql.functions._
+    import graft.functions._
+    val viaExpr = files.toDF()
+      .groupBy(col("repo")).agg(bloom_agg(col("sha"), 1000, 0.01).as("f"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    perRepo.foreach { case (repo, bytes) =>
+      assert(bytes.toSeq === viaExpr(repo).toSeq, s"repo=$repo")
+      // and the filter behaves: contains every sha of the group
+      val f = Sbbf.fromBytes(bytes)
+      files.filter(_.repo == repo).foreach(x => assert(f.contains(x.sha)))
+    }
+  }
+
+  test("typed long-key bloom and HLL aggregators") {
+    val ds = files.toDS()
+    val global = ds.select(TypedSketches.bloomOfLong[File](_.size, 3000, 0.01).toColumn)
+      .head()
+    val f = Sbbf.fromBytes(global)
+    (0L until 3000L).foreach(k => assert(f.contains(k)))
+
+    val est = Hll.fromBytes(
+      ds.select(TypedSketches.hllOfString[File](_.sha).toColumn).head()).estimate
+    assert(math.abs(est - 3000).toDouble / 3000 <= 3 * 0.0082 + 0.01, s"est=$est")
+  }
+}
