@@ -167,6 +167,13 @@ object functions {
 
   def hll_estimate(sketch: Column): Column = toCol(HllEstimate(toExpr(sketch)))
 
+  /** Inclusion-exclusion estimate of the intersection cardinality of two
+    * HLL sketches (same precision required). Error compounds from three
+    * estimates — see the expression scaladoc.
+    */
+  def hll_intersect_estimate(a: Column, b: Column): Column =
+    toCol(HllIntersectEstimate(toExpr(a), toExpr(b)))
+
   /** Count-min frequency sketch: estimate in [true, true + eps*N] w.p. 1-delta. */
   def cms_agg(key: Column, eps: Double, delta: Double): Column =
     toCol(CmsAgg(AbloomKeyHash(toExpr(key)), lit(eps), lit(delta))

@@ -52,6 +52,35 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // The AUTOMATIC bloom pre-filter rule under the correctness gate: a
+    // PLAIN equi-join (no manual bloom_contains) with the rule's size
+    // gates lowered; the optimized plan must contain the injected
+    // bloom_contains, and the aggregate must match DuckDB's plain join
+    // exactly (FPs removed by the exact join, zero FN loses nothing).
+    // Executed inside the query while the conf is set (try/finally).
+    "auto_prefilter_join" -> { (s, dir) =>
+      graft.sql.Registry.register(s) // idempotent; installs the rule
+      s.conf.set("spark.graft.runtimeFilter.applicationSideMinSize", "1000")
+      s.conf.set("spark.graft.runtimeFilter.capacity", "100000")
+      try {
+        val orders = table(s, dir, "orders").filter(col("o_totalprice") > 400000)
+          .select(col("o_orderkey"))
+        val joined = table(s, dir, "lineitem")
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity")).cast("long").as("sum_qty"))
+        val injected = joined.queryExecution.optimizedPlan.toString
+          .contains("bloom_contains")
+        val row = joined.head // executes with the rule active
+        import s.implicits._
+        Seq((row.getLong(0), row.getLong(1), injected))
+          .toDF("n", "sum_qty", "prefilter_injected")
+      } finally {
+        s.conf.unset("spark.graft.runtimeFilter.applicationSideMinSize")
+        s.conf.unset("spark.graft.runtimeFilter.capacity")
+      }
+    },
+
     // §2.4 + zero-false-negative guarantee: every inserted key probes
     // positive, so the bloom-filtered count of the build side equals the
     // plain count. (An FN would make this a strict inequality.)
@@ -542,6 +571,11 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "bloom_zero_fn" ->
       "SELECT count(*) AS n_pass FROM orders",
+    "auto_prefilter_join" ->
+      """SELECT count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |CAST(1 AS BOOLEAN) AS prefilter_injected
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000""".stripMargin,
     "bloom_describe_props" ->
       """SELECT CAST(2000 AS BIGINT) AS capacity, CAST(40 AS BIGINT) AS block_count,
         |CAST(2560 AS BIGINT) AS byte_count, CAST(8 AS INTEGER) AS k,

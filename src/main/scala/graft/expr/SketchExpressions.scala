@@ -122,6 +122,45 @@ case class HllEstimate(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): HllEstimate = copy(child = c)
 }
 
+/** `hll_intersect_estimate(a, b) -> bigint` — inclusion-exclusion
+  * estimate of |A INTERSECT B| from two HLL sketches of the same
+  * precision: est(A) + est(B) - est(A UNION B), clamped at 0. Error
+  * compounds from the three estimates (can exceed the single-sketch
+  * bound when the true intersection is small relative to the union —
+  * the standard inclusion-exclusion caveat).
+  */
+case class HllIntersectEstimate(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"hll_intersect_estimate expects two binary sketches, got (${l.sql}, ${r.sql})")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HllIntersectEstimate.estimate(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val o = HllIntersectEstimate.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, (a, b) => s"$o$$.MODULE$$.estimate($a, $b)")
+  }
+  override def prettyName: String = "hll_intersect_estimate"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HllIntersectEstimate =
+    copy(left = newLeft, right = newRight)
+}
+
+object HllIntersectEstimate {
+  def estimate(aBytes: Array[Byte], bBytes: Array[Byte]): Long = {
+    val a = Hll.fromBytes(aBytes)
+    val b = Hll.fromBytes(bBytes)
+    val ea = a.estimate
+    val eb = b.estimate
+    val union = a.merge(b).estimate // a is a fresh parse; mutation is local
+    math.max(0L, ea + eb - union)
+  }
+}
+
 // ------------------------------------------------------------- count-min
 
 /** `cms_agg(key_hash, eps, delta) -> binary` — frequency sketch, merge =

@@ -33,16 +33,36 @@ object Similarity {
     h.toDouble / Long.MaxValue.toDouble
   }
 
+  // Executor-side plane cache: plane index -> materialized components up
+  // to the largest dim seen. Values are pure functions of (p, d), so the
+  // benign put race is idempotent; memory is bounded by the distinct
+  // plane indices in use (a few hundred) x dim doubles.
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+
+  private def planeVector(p: Int, dim: Int): Array[Double] = {
+    var arr = planeCache.get(p)
+    if (arr == null || arr.length < dim) {
+      arr = Array.tabulate(dim)(d => planeComponent(p, d))
+      planeCache.put(p, arr)
+    }
+    arr
+  }
+
+  @inline private def signBit(vec: Seq[Double], plane: Array[Double]): Boolean = {
+    var dot = 0.0
+    var d = 0
+    val n = vec.length
+    while (d < n) { dot += vec(d) * plane(d); d += 1 }
+    dot >= 0
+  }
+
   /** LSH signature of a vector: one bit per hyperplane (sign of dot). */
   def signatureKernel(vec: Seq[Double], nPlanes: Int): Long = {
     var sig = 0L
     var p = 0
     while (p < nPlanes) {
-      var dot = 0.0
-      var d = 0
-      val n = vec.length
-      while (d < n) { dot += vec(d) * planeComponent(p, d); d += 1 }
-      if (dot >= 0) sig |= (1L << p)
+      if (signBit(vec, planeVector(p, vec.length))) sig |= (1L << p)
       p += 1
     }
     sig
@@ -50,21 +70,14 @@ object Similarity {
 
   /** `bits`-bit signature from table-seeded hyperplanes — independent
     * across tables (used by [[Dedup.embeddingPairs]]' multi-table LSH).
+    * The plane family for (table, p) is plane index table*131 + p, the
+    * same component formula as [[signatureKernel]]'s planes.
     */
   def tableSignature(vec: Seq[Double], table: Int, bits: Int): Long = {
     var sig = 0L
     var p = 0
     while (p < bits) {
-      var dot = 0.0
-      var d = 0
-      val n = vec.length
-      while (d < n) {
-        // distinct plane family per table: fold the table id into the seed
-        val h = Hashing.mix64(((table.toLong * 131 + p).toLong << 32) ^ d.toLong ^ 0x5afe5eedL)
-        dot += vec(d) * (h.toDouble / Long.MaxValue.toDouble)
-        d += 1
-      }
-      if (dot >= 0) sig |= (1L << p)
+      if (signBit(vec, planeVector(table * 131 + p, vec.length))) sig |= (1L << p)
       p += 1
     }
     sig

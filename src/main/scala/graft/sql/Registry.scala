@@ -79,6 +79,10 @@ object Registry {
     },
     "hll_union_agg" -> { args => HllUnionAgg(args.head) },
     "hll_estimate" -> { args => HllEstimate(args.head) },
+    "hll_intersect_estimate" -> { args =>
+      require(args.size == 2, "hll_intersect_estimate(a, b)")
+      HllIntersectEstimate(args(0), args(1))
+    },
     "cms_agg" -> { args =>
       require(args.size == 3, "cms_agg(key, eps, delta)")
       CmsAgg(AbloomKeyHash(args(0)), args(1), args(2))

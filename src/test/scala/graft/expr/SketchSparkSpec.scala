@@ -118,4 +118,30 @@ class SketchSparkSpec extends SparkTestBase {
     rows.values.foreach(m => assert(math.abs(m - 500) <= 30, s"median $m"))
     assert(rows.size === 3)
   }
+
+  test("hll_intersect_estimate: inclusion-exclusion within compound error") {
+    // A = 0..20000, B = 10000..30000 -> true intersection 10000
+    val a = (0L until 20000L).toDF("k").agg(hll_agg(col("k"))).head.getAs[Array[Byte]](0)
+    val b = (10000L until 30000L).toDF("k").agg(hll_agg(col("k"))).head.getAs[Array[Byte]](0)
+    val est = Seq((a, b)).toDF("a", "b")
+      .select(hll_intersect_estimate(col("a"), col("b"))).head.getLong(0)
+    // three estimates compound: allow 3x the 3-sigma single-sketch bound
+    assert(math.abs(est - 10000) <= 3 * 3 * 0.0082 * 30000, s"est=$est")
+    // disjoint sets -> near zero (clamped at 0)
+    val c = (100000L until 120000L).toDF("k").agg(hll_agg(col("k"))).head.getAs[Array[Byte]](0)
+    val estDisjoint = Seq((a, c)).toDF("a", "b")
+      .select(hll_intersect_estimate(col("a"), col("b"))).head.getLong(0)
+    assert(estDisjoint <= 3 * 3 * 0.0082 * 40000, s"disjoint est=$estDisjoint")
+    // SQL surface
+    graft.sql.Registry.register(spark)
+    Seq((a, b)).toDF("a", "b").createOrReplaceTempView("hll_ab")
+    val viaSql = spark.sql("SELECT hll_intersect_estimate(a, b) FROM hll_ab").head.getLong(0)
+    assert(viaSql === est)
+    // incompatible precision throws
+    val hi = (0L until 100L).toDF("k").agg(hll_agg(col("k"), 10)).head.getAs[Array[Byte]](0)
+    intercept[Exception] {
+      Seq((a, hi)).toDF("a", "b")
+        .select(hll_intersect_estimate(col("a"), col("b"))).collect()
+    }
+  }
 }
