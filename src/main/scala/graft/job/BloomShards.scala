@@ -87,10 +87,12 @@ object BloomShards {
       .map(r => (r.getInt(0), r.getAs[Array[Byte]](1)))
       .partitionBy(partitioner)
 
-    val withHash = fact.withColumn("__h", abloom_key_hash(keyCol))
+    // collision-proof internal hash column (the fact may have any schema)
+    val hCol = s"__graft_h_${java.util.UUID.randomUUID().toString.take(8)}"
+    val withHash = fact.withColumn(hCol, abloom_key_hash(keyCol))
     val outputSchema = StructType(fact.schema.fields :+
       StructField(containsCol, BooleanType, nullable = false))
-    val hIdx = withHash.schema.fieldIndex("__h")
+    val hIdx = withHash.schema.fieldIndex(hCol)
 
     val factRdd = withHash.rdd
       .map(r => (shardOf(r.getLong(hIdx), shards), r))

@@ -41,12 +41,17 @@ object SaltedAgg {
       partialAgg: Column,
       mergeAgg: Column => Column,
       salts: Int = 16,
-      outCol: String = "sketch"): DataFrame =
-    df.withColumn("__salt", saltCol(saltKey, salts))
-      .groupBy(col(groupCol), col("__salt"))
-      .agg(partialAgg.as("__partial"))
+      outCol: String = "sketch"): DataFrame = {
+    // collision-proof internal names (the input may have any schema)
+    val sfx = java.util.UUID.randomUUID().toString.take(8)
+    val saltName = s"__graft_salt_$sfx"
+    val partialName = s"__graft_partial_$sfx"
+    df.withColumn(saltName, saltCol(saltKey, salts))
+      .groupBy(col(groupCol), col(saltName))
+      .agg(partialAgg.as(partialName))
       .groupBy(col(groupCol))
-      .agg(mergeAgg(col("__partial")).as(outCol))
+      .agg(mergeAgg(col(partialName)).as(outCol))
+  }
 
   /** Per-group Bloom filter with salted skew mitigation:
     * phase 1 `groupBy(group, salt)` partial filters, phase 2 OR-merge per
