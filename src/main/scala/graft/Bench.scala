@@ -94,7 +94,7 @@ object Bench {
         val (_, sec) = time {
           s.range(0L, n, 1L, cores)
             .select(sha2(col("id").cast("string"), 256).as("h"))
-            .select(length(col("h")).as("l")).agg(max("l")).head
+            .select(length(col("h")).as("l")).agg(max("l")).head()
         }
         sec
       }

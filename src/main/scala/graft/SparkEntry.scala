@@ -26,7 +26,7 @@ object SparkEntry {
     */
   private def buildFilter(df: DataFrame, key: String, cap: Long, fp: Double): Array[Byte] =
     df.select(abloom_key_hash(col(key)).as("__kh"))
-      .agg(bloom_agg_hashed(col("__kh"), cap, fp)).head.getAs[Array[Byte]](0)
+      .agg(bloom_agg_hashed(col("__kh"), cap, fp)).head().getAs[Array[Byte]](0)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Bloom-accelerated semi-join: lineitems of high-value orders, the
@@ -71,7 +71,7 @@ object SparkEntry {
             sum(col("l_quantity")).cast("long").as("sum_qty"))
         val injected = joined.queryExecution.optimizedPlan.toString
           .contains("bloom_contains")
-        val row = joined.head // executes with the rule active
+        val row = joined.head() // executes with the rule active
         import s.implicits._
         Seq((row.getLong(0), row.getLong(1), injected))
           .toDF("n", "sum_qty", "prefilter_injected")
@@ -118,7 +118,7 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"))
         .agg(bloom_agg(col("o_orderkey"), 200000, 0.01).as("f"))
         .agg(bloom_union_agg(col("f")))
-        .head.getAs[Array[Byte]](0)
+        .head().getAs[Array[Byte]](0)
       val lineitem = table(s, dir, "lineitem")
       lineitem
         .filter(bloom_contains(lit(merged), col("l_orderkey")))
@@ -146,7 +146,7 @@ object SparkEntry {
         .agg(
           sum(when(!col("is_member") && col("hit"), 1).otherwise(0)).as("fp"),
           sum(when(col("is_member") && !col("hit"), 1).otherwise(0)).as("fn"))
-        .head
+        .head()
       import s.implicits._
       Seq((r.getLong(0).toDouble / 500000 <= 0.01 * 1.05, r.getLong(1) == 0L))
         .toDF("fpr_within_bound", "zero_false_negatives")
@@ -190,7 +190,7 @@ object SparkEntry {
       val ops = keys.withColumn("w", lit(1))
         .unionByName(keys.filter(col("k") % 7 === 0).withColumn("w", lit(-1)))
       val bytes = ops.agg(cbf_agg(col("k"), col("w"), n, 0.01))
-        .head.getAs[Array[Byte]](0)
+        .head().getAs[Array[Byte]](0)
       // counting filters are 32x SBBF bytes (6+ MB at sf0.1): broadcast,
       // never lit — a literal would ride every task binary
       val bc = s.sparkContext.broadcast(bytes)
@@ -204,7 +204,7 @@ object SparkEntry {
           sum(when(col("deleted"), 1L).otherwise(0L)).as("n_del"),
           sum(when(col("cnt") <
             when(col("deleted"), 0L).otherwise(1L), 1L).otherwise(0L)).as("under"))
-        .head
+        .head()
       import s.implicits._
       Seq((stats.getLong(0),
         stats.getLong(1).toDouble / stats.getLong(2).max(1L) <= 0.015,
@@ -220,7 +220,7 @@ object SparkEntry {
     "sbf_unknown_cardinality" -> { (s, dir) =>
       val events = table(s, dir, "events")
       val bytes = events.agg(sbf_agg(col("event_id"), 4096, 0.001))
-        .head.getAs[Array[Byte]](0)
+        .head().getAs[Array[Byte]](0)
       val desc = graft.core.Sbf.fromBytes(bytes)
       val pass = events.filter(sbf_contains(lit(bytes), col("event_id"))).count()
       val probes = 500000L
@@ -238,7 +238,7 @@ object SparkEntry {
       val events = table(s, dir, "events")
       val row = events.agg(
         countDistinct(col("user_id")).as("exact"),
-        hll_estimate(hll_agg(col("user_id"))).as("est")).head
+        hll_estimate(hll_agg(col("user_id"))).as("est")).head()
       val exact = row.getLong(0)
       val est = row.getLong(1)
       import s.implicits._
@@ -251,7 +251,7 @@ object SparkEntry {
     "cms_frequencies" -> { (s, dir) =>
       val events = table(s, dir, "events")
       val sketch = events.agg(cms_agg(col("event_type"), 0.0005, 0.01))
-        .head.getAs[Array[Byte]](0)
+        .head().getAs[Array[Byte]](0)
       val n = events.count()
       val epsN = math.ceil(math.E / math.ceil(math.E / 0.0005) * n).toLong
       events.groupBy(col("event_type"))
@@ -270,12 +270,12 @@ object SparkEntry {
     "tdigest_quantiles" -> { (s, dir) =>
       val li = table(s, dir, "lineitem")
       val sketch = li.agg(tdigest_agg(col("l_extendedprice"), 100.0))
-        .head.getAs[Array[Byte]](0)
+        .head().getAs[Array[Byte]](0)
       val n = li.count()
       import s.implicits._
       val checks = Seq(0.01, 0.5, 0.99).map { q =>
         val est = Seq(sketch).toDF("s")
-          .select(tdigest_quantile(col("s"), q)).head.getDouble(0)
+          .select(tdigest_quantile(col("s"), q)).head().getDouble(0)
         val rank = li.filter(col("l_extendedprice") <= est).count().toDouble / n
         val bound = if (q <= 0.01 || q >= 0.99) 0.005 else 0.02
         (q, math.abs(rank - q) <= bound)
@@ -287,12 +287,12 @@ object SparkEntry {
     "kll_rank_error" -> { (s, dir) =>
       val ev = table(s, dir, "events")
       val sketch = ev.agg(kll_agg(col("value"), 200))
-        .head.getAs[Array[Byte]](0)
+        .head().getAs[Array[Byte]](0)
       val n = ev.filter(!col("value").isNaN).count()
       import s.implicits._
       val checks = (1 to 9).map(_ / 10.0).map { q =>
         val est = Seq(sketch).toDF("s")
-          .select(kll_quantile(col("s"), q)).head.getDouble(0)
+          .select(kll_quantile(col("s"), q)).head().getDouble(0)
         val rank = ev.filter(col("value") <= est).count().toDouble / n
         (q, math.abs(rank - q) <= 2.5 / 200.0)
       }
@@ -315,7 +315,7 @@ object SparkEntry {
         keys.toDF(), col("key"), 2000, 0.01, ckpt)
       val lineage = graft.job.BloomBuild.lineage(s, ckpt)
       val nParts = lineage.count()
-      val rowsBuilt = lineage.agg(sum(col("rows"))).head.getLong(0)
+      val rowsBuilt = lineage.agg(sum(col("rows"))).head().getLong(0)
       val fn = keys.filter(!bloom_contains(lit(filterBytes), col("key"))).count()
       // per-row invariant: sha256 is a pure function of (repo, path, commit)
       // -> identical under a different partitioning
@@ -452,7 +452,7 @@ object SparkEntry {
     "similarity_topk" -> { (s, dir) =>
       val emb = table(s, dir, "embeddings")
       val query = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       graft.ops.Similarity.bruteForceTopK(emb, "embedding", "vec_id", query, 10)
         .withColumn("cosine", round(col("cosine"), 4))
         .orderBy(col("cosine").desc, col("id"))
@@ -478,7 +478,7 @@ object SparkEntry {
       val df = table(s, dir, "embeddings")
         .select(col("vec_id"), clusterUdf(col("embedding"), col("label")).as("embedding"))
       // the query PARAMETER: one row, fetched by key — not a data collect
-      val query = df.filter(col("vec_id") === 1L).head.getSeq[Double](1)
+      val query = df.filter(col("vec_id") === 1L).head().getSeq[Double](1)
       val exact = graft.ops.Similarity.bruteForceTopK(df, "embedding", "vec_id", query, 10)
       val ann = graft.ops.Similarity.lshTopK(df, "embedding", "vec_id", query, 10, nPlanes = 10)
       val recall = graft.ops.Similarity.recallAtK(ann, exact)
@@ -505,7 +505,7 @@ object SparkEntry {
         })
       val df = table(s, dir, "embeddings")
         .select(col("vec_id"), clusterUdf(col("embedding"), col("label")).as("embedding"))
-      val query = df.filter(col("vec_id") === 1L).head.getSeq[Double](1)
+      val query = df.filter(col("vec_id") === 1L).head().getSeq[Double](1)
       val centroids = graft.ops.Similarity.kmeansCentroids(
         df, "embedding", "vec_id", k = 8, iters = 3)
       val index = graft.ops.Similarity.ivfIndex(df, "embedding", "vec_id", centroids)

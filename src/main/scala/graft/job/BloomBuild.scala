@@ -85,7 +85,7 @@ object BloomBuild {
       .groupBy(col("g"))
       .agg(bloom_agg_hashed(col("h"), capacity, fpRate).as("f"))
       .agg(bloom_union_agg(col("f")))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
   }
 
   // --------------------------------------------- checkpointed / resumable
@@ -175,7 +175,7 @@ object BloomBuild {
     spark.read.schema(checkpointSchema).parquet(checkpointDir)
       .dropDuplicates("partition_id") // replayed partitions are harmless but dedup anyway
       .agg(bloom_union_agg(col("filter")))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
   }
 
   /** Per-partition lineage + metrics of a checkpointed build. */
