@@ -84,22 +84,29 @@ object Bench {
   }
 
   /** Pure-CPU scaling probe (no sketch, no memory pressure): bounds what
-    * this host can show for ANY embarrassingly parallel job.
+    * this host can show for ANY embarrassingly parallel job. Levels are
+    * INTERLEAVED across reps like the build sweeps — back-to-back level
+    * blocks would expose the ceiling estimate to the same host-drift
+    * artifact the build protocol was fixed for.
     */
-  private def cpuProbe(cores: Int, reps: Int): Double = {
-    val s = session(cores)
-    try {
-      val n = 30000000L
-      val secs = (1 to reps).map { _ =>
-        val (_, sec) = time {
-          s.range(0L, n, 1L, cores)
-            .select(sha2(col("id").cast("string"), 256).as("h"))
-            .select(length(col("h")).as("l")).agg(max("l")).head()
-        }
-        sec
+  private def cpuProbeInterleaved(levels: Seq[Int], reps: Int): Map[Int, Double] = {
+    val n = 30000000L
+    val samples = scala.collection.mutable.Map[Int, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    (1 to reps).foreach { _ =>
+      levels.foreach { c =>
+        val s = session(c)
+        try {
+          val (_, sec) = time {
+            s.range(0L, n, 1L, c)
+              .select(sha2(col("id").cast("string"), 256).as("h"))
+              .select(length(col("h")).as("l")).agg(max("l")).head()
+          }
+          samples(c) = samples(c) :+ sec
+        } finally s.stop()
       }
-      n / median(secs)
-    } finally s.stop()
+    }
+    levels.map(c => c -> n / median(samples(c))).toMap
   }
 
   private def jsonEscape(s: String): String = s.flatMap {
@@ -188,10 +195,9 @@ object Bench {
       (fp.toDouble / probes, fn == 0L, n / median(probeSecs))
     } finally s2.stop()
 
-    // hardware scaling ceiling (pure CPU)
-    val cpuLow = cpuProbe(8, reps)
-    val cpuHigh = cpuProbe(32, reps)
-    val cpuEff = cpuHigh / (4.0 * cpuLow)
+    // hardware scaling ceiling (pure CPU), interleaved medians
+    val cpuTp = cpuProbeInterleaved(Seq(8, 32), reps)
+    val cpuEff = cpuTp(32) / (4.0 * cpuTp(8))
 
     val qs = names.filter(times.contains)
       .map(k => "\"" + k + "\":" + times(k)).mkString("{", ",", "}")

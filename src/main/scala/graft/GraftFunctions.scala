@@ -145,6 +145,13 @@ object functions {
   def sbf_contains(filter: Column, key: Column): Column =
     toCol(SbfContains(toExpr(filter), AbloomKeyHash(toExpr(key))))
 
+  /** Broadcast-backed probe — preferred once the stage series has grown
+    * past ~1 MB (large streams).
+    */
+  def sbf_contains(filter: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+      key: Column): Column =
+    toCol(SbfBroadcastContains(filter, AbloomKeyHash(toExpr(key))))
+
   /** Read-only properties: initial_capacity, fp0, growth, tightening,
     * stage_count, inserted_count, compound_fp_bound.
     */

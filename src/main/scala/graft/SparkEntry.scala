@@ -28,6 +28,23 @@ object SparkEntry {
     df.select(abloom_key_hash(col(key)).as("__kh"))
       .agg(bloom_agg_hashed(col("__kh"), cap, fp)).head().getAs[Array[Byte]](0)
 
+  /** Deterministic CLUSTERED vectors derived from the embeddings table
+    * (label-seeded center + the real embedding as noise) — the workload
+    * shape ANN indexes exist for; the raw table is uniform random, the
+    * adversarial case where no sublinear ANN can recall well. Shared by
+    * both ANN recall queries so their inputs can never desynchronize.
+    * Fully distributed: a column expression, no driver collect.
+    */
+  private def clusteredEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val clusterUdf = udf((e: Seq[Float], l: Int) =>
+      e.zipWithIndex.map { case (x, d) =>
+        val h = graft.core.Hashing.mix64((l.toLong << 32) ^ d.toLong)
+        h.toDouble / Long.MaxValue.toDouble + 0.3 * x
+      })
+    table(s, dir, "embeddings")
+      .select(col("vec_id"), clusterUdf(col("embedding"), col("label")).as("embedding"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Bloom-accelerated semi-join: lineitems of high-value orders, the
     * filter standing in for the runtime pre-filter a 100 TB fact scan
@@ -222,10 +239,13 @@ object SparkEntry {
       val bytes = events.agg(sbf_agg(col("event_id"), 4096, 0.001))
         .head().getAs[Array[Byte]](0)
       val desc = graft.core.Sbf.fromBytes(bytes)
-      val pass = events.filter(sbf_contains(lit(bytes), col("event_id"))).count()
+      // grown stage series: broadcast the blob (crosses the ~1 MB literal
+      // line at larger sf), probe through the broadcast variant
+      val bc = s.sparkContext.broadcast(bytes)
+      val pass = events.filter(sbf_contains(bc, col("event_id"))).count()
       val probes = 500000L
       val fp = s.range(1000000000L, 1000000000L + probes).toDF("k")
-        .filter(sbf_contains(lit(bytes), col("k"))).count()
+        .filter(sbf_contains(bc, col("k"))).count()
       import s.implicits._
       Seq((pass, desc.stageCount > 1,
         fp.toDouble / probes <= desc.compoundFpBound * 1.5))
@@ -470,13 +490,7 @@ object SparkEntry {
     // 64+ dims probed.
     "ann_lsh_recall" -> { (s, dir) =>
       import s.implicits._
-      val clusterUdf = udf((e: Seq[Float], l: Int) =>
-        e.zipWithIndex.map { case (x, d) =>
-          val h = graft.core.Hashing.mix64((l.toLong << 32) ^ d.toLong)
-          h.toDouble / Long.MaxValue.toDouble + 0.3 * x
-        })
-      val df = table(s, dir, "embeddings")
-        .select(col("vec_id"), clusterUdf(col("embedding"), col("label")).as("embedding"))
+      val df = clusteredEmbeddings(s, dir)
       // the query PARAMETER: one row, fetched by key — not a data collect
       val query = df.filter(col("vec_id") === 1L).head().getSeq[Double](1)
       val exact = graft.ops.Similarity.bruteForceTopK(df, "embedding", "vec_id", query, 10)
@@ -498,13 +512,7 @@ object SparkEntry {
     // re-rank, on the same derived clustered vectors as ann_lsh_recall.
     "ann_ivf_recall" -> { (s, dir) =>
       import s.implicits._
-      val clusterUdf = udf((e: Seq[Float], l: Int) =>
-        e.zipWithIndex.map { case (x, d) =>
-          val h = graft.core.Hashing.mix64((l.toLong << 32) ^ d.toLong)
-          h.toDouble / Long.MaxValue.toDouble + 0.3 * x
-        })
-      val df = table(s, dir, "embeddings")
-        .select(col("vec_id"), clusterUdf(col("embedding"), col("label")).as("embedding"))
+      val df = clusteredEmbeddings(s, dir)
       val query = df.filter(col("vec_id") === 1L).head().getSeq[Double](1)
       val centroids = graft.ops.Similarity.kmeansCentroids(
         df, "embedding", "vec_id", k = 8, iters = 3)

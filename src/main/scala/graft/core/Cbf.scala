@@ -193,33 +193,11 @@ object Cbf {
 
   /** Parse + validate ABCM v1 bytes — the same validation battery as
     * [[Sbbf.fromBytes]] (magic, version, exact length, capacity, fp_rate
-    * range, block-count consistency).
+    * range, block-count consistency), via the shared header validator.
     */
   def fromBytes(data: Array[Byte]): Cbf = {
-    def fail(msg: String) = throw new SbbfFormatException(msg)
-    if (data.length < HeaderSize) fail("Invalid data: too short for header")
-    if (data(0) != 'A' || data(1) != 'B' || data(2) != 'C' || data(3) != 'M')
-      fail("Invalid data: wrong magic bytes")
-    val version = data(4) & 0xff
-    if (version != Version)
-      fail(s"Unsupported version: $version (expected $Version)")
-    val capacity = Sbbf.readBE64(data, 5)
-    val fpRateBits = Sbbf.readBE64(data, 13)
-    val fpRate = java.lang.Double.longBitsToDouble(fpRateBits)
-    val blockCount = Sbbf.readBE64(data, 21)
-    val expectedTotal =
-      if (blockCount < 0 || blockCount > (Int.MaxValue.toLong - HeaderSize) / (BlockCells * 4L)) -1L
-      else HeaderSize + blockCount * BlockCells * 4L
-    if (data.length.toLong != expectedTotal)
-      fail(s"Invalid data: expected $expectedTotal bytes, got ${data.length}")
-    if (capacity == 0) fail("Invalid data: capacity is 0")
-    if (!(fpRate > 0.0 && fpRate < 1.0)) fail("Invalid data: fp_rate out of range")
-    val expectedBlocks =
-      try Sbbf.blockCountFor(capacity, fpRate)
-      catch { case _: IllegalArgumentException => -1L }
-    if (expectedBlocks <= 0 || blockCount != expectedBlocks)
-      fail("Invalid data: block_count doesn't match capacity/fp_rate")
-
+    val (capacity, fpRateBits, blockCount) =
+      Sbbf.validateHeader(data, "ABCM", Version, BlockCells * 4L)
     val cells = new Array[Int](blockCount.toInt * BlockCells)
     var i = 0
     var off = HeaderSize

@@ -271,26 +271,36 @@ object Sbbf {
       new Array[Long](blocks.toInt * BlockWords), freeThreading = false)
   }
 
-  /** Parse + validate ABLM v2 bytes (`from_bytes`, `_abloom.c:398-507`).
-    * All seven reference validations, same order, same messages.
+  /** Shared 30-byte header validation for all block-filter wire formats
+    * (ABLM words, ABCM int cells): magic, version, EXACT total length for
+    * the format's bytes-per-block, capacity/fp-rate ranges, and the
+    * block-count-vs-sizing consistency recompute — same order, same
+    * messages as the reference's `from_bytes` (`_abloom.c:398-507`).
+    * Returns (capacity, fpRateBits, blockCount).
     */
-  def fromBytes(data: Array[Byte]): Sbbf = {
+  private[core] def validateHeader(
+      data: Array[Byte],
+      magic: String,
+      version: Byte,
+      bytesPerBlock: Long): (Long, Long, Long) = {
     def fail(msg: String) = throw new SbbfFormatException(msg)
     if (data.length < HeaderSize) fail("Invalid data: too short for header")
-    if (data(0) != 'A' || data(1) != 'B' || data(2) != 'L' || data(3) != 'M')
-      fail("Invalid data: wrong magic bytes")
-    val version = data(4) & 0xff
-    if (version != Version)
-      fail(s"Unsupported version: $version (expected $Version)")
+    var i = 0
+    while (i < 4) {
+      if (data(i) != magic.charAt(i).toByte) fail("Invalid data: wrong magic bytes")
+      i += 1
+    }
+    val v = data(4) & 0xff
+    if (v != version)
+      fail(s"Unsupported version: $v (expected $version)")
     val capacity = readBE64(data, 5)
     val fpRateBits = readBE64(data, 13)
     val fpRate = java.lang.Double.longBitsToDouble(fpRateBits)
     val blockCount = readBE64(data, 21)
-    val freeThreading = data(29) != 0
     // exact length: truncated AND trailing bytes rejected (_abloom.c:450-456)
     val expectedTotal =
-      if (blockCount < 0 || blockCount > (Int.MaxValue.toLong - HeaderSize) / BlockBytes) -1L
-      else HeaderSize + blockCount * BlockBytes
+      if (blockCount < 0 || blockCount > (Int.MaxValue.toLong - HeaderSize) / bytesPerBlock) -1L
+      else HeaderSize + blockCount * bytesPerBlock
     if (data.length.toLong != expectedTotal)
       fail(s"Invalid data: expected $expectedTotal bytes, got ${data.length}")
     if (capacity == 0) fail("Invalid data: capacity is 0")
@@ -300,7 +310,16 @@ object Sbbf {
       catch { case _: IllegalArgumentException => -1L }
     if (expectedBlocks <= 0 || blockCount != expectedBlocks)
       fail("Invalid data: block_count doesn't match capacity/fp_rate")
+    (capacity, fpRateBits, blockCount)
+  }
 
+  /** Parse + validate ABLM v2 bytes (`from_bytes`, `_abloom.c:398-507`).
+    * All seven reference validations, same order, same messages.
+    */
+  def fromBytes(data: Array[Byte]): Sbbf = {
+    val (capacity, fpRateBits, blockCount) =
+      validateHeader(data, "ABLM", Version, BlockBytes)
+    val freeThreading = data(29) != 0
     val words = new Array[Long](blockCount.toInt * BlockWords)
     var i = 0
     var off = HeaderSize
@@ -318,30 +337,9 @@ object Sbbf {
     * the 63 MB filters the bench builds.
     */
   def describe(data: Array[Byte]): (Long, Double, Long) = {
-    def fail(msg: String) = throw new SbbfFormatException(msg)
-    if (data.length < HeaderSize) fail("Invalid data: too short for header")
-    if (data(0) != 'A' || data(1) != 'B' || data(2) != 'L' || data(3) != 'M')
-      fail("Invalid data: wrong magic bytes")
-    val version = data(4) & 0xff
-    if (version != Version)
-      fail(s"Unsupported version: $version (expected $Version)")
-    val capacity = readBE64(data, 5)
-    val fpRateBits = readBE64(data, 13)
-    val fpRate = java.lang.Double.longBitsToDouble(fpRateBits)
-    val blockCount = readBE64(data, 21)
-    val expectedTotal =
-      if (blockCount < 0 || blockCount > (Int.MaxValue.toLong - HeaderSize) / BlockBytes) -1L
-      else HeaderSize + blockCount * BlockBytes
-    if (data.length.toLong != expectedTotal)
-      fail(s"Invalid data: expected $expectedTotal bytes, got ${data.length}")
-    if (capacity == 0) fail("Invalid data: capacity is 0")
-    if (!(fpRate > 0.0 && fpRate < 1.0)) fail("Invalid data: fp_rate out of range")
-    val expectedBlocks =
-      try blockCountFor(capacity, fpRate)
-      catch { case _: IllegalArgumentException => -1L }
-    if (expectedBlocks <= 0 || blockCount != expectedBlocks)
-      fail("Invalid data: block_count doesn't match capacity/fp_rate")
-    (capacity, fpRate, blockCount)
+    val (capacity, fpRateBits, blockCount) =
+      validateHeader(data, "ABLM", Version, BlockBytes)
+    (capacity, java.lang.Double.longBitsToDouble(fpRateBits), blockCount)
   }
 
   // --------------------------------------------------------------- BE codec

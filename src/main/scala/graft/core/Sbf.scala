@@ -131,7 +131,8 @@ final class Sbf private[core] (
         stages.map(s => (s.count, s.filter)) == that.stages.map(s => (s.count, s.filter))
     case _ => false
   }
-  override def hashCode: Int = stages.hashCode
+  override def hashCode: Int =
+    stages.map(s => (s.count, s.filter)).hashCode // Stage is identity-hashed
 
   override def toString: String =
     s"<Sbf c0=$initialCapacity fp0=$fp0 stages=$stageCount inserted=$insertedCount>"

@@ -202,6 +202,40 @@ case class SbfContains(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Broadcast-backed SBF membership probe: a grown stage series over a
+  * large stream crosses the ~1 MB "ship it as a literal" line — the
+  * broadcast variant sends the blob once per executor and parses it once
+  * (cf. [[BloomBroadcastContain]]).
+  */
+case class SbfBroadcastContains(
+    bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"sbf_contains(broadcast) expects a long key hash, got ${dt.sql}")
+  }
+
+  @transient private lazy val filter: Sbf = Sbf.fromBytes(bcast.value)
+
+  def probe(hash: Long): Boolean = filter.checkHash(hash)
+
+  override def nullSafeEval(hash: Any): Any = probe(hash.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sbfBcExpr", this, classOf[SbfBroadcastContains].getName)
+    defineCodeGen(ctx, ev, h => s"$ref.probe($h)")
+  }
+
+  override def prettyName: String = "sbf_contains_bc"
+
+  override protected def withNewChildInternal(newChild: Expression): SbfBroadcastContains =
+    copy(child = newChild)
+}
+
 /** `sbf_describe(filter)` -> struct(initial_capacity, fp0, growth,
   * tightening, stage_count, inserted_count, compound_fp_bound).
   */

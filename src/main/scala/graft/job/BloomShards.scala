@@ -95,7 +95,9 @@ object BloomShards {
     val hIdx = withHash.schema.fieldIndex(hCol)
 
     val factRdd = withHash.rdd
-      .map(r => (shardOf(r.getLong(hIdx), shards), r))
+      // null keys hash to null: route to shard 0, probe to false below —
+      // a null key is never inserted (the build's aggregate skips nulls)
+      .map(r => ((if (r.isNullAt(hIdx)) 0 else shardOf(r.getLong(hIdx), shards)), r))
       .partitionBy(partitioner)
 
     val probed = filtersRdd.zipPartitions(factRdd, preservesPartitioning = true) {
@@ -105,8 +107,8 @@ object BloomShards {
         filterIt.foreach { case (s, bytes) => filters.put(s, Sbbf.fromBytes(bytes)) }
         rowIt.map { case (shard, row) =>
           val f = filters.get(shard)
-          val hit = f != null && f.checkHash(row.getLong(hIdx))
-          Row.fromSeq(row.toSeq.dropRight(1) :+ hit) // drop __h, append flag
+          val hit = f != null && !row.isNullAt(hIdx) && f.checkHash(row.getLong(hIdx))
+          Row.fromSeq(row.toSeq.dropRight(1) :+ hit) // drop the hash col, append flag
         }
     }
     spark.createDataFrame(probed, outputSchema)

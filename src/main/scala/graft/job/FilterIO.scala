@@ -17,16 +17,28 @@ import org.apache.spark.sql.SparkSession
   */
 object FilterIO {
 
-  /** Write filter bytes to `path` (temp + rename). */
+  /** Write filter bytes to `path`: temp file + OVERWRITE rename (via
+    * FileContext, which supports atomic replace on HDFS/local — no
+    * delete-then-rename window where a reader sees the file missing).
+    * The temp file is cleaned up on any failure. Note the usual S3A
+    * caveat: its "rename" is a non-atomic copy; prefer a versioned path
+    * per write there.
+    */
   def write(spark: SparkSession, path: String, bytes: Array[Byte]): Unit = {
     val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
     val tmp = new Path(p.getParent, s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write(bytes) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"rename $tmp -> $p failed")
+    var renamed = false
+    try {
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      renamed = true
+    } finally {
+      if (!renamed && fs.exists(tmp)) fs.delete(tmp, false)
+    }
   }
 
   /** Read raw filter bytes from `path`. */

@@ -70,7 +70,7 @@ object InjectBloomPreFilter extends Rule[LogicalPlan] with PredicateHelper {
     * of subqueries). One pre-filter per subtree is the conservative,
     * loop-proof policy.
     */
-  private def hasBloomFilter(plan: LogicalPlan, key: Expression): Boolean =
+  private def hasBloomFilter(plan: LogicalPlan): Boolean =
     plan.exists {
       case Filter(cond, _) => cond.exists {
         case _: BloomMightContain => true
@@ -93,10 +93,14 @@ object InjectBloomPreFilter extends Rule[LogicalPlan] with PredicateHelper {
     supportedType(appKey) && supportedType(cKey) &&
       appKey.deterministic && cKey.deterministic &&
       !app.isStreaming && !creation.isStreaming &&
-      creation.expressions.forall(_.deterministic) &&
+      // the creation side is DUPLICATED into the subquery and evaluated
+      // independently of the join's own evaluation — any non-determinism
+      // ANYWHERE in its subtree (not just the root) would let the filter
+      // disagree with the join and wrongly prune matching rows
+      !creation.exists(_.expressions.exists(!_.deterministic)) &&
       creation.stats.sizeInBytes <= creationMax &&
       app.stats.sizeInBytes >= applicationMin &&
-      !hasBloomFilter(app, appKey)
+      !hasBloomFilter(app)
 
   /** `Filter(bloom_contains(<subquery: ABLM over creation keys>, appKey), app)`.
     * The creation side is projected to the key columns so physical

@@ -41,9 +41,19 @@ object Registry {
     "bloom_union_agg" -> { args => BloomUnionAgg(args.head) },
     "bloom_describe" -> { args => BloomDescribe(args.head) },
     "bloom_is_empty" -> { args => BloomIsEmpty(args.head) },
+    // cbf_agg(key, capacity[, fp_rate]) = insert-only, MATCHING the Scala
+    // API's argument order; the weighted form has its own name so the SQL
+    // 3-arg call can never silently bind capacity as a per-row weight.
     "cbf_agg" -> { args =>
+      require(args.size == 2 || args.size == 3, "cbf_agg(key, capacity[, fp_rate])")
+      val fp = if (args.size == 3) args(2)
+        else org.apache.spark.sql.catalyst.expressions.Literal(0.01)
+      CbfAgg(AbloomKeyHash(args(0)),
+        org.apache.spark.sql.catalyst.expressions.Literal(1), args(1), fp)
+    },
+    "cbf_agg_weighted" -> { args =>
       require(args.size == 3 || args.size == 4,
-        "cbf_agg(key, weight, capacity[, fp_rate])")
+        "cbf_agg_weighted(key, weight, capacity[, fp_rate])")
       val fp = if (args.size == 4) args(3)
         else org.apache.spark.sql.catalyst.expressions.Literal(0.01)
       CbfAgg(AbloomKeyHash(args(0)),

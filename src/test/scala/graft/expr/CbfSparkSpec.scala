@@ -77,7 +77,11 @@ class CbfSparkSpec extends SparkTestBase {
     (0L until 500L).flatMap(k => Seq((k, 1)) ++ (if (k % 3 == 0) Seq((k, -1)) else Nil))
       .toDF("k", "w").createOrReplaceTempView("cbf_ops")
     val bytes = s.sql(
-      "SELECT cbf_agg(k, w, 500, 0.01) FROM cbf_ops").head.getAs[Array[Byte]](0)
+      "SELECT cbf_agg_weighted(k, w, 500, 0.01) FROM cbf_ops").head.getAs[Array[Byte]](0)
+    // insert-only SQL form matches the Scala API's (key, capacity, fp) order
+    val insertOnly = s.sql("SELECT cbf_agg(k, 500, 0.01) FROM cbf_in")
+      .head.getAs[Array[Byte]](0)
+    assert(insertOnly.length === bytes.length)
     s.createDataset(Seq(bytes)).toDF("f").createOrReplaceTempView("cbf_f")
     val fn = s.sql(
       """SELECT count(*) FROM range(0, 500) r, cbf_f
