@@ -86,8 +86,13 @@ object SparkEntry {
           .join(orders, col("l_orderkey") === col("o_orderkey"))
           .agg(count(lit(1)).as("n"),
             sum(col("l_quantity")).cast("long").as("sum_qty"))
-        val injected = joined.queryExecution.optimizedPlan.toString
-          .contains("bloom_contains")
+        // assert injection on the expression CLASS (a prettyName rename
+        // can't silently break this, unlike plan-string matching)
+        val injected = joined.queryExecution.optimizedPlan.exists(
+          _.expressions.exists(_.exists {
+            case _: graft.expr.BloomMightContain => true
+            case _ => false
+          }))
         val row = joined.head() // executes with the rule active
         import s.implicits._
         Seq((row.getLong(0), row.getLong(1), injected))

@@ -25,9 +25,11 @@ package graft.core
   *     net count (count-min style), never an underestimate.
   *
   * Caveat (standard for counting filters): deleting a key that was never
-  * inserted corrupts neighboring guarantees. int32 cells cannot
-  * realistically saturate at capacity-bounded use (2^31 net inserts per
-  * cell); overflow is not guarded.
+  * inserted corrupts neighboring guarantees. Cell arithmetic SATURATES at
+  * the int32 rails (unreachable at capacity-bounded +1/-1 use, but
+  * `cbf_agg_weighted` takes arbitrary user weights): a saturated cell
+  * stays pinned rather than wrapping negative, so membership never gains
+  * a false negative; per-key counts above Int.MaxValue are clamped.
   *
   * Wire format ABCM v1: mirrors ABLM v2's layout (`to_bytes`,
   * `/root/reference/abloom/_abloom.c:350-396`) — 30-byte header (4 magic
@@ -44,10 +46,27 @@ final class Cbf private[core] (
 
   // ----------------------------------------------------------- add / probe
 
+  /** Saturating int32 add: clamps at Int.MaxValue / Int.MinValue instead
+    * of wrapping. Wraparound would silently flip a heavily-weighted cell
+    * negative (a positive-net key probing FALSE — a false negative, the
+    * one thing the filter must never do); saturation keeps `contains`
+    * zero-FN and `count` a no-underestimate bound for every key whose net
+    * count is int32-representable (a saturated cell can only OVERSTATE).
+    */
+  @inline private def satAdd(idx: Int, w: Int): Unit = {
+    val s = cells(idx).toLong + w
+    cells(idx) =
+      if (s > Int.MaxValue) Int.MaxValue
+      else if (s < Int.MinValue) Int.MinValue
+      else s.toInt
+  }
+
   /** Add `weight` (use +1 to insert, -1 to delete) for a pre-computed
     * 64-bit key hash. Same probe derivation as `bloom_insert`
     * (`_abloom.c:132-149`): block from the upper 32 bits, one cell per
-    * salted multiply-shift of the lower 32.
+    * salted multiply-shift of the lower 32. Cell arithmetic saturates
+    * (see [[satAdd]]) — `cbf_agg_weighted` accepts arbitrary user
+    * weights, so overflow must not corrupt the no-FN guarantee.
     */
   def addHash(hash: Long, weight: Int): Unit = {
     val blockIdx = java.lang.Long.remainderUnsigned(hash >>> 32, blockCount)
@@ -56,7 +75,7 @@ final class Cbf private[core] (
     var i = 0
     while (i < Sbbf.BlockWords) {
       val cell = ((hLow * Sbbf.Salt(i)) >>> 26) + i * 64
-      cells(base + cell) += weight
+      satAdd(base + cell, weight)
       i += 1
     }
   }
@@ -111,13 +130,18 @@ final class Cbf private[core] (
       throw new IllegalArgumentException(
         "CountingBloomFilters must have the same capacity and fp_rate")
 
-  /** In-place cell-wise add — THE merge (commutative, associative,
-    * zero-filter identity). Returns this.
+  /** In-place cell-wise SATURATING add — THE merge (commutative,
+    * associative, zero-filter identity for all cells within int32 range,
+    * i.e. every realistic capacity-bounded use). Once a cell hits a rail
+    * (>= 2^31 cumulative weight) its value is a clamp, not a sum: counts
+    * become approximate-but-positive and may differ slightly by merge
+    * order — the deliberate trade against silent wraparound, which would
+    * flip the cell negative and produce false negatives. Returns this.
     */
   def addInPlace(other: Cbf): Cbf = {
     requireCompatible(other)
     var i = 0
-    while (i < cells.length) { cells(i) += other.cells(i); i += 1 }
+    while (i < cells.length) { satAdd(i, other.cells(i)); i += 1 }
     this
   }
 
@@ -184,7 +208,12 @@ object Cbf {
       throw new IllegalArgumentException(
         "False positive rate must be between 0.0 and 1.0")
     val blocks = Sbbf.blockCountFor(capacity, fpRate)
-    if (blocks > Int.MaxValue / BlockCells)
+    // the binding cap is the WIRE blob (HeaderSize + cells*4 must fit one
+    // byte array — the aggregate always serializes for the shuffle), which
+    // is tighter than the cells-array cap; failing here keeps the clean
+    // construction-time error instead of a NegativeArraySizeException in
+    // toBytes after an expensive build
+    if (blocks > (Int.MaxValue.toLong - HeaderSize) / (BlockCells * 4L))
       throw new IllegalArgumentException(
         s"Capacity too large for a single JVM array: $blocks blocks")
     new Cbf(capacity, java.lang.Double.doubleToRawLongBits(fpRate), blocks,

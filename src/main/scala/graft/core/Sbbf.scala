@@ -264,7 +264,11 @@ object Sbbf {
       throw new IllegalArgumentException(
         "False positive rate must be between 0.0 and 1.0")
     val blocks = blockCountFor(capacity, fpRate)
-    if (blocks > Int.MaxValue / BlockWords)
+    // bind to the WIRE blob limit (HeaderSize + blocks*64 bytes in one
+    // array), tighter than the words-array limit: every distributed path
+    // serializes, so an unserializable filter should fail at construction.
+    // Beyond this (~33.5M blocks, ~2.1 GB) use [[graft.job.BloomShards]].
+    if (blocks > (Int.MaxValue.toLong - HeaderSize) / BlockBytes)
       throw new IllegalArgumentException(
         s"Capacity too large for a single JVM array: $blocks blocks")
     new Sbbf(capacity, java.lang.Double.doubleToRawLongBits(fpRate), blocks,

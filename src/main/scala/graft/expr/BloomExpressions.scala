@@ -162,12 +162,14 @@ object BloomRuntime {
     if (c != null && (c._1 eq bytes)) c._2
     else {
       val f = Sbbf.fromBytes(bytes)
-      if (c == null) {
-        // first parse on this task thread: arm the cleanup hook
-        val tc = org.apache.spark.TaskContext.get()
-        if (tc != null) tc.addTaskCompletionListener[Unit](_ => cache.remove())
+      val tc = org.apache.spark.TaskContext.get()
+      // outside a task (driver-side eval, e.g. ConvertToLocalRelation)
+      // there is no completion hook to evict — never cache there, or the
+      // blob stays pinned to the driver thread for the JVM lifetime
+      if (tc != null) {
+        if (c == null) tc.addTaskCompletionListener[Unit](_ => cache.remove())
+        cache.set((bytes, f))
       }
-      cache.set((bytes, f))
       f
     }
   }

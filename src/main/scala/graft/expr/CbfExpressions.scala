@@ -153,11 +153,13 @@ object CbfRuntime {
     if (c != null && (c._1 eq bytes)) c._2
     else {
       val f = Cbf.fromBytes(bytes)
-      if (c == null) {
-        val tc = org.apache.spark.TaskContext.get()
-        if (tc != null) tc.addTaskCompletionListener[Unit](_ => cache.remove())
+      val tc = org.apache.spark.TaskContext.get()
+      // no TaskContext = driver-side eval: don't cache (nothing would ever
+      // evict a 32x-SBBF-sized blob from the driver thread)
+      if (tc != null) {
+        if (c == null) tc.addTaskCompletionListener[Unit](_ => cache.remove())
+        cache.set((bytes, f))
       }
-      cache.set((bytes, f))
       f
     }
   }

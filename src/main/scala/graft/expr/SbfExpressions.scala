@@ -146,11 +146,12 @@ object SbfRuntime {
     if (c != null && (c._1 eq bytes)) c._2
     else {
       val f = Sbf.fromBytes(bytes)
-      if (c == null) {
-        val tc = org.apache.spark.TaskContext.get()
-        if (tc != null) tc.addTaskCompletionListener[Unit](_ => cache.remove())
+      val tc = org.apache.spark.TaskContext.get()
+      // no TaskContext = driver-side eval: don't cache (no eviction hook)
+      if (tc != null) {
+        if (c == null) tc.addTaskCompletionListener[Unit](_ => cache.remove())
+        cache.set((bytes, f))
       }
-      cache.set((bytes, f))
       f
     }
   }

@@ -60,6 +60,10 @@ object BloomShards {
     require(shards >= 1, "shards must be >= 1")
     val capPerShard = math.max(1L, math.ceil(totalCapacity.toDouble * headroom / shards).toLong)
     df.select(abloom_key_hash(keyCol).as("__h"))
+      // null keys hash to null and are never inserted (the aggregate skips
+      // them) — drop them here too, or groupBy would emit a shard=null row
+      // that probe()'s getInt crashes on
+      .filter(col("__h").isNotNull)
       .withColumn("shard", shard_of(col("__h"), shards))
       .groupBy(col("shard"))
       .agg(

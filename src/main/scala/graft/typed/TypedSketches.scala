@@ -29,34 +29,52 @@ object TypedSketches {
     Encoders.kryo[A]
 
   /** Bloom filter over a string key of `IN`; output = ABLM v2 bytes,
-    * bit-identical to the expression build over the same keys.
+    * bit-identical to the expression build over the same keys. Null keys
+    * are SKIPPED, matching the expression aggregates' null handling
+    * (`bloom_agg`/`hll_agg` never insert a null).
     */
   def bloomOfString[IN](key: IN => String, capacity: Long, fpRate: Double): Aggregator[IN, Sbbf, Array[Byte]] =
-    new BloomAggregator[IN](in => Hashing.hashString(key(in)), capacity, fpRate)
+    new BloomAggregator[IN](in => {
+      val k = key(in)
+      if (k == null) null else java.lang.Long.valueOf(Hashing.hashString(k))
+    }, capacity, fpRate)
 
   /** Bloom filter over an integral key of `IN`. */
   def bloomOfLong[IN](key: IN => Long, capacity: Long, fpRate: Double): Aggregator[IN, Sbbf, Array[Byte]] =
-    new BloomAggregator[IN](in => Hashing.hashLong(key(in)), capacity, fpRate)
+    new BloomAggregator[IN](in => java.lang.Long.valueOf(Hashing.hashLong(key(in))), capacity, fpRate)
 
-  /** HLL distinct-count sketch over a string key of `IN`. */
+  /** HLL distinct-count sketch over a string key of `IN`; null keys skipped. */
   def hllOfString[IN](key: IN => String, p: Int = Hll.DefaultP): Aggregator[IN, Hll, Array[Byte]] =
-    new HllAggregator[IN](in => Hashing.hashString(key(in)), p)
+    new HllAggregator[IN](in => {
+      val k = key(in)
+      if (k == null) null else java.lang.Long.valueOf(Hashing.hashString(k))
+    }, p)
 
+  // hashOf returns a boxed hash, null meaning "null key — skip the row"
+  // (the same semantics as the Catalyst aggregates' update path)
   private final class BloomAggregator[IN](
-      hashOf: IN => Long, capacity: Long, fpRate: Double)
+      hashOf: IN => java.lang.Long, capacity: Long, fpRate: Double)
     extends Aggregator[IN, Sbbf, Array[Byte]] {
     override def zero: Sbbf = Sbbf.empty(capacity, fpRate)
-    override def reduce(b: Sbbf, a: IN): Sbbf = { b.insertHash(hashOf(a)); b }
+    override def reduce(b: Sbbf, a: IN): Sbbf = {
+      val h = hashOf(a)
+      if (h != null) b.insertHash(h.longValue())
+      b
+    }
     override def merge(a: Sbbf, b: Sbbf): Sbbf = a.orInPlace(b)
     override def finish(b: Sbbf): Array[Byte] = b.toBytes
     override def bufferEncoder: Encoder[Sbbf] = kryo[Sbbf]
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  private final class HllAggregator[IN](hashOf: IN => Long, p: Int)
+  private final class HllAggregator[IN](hashOf: IN => java.lang.Long, p: Int)
     extends Aggregator[IN, Hll, Array[Byte]] {
     override def zero: Hll = Hll.empty(p)
-    override def reduce(b: Hll, a: IN): Hll = { b.addHash(hashOf(a)); b }
+    override def reduce(b: Hll, a: IN): Hll = {
+      val h = hashOf(a)
+      if (h != null) b.addHash(h.longValue())
+      b
+    }
     override def merge(a: Hll, b: Hll): Hll = a.merge(b)
     override def finish(b: Hll): Array[Byte] = b.toBytes
     override def bufferEncoder: Encoder[Hll] = kryo[Hll]

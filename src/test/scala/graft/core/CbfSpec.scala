@@ -17,6 +17,25 @@ class CbfSpec extends AnyFunSuite {
     }
   }
 
+  test("cell arithmetic saturates: no wraparound FN, counts stay clamped") {
+    val f = Cbf.empty(100, 0.01)
+    // without saturation this wraps to -2 and the key probes FALSE
+    f.add(42L, Int.MaxValue)
+    f.add(42L, Int.MaxValue)
+    assert(f.contains(42L), "saturated key must still be contained")
+    assert(f.count(42L) === Int.MaxValue.toLong, "count clamps at the rail")
+    // negative rail: a massive over-delete pins at MinValue, not +huge
+    f.add(42L, Int.MinValue); f.add(42L, Int.MinValue); f.add(42L, Int.MinValue)
+    assert(!f.contains(42L))
+    assert(f.count(42L) === 0L) // clamped at 0, never negative
+
+    // merge path saturates too (addInPlace goes through the same clamp)
+    val a = Cbf.empty(100, 0.01); a.add(7L, Int.MaxValue)
+    val b = Cbf.empty(100, 0.01); b.add(7L, Int.MaxValue)
+    a.addInPlace(b)
+    assert(a.contains(7L) && a.count(7L) === Int.MaxValue.toLong)
+  }
+
   test("deleted-key FPR stays near the SBBF target") {
     val f = Cbf.empty(20000, 0.01)
     (0L until 20000L).foreach(k => f.add(k, 1))

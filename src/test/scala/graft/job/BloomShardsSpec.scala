@@ -50,6 +50,34 @@ class BloomShardsSpec extends SparkTestBase {
     assert(expected.forall(_._3)) // all members pass
   }
 
+  test("null keys: dropped from the build, probe to false, never crash") {
+    val keys = ((0L until 1000L).map(k => (java.lang.Long.valueOf(k), s"v$k")) ++
+      Seq((null.asInstanceOf[java.lang.Long], "vnull1"),
+        (null.asInstanceOf[java.lang.Long], "vnull2")))
+      .toDF("k", "v")
+    val shardTable = BloomShards.build(keys, col("k"), 1000, 0.01, shards = 4)
+    // no shard=null row: exactly the 4 real shards, rows sum excludes nulls
+    assert(shardTable.count() === 4)
+    assert(shardTable.agg(sum(col("rows"))).head.getLong(0) === 1000L)
+    val probed = BloomShards.probe(keys, col("k"), shardTable, 4)
+    assert(probed.count() === 1002L)
+    assert(probed.filter(col("v").startsWith("vnull") && col("might_contain")).count() === 0L)
+    assert(probed.filter(!col("v").startsWith("vnull") && !col("might_contain")).count() === 0L)
+  }
+
+  test("shards > cores: 64 shards on local[4], tasks queue, result exact") {
+    val n = 30000L
+    val keys = (0L until n).toDF("k")
+    val shardTable = BloomShards.build(keys, col("k"), n, 0.01, shards = 64).cache()
+    assert(shardTable.count() === 64)
+    val probed = BloomShards.probe(keys, col("k"), shardTable, 64)
+    assert(probed.filter(col("might_contain")).count() === n) // zero FN
+    val fp = BloomShards.probe((1000000L until 1100000L).toDF("k"), col("k"), shardTable, 64)
+      .filter(col("might_contain")).count()
+    assert(fp.toDouble / 100000 <= 0.01 * 1.5, s"fp=$fp")
+    shardTable.unpersist()
+  }
+
   test("each shard filter is an ordinary ABLM v2 filter sized per shard") {
     val n = 8000L
     val shardTable = BloomShards.build((0L until n).toDF("k"), col("k"), n, 0.02, 8)

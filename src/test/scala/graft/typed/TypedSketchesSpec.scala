@@ -34,6 +34,21 @@ class TypedSketchesSpec extends SparkTestBase {
     }
   }
 
+  test("null string keys are skipped, matching the expression aggregates") {
+    val withNulls = (files.take(100) :+ File("repo0", null, -1L)).toDS()
+    // must not NPE; result identical to the null-free build
+    val bytes = withNulls.select(
+      TypedSketches.bloomOfString[File](_.sha, 1000, 0.01).toColumn).head()
+    val clean = files.take(100).toDS().select(
+      TypedSketches.bloomOfString[File](_.sha, 1000, 0.01).toColumn).head()
+    assert(bytes.toSeq === clean.toSeq)
+    val hllBytes = withNulls.select(
+      TypedSketches.hllOfString[File](_.sha).toColumn).head()
+    val hllClean = files.take(100).toDS().select(
+      TypedSketches.hllOfString[File](_.sha).toColumn).head()
+    assert(hllBytes.toSeq === hllClean.toSeq)
+  }
+
   test("typed long-key bloom and HLL aggregators") {
     val ds = files.toDS()
     val global = ds.select(TypedSketches.bloomOfLong[File](_.size, 3000, 0.01).toColumn)
