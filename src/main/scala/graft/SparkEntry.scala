@@ -17,6 +17,12 @@ object SparkEntry {
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Fixed path the `source_files_build` query writes its synthesized
+    * table to, so the (static) oracle SQL can read the same bytes in
+    * DuckDB. Must stay in sync with the literal in [[oracleSql]].
+    */
+  private val SourceFilesOraclePath = "/tmp/graft_oracle_source_files"
+
   /** Build an SBBF over one column of a (possibly filtered) table and
     * return the serialized filter. The collect is the partial->final
     * aggregation of O(filter_size) bytes per partition, never row data.
@@ -328,28 +334,39 @@ object SparkEntry {
     // source_files table -> content-sha256 keys -> CHECKPOINTED partitioned
     // build with per-partition lineage + metrics -> global filter; asserts
     // zero FN over all keys, lineage completeness, and the per-row
-    // invariant (sha256 reproducible across partitionings). No DuckDB
-    // oracle (the synth table is not on disk) -> rows-only driver check.
+    // invariant (sha256 reproducible across partitionings). The synth
+    // table is WRITTEN to a fixed parquet path so DuckDB can recompute
+    // rows_built and the digest derivation (count/min/max of
+    // sha256(content)) from the same bytes — a full cross-engine oracle.
     "source_files_build" -> { (s, dir) =>
       import s.implicits._
-      val files = graft.data.Synth.sourceFiles(s, nRepos = 40, filesPerRepo = 50,
-        partitions = 8)
+      graft.data.Synth.sourceFiles(s, nRepos = 40, filesPerRepo = 50, partitions = 8)
+        .write.mode("overwrite").parquet(SourceFilesOraclePath)
+      // read the WRITTEN parquet back: Spark and the DuckDB oracle must
+      // derive every number from the identical on-disk bytes. The scan
+      // bin-packs small files, so pin the build parallelism explicitly —
+      // lineage_partitions must be deterministic for the oracle
+      val files = s.read.parquet(SourceFilesOraclePath).repartition(8)
       val keys = files.select(sha2(col("content"), 256).as("key"))
       val ckpt = java.nio.file.Files.createTempDirectory("graft-sfb").toString + "/cp"
       val filterBytes = graft.job.BloomBuild.partitioned(
-        keys.toDF(), col("key"), 2000, 0.01, ckpt)
+        keys, col("key"), 2000, 0.01, ckpt)
       val lineage = graft.job.BloomBuild.lineage(s, ckpt)
       val nParts = lineage.count()
       val rowsBuilt = lineage.agg(sum(col("rows"))).head().getLong(0)
       val fn = keys.filter(!bloom_contains(lit(filterBytes), col("key"))).count()
+      val digestStats = keys.agg(
+        countDistinct(col("key")).as("d"), min(col("key")), max(col("key"))).head()
       // per-row invariant: sha256 is a pure function of (repo, path, commit)
       // -> identical under a different partitioning
       val keys2 = graft.data.Synth.sourceFiles(s, 40, 50, partitions = 3)
         .select(sha2(col("content"), 256).as("key"))
       val shaInvariant = keys.except(keys2).count() == 0 &&
         keys2.except(keys).count() == 0
-      Seq((rowsBuilt, nParts, fn == 0, shaInvariant))
-        .toDF("rows_built", "lineage_partitions", "zero_fn", "sha_invariant")
+      Seq((rowsBuilt, digestStats.getLong(0), digestStats.getString(1),
+        digestStats.getString(2), nParts, fn == 0, shaInvariant))
+        .toDF("rows_built", "n_distinct_keys", "min_digest", "max_digest",
+          "lineage_partitions", "zero_fn", "sha_invariant")
     },
 
     // Structured Streaming end-to-end under the correctness gate: the
@@ -629,6 +646,15 @@ object SparkEntry {
         |count(DISTINCT user_id) AS exact_distinct,
         |CAST(1 AS BOOLEAN) AS within_bound
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "source_files_build" ->
+      """SELECT count(*) AS rows_built,
+        |count(DISTINCT sha256(content)) AS n_distinct_keys,
+        |min(sha256(content)) AS min_digest,
+        |max(sha256(content)) AS max_digest,
+        |CAST(8 AS BIGINT) AS lineage_partitions,
+        |CAST(1 AS BOOLEAN) AS zero_fn,
+        |CAST(1 AS BOOLEAN) AS sha_invariant
+        |FROM '/tmp/graft_oracle_source_files/*.parquet'""".stripMargin,
     "salted_group_sketch" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_distinct,
         |CAST(1 AS BOOLEAN) AS within_bound
