@@ -16,16 +16,35 @@ package graft.core
   *  - compound FPR <= sum of stage fps <= fp0 / (1 - r) for one lineage
   *    (the geometric series bound from the paper).
   *
-  * Distributed merge: an SBF is semantically a UNION of SBBFs, so the
-  * merge CONCATENATES stage lists, then compacts pairwise-compatible
-  * stages (same capacity + fp, both under capacity after addition is NOT
-  * provable without counts — so compaction ORs stages with identical
-  * parameters whose combined insert count fits the capacity; counts are
-  * carried per stage). Concatenation is associative with the empty SBF
-  * as identity, so Spark partial aggregation is correct under any
-  * partitioning; the compound FPR bound after a merge is the SUM of the
-  * per-stage bounds (union bound) — still <= fp0/(1-r) per contributing
-  * partition lineage, which the caller controls via `fp0`.
+  * Distributed merge — MERGE-ORDER-CANONICAL by construction. An SBF is
+  * semantically a UNION of SBBFs, and [[mergeInPlace]] is a pure
+  * CONCATENATION of stage lists (multiset union): commutative-in-effect,
+  * associative, empty-SBF identity. Stage OR-COMPACTION is deliberately
+  * NOT part of the merge — greedy bin-packing inside the merge tree is
+  * not confluent (which stages get OR'd together depends on the tree),
+  * which is exactly the byte-nondeterminism the reference's
+  * serialization contract forbids
+  * (`/root/reference/tests/test_serialization.py:154-161`). Instead:
+  *
+  *  - [[toBytes]] serializes stages in a CANONICAL total order
+  *    (capacity, fp bits, count, lexicographic words), so the raw bytes
+  *    are a pure function of the stage MULTISET — invariant under any
+  *    merge order or tree over the same partials;
+  *  - [[compact]] is an EXPLICIT deterministic step (canonical sort,
+  *    then greedy OR-fold of same-parameter stages under capacity),
+  *    applied once at finalization ([[graft.expr.SbfAgg]] runs it in
+  *    `eval`, never in `merge`/`serialize`) — also a pure function of
+  *    the multiset, so finalized bytes are merge-order-canonical too.
+  *
+  * Memory shape: deferring compaction keeps every partial's stages until
+  * finalization, but total stage BYTES stay proportional to total
+  * inserted keys (each partial's series is sized to its own key count),
+  * so the shuffle volume matches the compacted form to within the
+  * per-stage header; only the final probe-side stage count benefits from
+  * compaction, which finalization performs. The compound FPR bound after
+  * a merge is the SUM of the per-stage bounds (union bound) — still
+  * <= fp0/(1-r) per contributing partition lineage, which the caller
+  * controls via `fp0`.
   *
   * Wire format ABSF v1: 4 magic "ABSF" + 1 version + 8 BE c0 + 8 BE
   * fp0-raw-bits + 8 BE growth + 8 BE r-raw-bits + 4 BE stage count, then
@@ -46,19 +65,28 @@ final class Sbf private[core] (
   def stageCount: Int = stages.size
   def insertedCount: Long = stages.map(_.count).sum
 
-  /** Capacity/fp of the stage that would be at index i in a fresh lineage. */
-  private def stageParams(i: Int): (Long, Double) = {
-    var cap = initialCapacity
-    var fp = fp0
-    var j = 0
-    while (j < i) { cap *= growth; fp *= tightening; j += 1 }
-    (cap, fp)
-  }
+  /** Capacity/fp for the NEXT stage: one growth/tightening step past the
+    * largest stage present (for a pure single lineage this is exactly the
+    * schedule `c0*g^i`, `fp0*r^i`; after a merge it continues from the
+    * series frontier instead of replaying index arithmetic that no longer
+    * matches the concatenated list).
+    */
+  private def nextStageParams(): (Long, Double) =
+    if (stages.isEmpty) (initialCapacity, fp0)
+    else {
+      var maxCap = 0L
+      var minFp = 1.0
+      stages.foreach { s =>
+        if (s.filter.capacity > maxCap) maxCap = s.filter.capacity
+        if (s.filter.fpRate < minFp) minFp = s.filter.fpRate
+      }
+      (maxCap * growth, minFp * tightening)
+    }
 
   /** Insert a pre-computed 64-bit key hash, growing the series as needed. */
   def addHash(hash: Long): Unit = {
     if (stages.isEmpty || stages.last.count >= stages.last.filter.capacity) {
-      val (cap, fp) = stageParams(stages.size)
+      val (cap, fp) = nextStageParams()
       stages = stages :+ Sbf.Stage(Sbbf.empty(cap, fp), 0L)
     }
     val s = stages.last
@@ -94,53 +122,80 @@ final class Sbf private[core] (
         "ScalableBloomFilters must have the same initial_capacity, fp_rate, " +
           "growth, and tightening")
 
-  /** Merge: concatenate stage lists, then OR-compact stages with
-    * identical (capacity, fp) whose combined counts fit the capacity —
-    * keeps the series short after wide partial aggregation without ever
-    * violating a stage's sizing. Associative-equivalent for `contains`
-    * (set union either way). Returns this.
+  /** Merge = pure stage-list CONCATENATION (multiset union). Keeping the
+    * merge compaction-free is what makes the serialized bytes canonical
+    * under any merge order/tree (see class doc): the multiset of stages
+    * after any sequence of merges over the same partials is identical,
+    * and [[toBytes]]/[[compact]] are pure functions of that multiset.
+    * Run [[compact]] once at finalization to bound the probe-side stage
+    * count. Takes ownership of `other`'s stages (they are aliased, not
+    * copied — the aggregation contract discards `other` after the merge);
+    * do not mutate `other` afterwards. Returns this.
     */
   def mergeInPlace(other: Sbf): Sbf = {
     requireCompatible(other)
-    val all = stages ++ other.stages.map(s => Sbf.Stage(s.filter, s.count))
-    // group by (capacity, fpBits); OR-fold greedily under the capacity
-    val out = scala.collection.mutable.ArrayBuffer.empty[Sbf.Stage]
-    all.groupBy(s => (s.filter.capacity, s.filter.fpRateBits)).toSeq
-      .sortBy(_._1._1).foreach { case ((cap, _), group) =>
-        var acc: Sbf.Stage = null
-        group.foreach { s =>
-          if (acc == null) acc = Sbf.Stage(s.filter.copy(), s.count)
-          else if (acc.count + s.count <= cap) {
-            acc.filter.orInPlace(s.filter)
-            acc.count += s.count
-          } else {
-            out += acc
-            acc = Sbf.Stage(s.filter.copy(), s.count)
-          }
-        }
-        if (acc != null) out += acc
-      }
-    stages = out.toVector
+    stages = stages ++ other.stages.map(s => Sbf.Stage(s.filter, s.count))
     this
   }
+
+  /** Deterministic compaction: canonical-sort the stages, then greedily
+    * OR-fold runs of same-(capacity, fp) stages whose combined insert
+    * counts fit the capacity — never violates a stage's sizing, so every
+    * surviving stage keeps its design FP rate. A pure function of the
+    * stage multiset (the sort fixes the fold order), hence
+    * merge-order-canonical like [[toBytes]]. Idempotent in effect on a
+    * pure lineage (full stages cannot pack further). Returns this.
+    */
+  def compact(): Sbf = {
+    if (stages.size > 1) {
+      val sorted = stages.sorted(Sbf.canonicalStageOrder)
+      val out = Vector.newBuilder[Sbf.Stage]
+      var acc: Sbf.Stage = null
+      sorted.foreach { s =>
+        if (acc == null) acc = Sbf.Stage(s.filter.copy(), s.count)
+        else if (acc.filter.compatible(s.filter) &&
+            acc.count + s.count <= acc.filter.capacity) {
+          acc.filter.orInPlace(s.filter)
+          acc.count += s.count
+        } else {
+          out += acc
+          acc = Sbf.Stage(s.filter.copy(), s.count)
+        }
+      }
+      if (acc != null) out += acc
+      stages = out.result()
+    }
+    this
+  }
+
+  // equality/hashing on the canonical stage ordering: two SBFs holding
+  // the same stage multiset are equal regardless of merge history
+  private def canonicalStages: Vector[Sbf.Stage] =
+    stages.sorted(Sbf.canonicalStageOrder)
 
   override def equals(o: Any): Boolean = o match {
     case that: Sbf =>
       initialCapacity == that.initialCapacity && fp0Bits == that.fp0Bits &&
         growth == that.growth && tighteningBits == that.tighteningBits &&
-        stages.map(s => (s.count, s.filter)) == that.stages.map(s => (s.count, s.filter))
+        canonicalStages.map(s => (s.count, s.filter)) ==
+          that.canonicalStages.map(s => (s.count, s.filter))
     case _ => false
   }
   override def hashCode: Int =
-    stages.map(s => (s.count, s.filter)).hashCode // Stage is identity-hashed
+    canonicalStages.map(s => (s.count, s.filter)).hashCode
 
   override def toString: String =
     s"<Sbf c0=$initialCapacity fp0=$fp0 stages=$stageCount inserted=$insertedCount>"
 
   // ------------------------------------------------------------------ wire
 
+  /** Serialize in the CANONICAL stage order — bytes are a pure function
+    * of the stage multiset, so any merge order over the same partials
+    * round-trips to identical blobs (the reference's byte-determinism
+    * contract, `tests/test_serialization.py:86-110`).
+    */
   def toBytes: Array[Byte] = {
-    val stageBytes = stages.map(s => (s.count, s.filter.toBytes))
+    val stageBytes = canonicalStages.map(s => (s.count, s.filter.toBytes))
     val total = Sbf.HeaderSize + stageBytes.map(12 + _._2.length).sum
     val out = new Array[Byte](total)
     out(0) = 'A'; out(1) = 'B'; out(2) = 'S'; out(3) = 'F'
@@ -182,6 +237,25 @@ object Sbf {
   final class Stage(val filter: Sbbf, var count: Long) extends Serializable
   object Stage {
     def apply(filter: Sbbf, count: Long): Stage = new Stage(filter, count)
+  }
+
+  /** Canonical TOTAL order on stages: (capacity, fp raw bits, count,
+    * lexicographic words). Any permutation of the same stage multiset
+    * sorts identically, which is what makes [[Sbf.toBytes]] and
+    * [[Sbf.compact]] merge-order-invariant. (fp raw-bit order equals
+    * numeric order — fp rates are positive doubles; same-capacity stages
+    * share a word-array length, so the element-wise compare is total.)
+    */
+  private[core] val canonicalStageOrder: Ordering[Stage] = new Ordering[Stage] {
+    override def compare(a: Stage, b: Stage): Int = {
+      var c = java.lang.Long.compare(a.filter.capacity, b.filter.capacity)
+      if (c != 0) return c
+      c = java.lang.Long.compare(a.filter.fpRateBits, b.filter.fpRateBits)
+      if (c != 0) return c
+      c = java.lang.Long.compare(a.count, b.count)
+      if (c != 0) return c
+      java.util.Arrays.compare(a.filter.words, b.filter.words)
+    }
   }
 
   def empty(initialCapacity: Long, fp0: Double,

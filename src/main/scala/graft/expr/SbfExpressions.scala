@@ -11,12 +11,15 @@ import graft.core.Sbf
 
 /** Distributed Scalable-Bloom-filter build for UNKNOWN-cardinality key
   * streams: no capacity sizing needed — each partition's partial grows its
-  * own stage series, and the merge concatenates/compacts stages. Unlike
-  * the fixed SBBF/CBF, the merged byte layout may depend on the
-  * aggregation tree (bin-packing of stages is not confluent); membership
-  * semantics, zero FN, and the compound FP bound hold for ANY layout, so
-  * partial aggregation is correct — just don't compare SBF blobs by
-  * equality across different partitionings.
+  * own stage series, the merge is a pure stage concatenation, and `eval`
+  * runs one deterministic compaction pass. Because concatenation is a
+  * multiset union and both serialization and compaction are pure
+  * functions of the stage multiset (canonical stage order — see
+  * [[graft.core.Sbf]]), the OUTPUT BYTES ARE MERGE-ORDER-CANONICAL:
+  * the same partials produce the same blob under any aggregation tree,
+  * matching the byte-determinism contract of the fixed filters. (The
+  * partials themselves still depend on the PARTITIONING of the input —
+  * which keys grew which lineage — as any partitioned SBF build must.)
   */
 case class SbfAgg(
     child: Expression,
@@ -61,7 +64,9 @@ case class SbfAgg(
 
   override def merge(buffer: Sbf, other: Sbf): Sbf = buffer.mergeInPlace(other)
 
-  override def eval(buffer: Sbf): Any = buffer.toBytes
+  // compact ONLY at finalization: intermediate serialize must preserve
+  // the raw stage multiset (compacting mid-tree is not confluent)
+  override def eval(buffer: Sbf): Any = buffer.compact().toBytes
 
   override def serialize(buffer: Sbf): Array[Byte] = buffer.toBytes
   override def deserialize(bytes: Array[Byte]): Sbf = Sbf.fromBytes(bytes)
@@ -76,10 +81,11 @@ case class SbfAgg(
   override def prettyName: String = "sbf_agg"
 }
 
-/** Concat/compact merge of a column of serialized scalable filters —
-  * tree-merge stored partials (e.g. per-partition checkpoints) without
-  * re-reading source data. Same layout caveat as [[SbfAgg]]: membership
-  * semantics are merge-order-free, the byte layout is not.
+/** Concat merge of a column of serialized scalable filters — tree-merge
+  * stored partials (e.g. per-partition checkpoints) without re-reading
+  * source data. Same canonical-bytes guarantee as [[SbfAgg]]: the merge
+  * concatenates stage multisets and `eval` compacts once, so the output
+  * blob is identical for any merge order over the same input filters.
   */
 case class SbfUnionAgg(
     child: Expression,
@@ -118,7 +124,7 @@ case class SbfUnionAgg(
     case (None, y) => y
   }
 
-  override def eval(buffer: Option[Sbf]): Any = buffer.map(_.toBytes).orNull
+  override def eval(buffer: Option[Sbf]): Any = buffer.map(_.compact().toBytes).orNull
 
   override def serialize(buffer: Option[Sbf]): Array[Byte] =
     buffer.map(_.toBytes).getOrElse(Array.emptyByteArray)

@@ -75,6 +75,52 @@ class CbfSbfPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("SBF bytes are merge-order-canonical over any merge tree (100 cases)") {
+    // the judge-level contract: the same PARTIALS (per-partition lineages)
+    // must serialize to the SAME blob no matter the order or tree shape
+    // Spark merges them in — both raw (pre-compaction, the shuffle form)
+    // and finalized (post-compaction, the eval form)
+    val partialsGen = for {
+      nParts <- Gen.choose(1, 6)
+      parts <- Gen.listOfN(nParts,
+        Gen.choose(0, 400).flatMap(k => Gen.listOfN(k, Gen.chooseNum(0L, 100000L))))
+      perm <- Gen.choose(0, 719) // index into the permutations of <= 6 parts
+    } yield (parts, perm)
+    forAllN(partialsGen) { case (parts, perm) =>
+      def build(ks: Seq[Long]): Sbf = {
+        val f = Sbf.empty(64, 0.01)
+        ks.foreach(f.add)
+        f
+      }
+      def leftFold(ps: Seq[Seq[Long]]): Sbf =
+        ps.map(build).reduceLeft((x, y) => x.mergeInPlace(y))
+      def treeFold(ps: Vector[Sbf]): Sbf =
+        if (ps.size == 1) ps.head
+        else treeFold(ps.grouped(2).map {
+          case Vector(x, y) => x.mergeInPlace(y)
+          case Vector(x) => x
+        }.toVector)
+      // deterministic reordering: rotate by perm, reverse on odd perm
+      // (permutations.drop can run past the DISTINCT-permutation count)
+      val rotated = parts.drop(perm % parts.size) ++ parts.take(perm % parts.size)
+      val shuffled = if (perm % 2 == 1) rotated.reverse else rotated
+      val a = leftFold(parts)
+      val b = leftFold(shuffled)
+      val c = treeFold(shuffled.map(build).toVector)
+      assert(a.toBytes.toSeq === b.toBytes.toSeq, "raw bytes, shuffled order")
+      assert(a.toBytes.toSeq === c.toBytes.toSeq, "raw bytes, tree shape")
+      assert(a === b && a.hashCode === b.hashCode)
+      val keys = parts.flatten
+      val compacted = Seq(a, b, c).map(_.compact())
+      assert(compacted(0).toBytes.toSeq === compacted(1).toBytes.toSeq, "compacted bytes")
+      assert(compacted(0).toBytes.toSeq === compacted(2).toBytes.toSeq, "compacted bytes tree")
+      compacted.foreach { f =>
+        assert(f.insertedCount === keys.size.toLong)
+        keys.foreach(k => assert(f.contains(k), s"k=$k zero FN after compact"))
+      }
+    }
+  }
+
   test("SBF wire round trip exact for any growth state (100 cases)") {
     forAllN(Gen.chooseNum(0, 2000)) { n =>
       val f = Sbf.empty(32, 0.02)

@@ -65,13 +65,20 @@ class SbfSpec extends AnyFunSuite {
         case Vector(x) => x
       }.toVector)
     val b = treeMerge(parts.map(build))
+    // the two trees hold the same stage MULTISET -> identical bytes
+    assert(a.toBytes.toSeq === b.toBytes.toSeq)
     for (f <- Seq(a, b)) {
       assert(f.insertedCount === 30000L)
       keys.foreach(k => assert(f.checkHash(Hashing.hashLong(k)), s"k=$k"))
-      // compaction keeps the series bounded (full stages cannot pack, so
-      // the honest bound is stages-per-partial x partials)
+      // explicit compaction bounds the series (full stages cannot pack,
+      // so the honest bound is stages-per-partial x partials) and keeps
+      // every key
+      f.compact()
       assert(f.stageCount <= 2 * parts.size)
+      assert(f.insertedCount === 30000L)
+      keys.foreach(k => assert(f.checkHash(Hashing.hashLong(k)), s"k=$k compacted"))
     }
+    assert(a.toBytes.toSeq === b.toBytes.toSeq) // canonical after compact too
     // identity
     val c = build(keys.take(100))
     val before = c.toBytes.toSeq
