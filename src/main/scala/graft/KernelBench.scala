@@ -1,0 +1,80 @@
+package graft
+
+import graft.core.{Hashing, Sbbf}
+
+/** Single-core kernel microbenchmark — the BENCH/BASELINE.md §1 numbers
+  * (same workload shape as the reference's single-threaded C bench:
+  * long keys, capacity = n, 1% FPR, serializable-mode hashing).
+  *
+  * Run without Spark:
+  * {{{
+  *   java -cp /opt/spark/jars/scala-library-2.13.17.jar:target/scala-2.13/classes \
+  *     graft.KernelBench [reps]
+  * }}}
+  *
+  * Prints one JSON line with M keys/s for add (per-key and batched
+  * paths) and lookup at 1M and 10M keys — best of `reps` (single-core
+  * kernel peak is the comparable number on a shared host; default 5).
+  * Build paths are asserted byte-identical before timing.
+  */
+object KernelBench {
+
+  private def hashesFor(n: Int): Array[Long] = {
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = Hashing.hashLong(i.toLong); i += 1 }
+    hs
+  }
+
+  private def bestOf(reps: Int)(f: => Unit): Double = {
+    var best = Double.MaxValue
+    var r = 0
+    while (r < reps) {
+      val t0 = System.nanoTime()
+      f
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (sec < best) best = sec
+      r += 1
+    }
+    best
+  }
+
+  def main(args: Array[String]): Unit = {
+    val reps = if (args.nonEmpty) args(0).toInt else 5
+    val sizes = Seq(1000000, 10000000)
+    val parts = sizes.flatMap { n =>
+      val hs = hashesFor(n)
+
+      // correctness gate: batched == per-key, byte for byte
+      val a = Sbbf.empty(n, 0.01)
+      var i = 0
+      while (i < n) { a.insertHash(hs(i)); i += 1 }
+      val b = Sbbf.empty(n, 0.01)
+      b.insertHashes(hs, 0, n)
+      require(java.util.Arrays.equals(a.toBytes, b.toBytes),
+        s"batched insert diverged from per-key at n=$n")
+
+      val addSec = bestOf(reps) {
+        val f = Sbbf.empty(n, 0.01)
+        var i = 0
+        while (i < n) { f.insertHash(hs(i)); i += 1 }
+      }
+      val addBatchSec = bestOf(reps) {
+        val f = Sbbf.empty(n, 0.01)
+        f.insertHashes(hs, 0, n)
+      }
+      val lookupSec = bestOf(reps) {
+        var hits = 0L
+        var i = 0
+        while (i < n) { if (a.checkHash(hs(i))) hits += 1; i += 1 }
+        require(hits == n, "zero-FN violated in lookup bench")
+      }
+      val m = n / 1e6
+      Seq(
+        f""""add_${n / 1000000}m_mkeys_s":${m / addSec}%.1f""",
+        f""""add_batched_${n / 1000000}m_mkeys_s":${m / addBatchSec}%.1f""",
+        f""""lookup_${n / 1000000}m_mkeys_s":${m / lookupSec}%.1f""")
+    }
+    println(parts.mkString("{", ",", s""","reps":$reps}"""))
+  }
+}

@@ -44,6 +44,16 @@ final class Cbf private[core] (
 
   def fpRate: Double = java.lang.Double.longBitsToDouble(fpRateBits)
 
+  // Lemire–Kaser exact fastmod for the block select (see [[Sbbf]] — same
+  // derivation, bit-identical to remainderUnsigned for u32 inputs)
+  private val modMagic: Long = java.lang.Long.divideUnsigned(-1L, blockCount) + 1L
+
+  @inline private def mulHiU(a: Long, b: Long): Long =
+    Math.multiplyHigh(a, b) + ((a >> 63) & b) + ((b >> 63) & a)
+
+  @inline private def cellBase(hash: Long): Int =
+    (mulHiU(modMagic * (hash >>> 32), blockCount) * Cbf.BlockCells).toInt
+
   // ----------------------------------------------------------- add / probe
 
   /** Saturating int32 add: clamps at Int.MaxValue / Int.MinValue instead
@@ -69,9 +79,8 @@ final class Cbf private[core] (
     * weights, so overflow must not corrupt the no-FN guarantee.
     */
   def addHash(hash: Long, weight: Int): Unit = {
-    val blockIdx = java.lang.Long.remainderUnsigned(hash >>> 32, blockCount)
     val hLow = hash.toInt
-    val base = (blockIdx * Cbf.BlockCells).toInt
+    val base = cellBase(hash)
     var i = 0
     while (i < Sbbf.BlockWords) {
       val cell = ((hLow * Sbbf.Salt(i)) >>> 26) + i * 64
@@ -85,9 +94,8 @@ final class Cbf private[core] (
 
   /** All 8 probed cells strictly positive — zero FN for net-present keys. */
   def checkHash(hash: Long): Boolean = {
-    val blockIdx = java.lang.Long.remainderUnsigned(hash >>> 32, blockCount)
     val hLow = hash.toInt
-    val base = (blockIdx * Cbf.BlockCells).toInt
+    val base = cellBase(hash)
     var i = 0
     while (i < Sbbf.BlockWords) {
       if (cells(base + ((hLow * Sbbf.Salt(i)) >>> 26) + i * 64) <= 0) return false
@@ -98,9 +106,8 @@ final class Cbf private[core] (
 
   /** Count-min style net-count upper bound (clamped at 0). */
   def countHash(hash: Long): Long = {
-    val blockIdx = java.lang.Long.remainderUnsigned(hash >>> 32, blockCount)
     val hLow = hash.toInt
-    val base = (blockIdx * Cbf.BlockCells).toInt
+    val base = cellBase(hash)
     var min = Int.MaxValue
     var i = 0
     while (i < Sbbf.BlockWords) {

@@ -31,19 +31,61 @@ final class Sbbf private[core] (
 
   def fpRate: Double = java.lang.Double.longBitsToDouble(fpRateBits)
 
+  /** Lemire–Kaser fastmod magic for `x % blockCount` without the 64-bit
+    * divider: `M = floor(2^64 / d) + 1`; then for any u32 numerator n,
+    * `n % d = mulHiU(M * n, d)` EXACTLY (n and d both < 2^32 here —
+    * block-select input is `hash >>> 32` and `blockCount` is capped by
+    * the array guard). Bit-identical to `remainderUnsigned`, ~3 multiply
+    * latencies instead of a 20-90-cycle unpipelined divide per key —
+    * the divide was a hard serial cost on every insert AND probe.
+    * (Published technique: Lemire, Kaser, Kurz, "Faster remainder by
+    * direct computation", Software: Practice & Experience 49(6), 2019.)
+    */
+  private val modMagic: Long = java.lang.Long.divideUnsigned(-1L, blockCount) + 1L
+
+  /** Unsigned 64x64 -> high 64 multiply (Math.multiplyHigh is a JDK 17
+    * intrinsic; the two corrective terms lift signed to unsigned).
+    */
+  @inline private def mulHiU(a: Long, b: Long): Long =
+    Math.multiplyHigh(a, b) + ((a >> 63) & b) + ((b >> 63) & a)
+
+  /** Word-array base offset of the key's block: `((hash>>>32) % blockCount) * 8`. */
+  @inline private def blockBase(hash: Long): Int =
+    (mulHiU(modMagic * (hash >>> 32), blockCount) * Sbbf.BlockWords).toInt
+
   // ------------------------------------------------------------- insert / probe
 
   /** Insert a pre-computed 64-bit key hash (`bloom_insert`, `_abloom.c:132-149`). */
   def insertHash(hash: Long): Unit = {
-    val blockIdx = java.lang.Long.remainderUnsigned(hash >>> 32, blockCount)
     val hLow = hash.toInt // lower 32 bits, uint32 semantics via Int wrap-around
-    val base = (blockIdx * Sbbf.BlockWords).toInt
+    val base = blockBase(hash)
     var i = 0
     while (i < Sbbf.BlockWords) {
       // 32-bit wrap-around multiply (C uint32_t), then top-6-bit shift -> 0..63
       words(base + i) |= 1L << ((hLow * Sbbf.Salt(i)) >>> 26)
       i += 1
     }
+  }
+
+  /** Batched insert of `len` pre-computed hashes. Semantically identical
+    * to calling [[insertHash]] per element (OR order is irrelevant).
+    * NOTE: a two-phase "compute bases + dependent-read prefetch, then
+    * insert" variant was measured on this host and was NOT faster —
+    * once the block-select divide is gone (fastmod above), the plain
+    * loop already reaches the line-fill-buffer miss-parallelism limit;
+    * see BENCH/BASELINE.md §1.
+    */
+  def insertHashes(hashes: Array[Long], offset: Int, len: Int): Unit = {
+    var i = offset
+    val end = offset + len
+    while (i < end) { insertHash(hashes(i)); i += 1 }
+  }
+
+  /** Batched [[insertHashAtomic]] (see [[insertHashes]] note). */
+  def insertHashesAtomic(hashes: Array[Long], offset: Int, len: Int): Unit = {
+    var i = offset
+    val end = offset + len
+    while (i < end) { insertHashAtomic(hashes(i)); i += 1 }
   }
 
   /** Lock-free concurrent insert: atomic fetch-OR per word — the
@@ -56,9 +98,8 @@ final class Sbbf private[core] (
     * commutative/associative), so partition-count invariance holds.
     */
   def insertHashAtomic(hash: Long): Unit = {
-    val blockIdx = java.lang.Long.remainderUnsigned(hash >>> 32, blockCount)
     val hLow = hash.toInt
-    val base = (blockIdx * Sbbf.BlockWords).toInt
+    val base = blockBase(hash)
     var i = 0
     while (i < Sbbf.BlockWords) {
       val bit = 1L << ((hLow * Sbbf.Salt(i)) >>> 26)
@@ -72,9 +113,8 @@ final class Sbbf private[core] (
 
   /** Membership probe for a pre-computed hash (`bloom_check`, `_abloom.c:151-171`). */
   def checkHash(hash: Long): Boolean = {
-    val blockIdx = java.lang.Long.remainderUnsigned(hash >>> 32, blockCount)
     val hLow = hash.toInt
-    val base = (blockIdx * Sbbf.BlockWords).toInt
+    val base = blockBase(hash)
     var i = 0
     while (i < Sbbf.BlockWords) {
       if ((words(base + i) & (1L << ((hLow * Sbbf.Salt(i)) >>> 26))) == 0L) return false

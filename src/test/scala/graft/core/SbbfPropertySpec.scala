@@ -43,6 +43,31 @@ class SbbfPropertySpec extends AnyFunSuite {
     f
   }
 
+  test("fastmod block select is bit-exact vs remainderUnsigned (property)") {
+    // the block index is computed with Lemire-Kaser fastmod (no divider);
+    // verify against the straightforward modulo on every geometry: insert
+    // ONE hash into an empty filter and check that exactly the 8 expected
+    // (block, word, bit) positions are set
+    val gen = for {
+      cap <- Gen.chooseNum(1L, 5000000L)
+      h <- Gen.long
+    } yield (cap, h)
+    forAllN(gen, n = 300) { case (cap, h) =>
+      val f = Sbbf.empty(cap, 0.01)
+      f.insertHash(h)
+      val base = (java.lang.Long.remainderUnsigned(h >>> 32, f.blockCount) *
+        Sbbf.BlockWords).toInt
+      val hLow = h.toInt
+      var setWords = 0
+      f.words.zipWithIndex.foreach { case (w, i) => if (w != 0L) setWords += 1 }
+      assert(setWords <= Sbbf.BlockWords) // nothing outside one block
+      (0 until Sbbf.BlockWords).foreach { j =>
+        val expected = 1L << ((hLow * Sbbf.Salt(j)) >>> 26)
+        assert(f.words(base + j) === expected, s"cap=$cap h=$h word=$j")
+      }
+    }
+  }
+
   test("no false negatives (property)") {
     forAllN(keysGen) { keys =>
       val f = build(keys)
