@@ -205,6 +205,26 @@ object SparkEntry {
         .toDF("n_pass", "n_shards", "fpr_within_bound")
     },
 
+    // Dictionary-aware build: the filter only needs DISTINCT keys, and a
+    // fully dictionary-encoded parquet chunk stores exactly those in its
+    // dictionary page — so the build reads dictionary pages only (no data
+    // pages). Must be byte-identical to the row-scan build (insert
+    // idempotence), zero FN over all keys (n_pass == count(*), the
+    // cross-engine oracle).
+    "dict_bloom_build" -> { (s, dir) =>
+      val orders = table(s, dir, "orders")
+      val n = orders.count()
+      val (bytes, stats) = graft.job.DictBloomBuild.build(
+        s, s"$dir/orders.parquet", "o_orderkey", n, 0.01)
+      val scanned = buildFilter(orders, "o_orderkey", n, 0.01)
+      val bc = s.sparkContext.broadcast(bytes)
+      val pass = orders.filter(bloom_contains(bc, col("o_orderkey"))).count()
+      import s.implicits._
+      Seq((pass, java.util.Arrays.equals(bytes, scanned),
+        stats.dictFiles >= 1L && stats.fallbackFiles == 0L))
+        .toDF("n_pass", "dict_equals_scan", "used_dict_path")
+    },
+
     // Counting Bloom filter (reference CHANGELOG "Planned: Counting BF"):
     // insert every order key, delete the %7 subset, all in ONE mergeable
     // aggregation (deletes may precede inserts in any partition). Checks:
@@ -619,6 +639,9 @@ object SparkEntry {
     "sharded_build_probe" ->
       """SELECT count(*) AS n_pass, CAST(8 AS INTEGER) AS n_shards,
         |CAST(1 AS BOOLEAN) AS fpr_within_bound FROM orders""".stripMargin,
+    "dict_bloom_build" ->
+      """SELECT count(*) AS n_pass, CAST(1 AS BOOLEAN) AS dict_equals_scan,
+        |CAST(1 AS BOOLEAN) AS used_dict_path FROM orders""".stripMargin,
     "cbf_delete_semantics" ->
       """SELECT CAST((SELECT count(*) FROM orders WHERE o_orderkey % 7 <> 0) AS BIGINT)
         |  AS n_remaining_pass,

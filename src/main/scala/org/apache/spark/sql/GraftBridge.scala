@@ -11,4 +11,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Wrap a Hadoop Configuration for task-side shipping
+    * (`org.apache.spark.util.SerializableConfiguration` is
+    * `private[spark]`; tasks reading parquet footers/dictionaries need
+    * the REAL session Hadoop conf — filesystem creds, etc. — not a
+    * fresh default one).
+    */
+  def serializableConf(
+      conf: org.apache.hadoop.conf.Configuration): org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(conf)
 }

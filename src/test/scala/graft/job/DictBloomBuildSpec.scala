@@ -1,0 +1,84 @@
+package graft.job
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.core.Sbbf
+import graft.functions._
+
+class DictBloomBuildSpec extends SparkTestBase {
+
+  import SparkTestBase.spark.implicits._
+
+  private def scanBuild(path: String, column: String, cap: Long, fp: Double): Array[Byte] =
+    spark.read.parquet(path)
+      .select(abloom_key_hash(col(column)).as("__h"))
+      .agg(bloom_agg_hashed(col("__h"), cap, fp))
+      .head().getAs[Array[Byte]](0)
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  test("dictionary-only build is byte-identical to the row-scan build (string keys)") {
+    val dir = tmpDir("graft-dict-s")
+    // 50 distinct strings over 20k rows -> fully dictionary-encoded
+    (0 until 20000).map(i => s"key_${i % 50}").toDF("k")
+      .repartition(3).write.parquet(dir)
+    val (bytes, stats) = DictBloomBuild.build(spark, dir, "k", 1000, 0.01)
+    assert(bytes.toSeq === scanBuild(dir, "k", 1000, 0.01).toSeq)
+    assert(stats.fallbackFiles === 0L, "all files must take the dictionary path")
+    assert(stats.dictFiles === 3L && stats.dictChunks === 3L)
+    assert(stats.dictEntries === 3L * 50L, "each chunk's dictionary holds its distincts")
+    val f = Sbbf.fromBytes(bytes)
+    (0 until 50).foreach(i => assert(f.contains(s"key_$i")))
+  }
+
+  test("dictionary-only build is byte-identical for long and double keys") {
+    val dirL = tmpDir("graft-dict-l")
+    (0 until 10000).map(i => (i % 200).toLong).toDF("k").repartition(2).write.parquet(dirL)
+    val (bytesL, statsL) = DictBloomBuild.build(spark, dirL, "k", 500, 0.01)
+    assert(bytesL.toSeq === scanBuild(dirL, "k", 500, 0.01).toSeq)
+    assert(statsL.fallbackFiles === 0L)
+
+    val dirD = tmpDir("graft-dict-d")
+    (0 until 10000).map(i => (i % 100) * 1.5).toDF("k").repartition(2).write.parquet(dirD)
+    val (bytesD, statsD) = DictBloomBuild.build(spark, dirD, "k", 500, 0.01)
+    assert(bytesD.toSeq === scanBuild(dirD, "k", 500, 0.01).toSeq)
+    assert(statsD.fallbackFiles === 0L)
+  }
+
+  test("non-dictionary files fall back to the row scan, still byte-identical") {
+    val dir = tmpDir("graft-dict-fb")
+    (0 until 5000).map(i => s"v_${i % 40}").toDF("k")
+      .repartition(2).write
+      .option("parquet.enable.dictionary", "false")
+      .parquet(dir)
+    val (bytes, stats) = DictBloomBuild.build(spark, dir, "k", 500, 0.01)
+    assert(stats.dictFiles === 0L)
+    assert(stats.fallbackFiles === 2L)
+    assert(bytes.toSeq === scanBuild(dir, "k", 500, 0.01).toSeq)
+  }
+
+  test("mixed directory: dict files use dictionaries, plain files fall back") {
+    val dir = tmpDir("graft-dict-mix")
+    (0 until 4000).map(i => s"a_${i % 30}").toDF("k").coalesce(1).write.parquet(dir)
+    (0 until 4000).map(i => s"b_${i % 30}").toDF("k").coalesce(1).write
+      .option("parquet.enable.dictionary", "false").mode("append").parquet(dir)
+    val (bytes, stats) = DictBloomBuild.build(spark, dir, "k", 500, 0.01)
+    assert(stats.dictFiles === 1L && stats.fallbackFiles === 1L)
+    assert(bytes.toSeq === scanBuild(dir, "k", 500, 0.01).toSeq)
+    val f = Sbbf.fromBytes(bytes)
+    (0 until 30).foreach(i => assert(f.contains(s"a_$i") && f.contains(s"b_$i")))
+  }
+
+  test("high-cardinality column: dictionary write falls back mid-chunk, detected") {
+    val dir = tmpDir("graft-dict-hc")
+    // unique long strings blow the 1 MB dictionary-page cap -> the writer
+    // switches to plain data pages; EncodingStats must route to fallback
+    (0 until 60000).map(i => s"unique_value_padpadpadpadpad_$i").toDF("k")
+      .coalesce(1).write.parquet(dir)
+    val (bytes, stats) = DictBloomBuild.build(spark, dir, "k", 60000, 0.01)
+    assert(stats.fallbackFiles === 1L, "partial-dict chunk must not take the dictionary path")
+    assert(bytes.toSeq === scanBuild(dir, "k", 60000, 0.01).toSeq)
+  }
+}
