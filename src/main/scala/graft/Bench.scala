@@ -154,46 +154,63 @@ object Bench {
 
     // -------- part 2: north-rule scaling protocol (interleaved medians)
     val levels = (Seq(2, 8, 32).filter(_ <= cpus) :+ cpus).distinct.sorted
+
+    // prebuild the probe filter once; probe passes are INTERLEAVED with
+    // the build sweeps below so the probe median samples the same
+    // minutes-long window as the build medians (round-2 recorded probe
+    // numbers landed 2-of-5 runs inside a noisy-neighbor burst because
+    // all probe reps ran back to back in one ~10 s window)
+    val (probeFilterBytes, fpr, fnOk) = {
+      val s2 = session(cpus)
+      try {
+        val keys = s2.range(0L, n, 1L, cpus * 2).select(col("id").as("k"))
+        val f = BloomBuild.concurrent(keys, col("k"), n, 0.01)
+        // broadcast probe: a capacity-n filter is tens of MB — shipping it
+        // as a literal costs per-task deserialization (measured 14-30x
+        // slower); the broadcast variant ships once per executor
+        val bc = s2.sparkContext.broadcast(f.toBytes)
+        val probes = 500000L
+        val fp = s2.range(n, n + probes).select(col("id").as("k"))
+          .filter(bloom_contains(bc, col("k"))).count()
+        val fn = s2.range(0L, probes).select(col("id").as("k"))
+          .filter(!bloom_contains(bc, col("k"))).count()
+        (f.toBytes, fp.toDouble / probes, fn == 0L)
+      } finally s2.stop()
+    }
+
+    /** One timed probe pass over all n member keys (all-8-word worst
+      * case) at full parallelism, fresh session like buildOnce.
+      */
+    def probeOnce(): Double = {
+      val s = session(cpus)
+      try {
+        val bc = s.sparkContext.broadcast(probeFilterBytes)
+        val (cnt, sec) = time {
+          s.range(0L, n, 1L, cpus * 2).select(col("id").as("k"))
+            .filter(bloom_contains(bc, col("k"))).count()
+        }
+        require(cnt == n, "zero-FN violated in probe pass")
+        sec
+      } finally s.stop()
+    }
+
     val samples = scala.collection.mutable.Map[Int, Vector[Double]]()
       .withDefaultValue(Vector.empty)
-    // one warmup sweep (JIT) then `reps` interleaved measured sweeps
+    var probeSamples = Vector.empty[Double]
+    // one warmup sweep (JIT) then `reps` interleaved measured sweeps,
+    // each sweep ending with a probe pass (>= 5 probe samples total)
     levels.foreach(c => buildOnce(c, math.min(n, 20000000L)))
+    probeOnce() // warm the probe codegen path too
+    val probesPerSweep = math.max(1, (5 + reps - 1) / reps)
     (1 to reps).foreach { _ =>
       levels.foreach { c => samples(c) = samples(c) :+ buildOnce(c, n) }
+      (1 to probesPerSweep).foreach(_ => probeSamples = probeSamples :+ probeOnce())
     }
     val tp = levels.map(c => c -> n / median(samples(c))).toMap
+    val probeTp = n / median(probeSamples)
 
     def eff(lo: Int, hi: Int): Double =
       if (tp.contains(lo) && tp.contains(hi)) tp(hi) / ((hi.toDouble / lo) * tp(lo)) else -1
-
-    // FPR + zero-FN validation + probe (lookup) throughput on a filter
-    // built at full parallelism
-    val s2 = session(cpus)
-    val (fpr, fnOk, probeTp) = try {
-      val keys = s2.range(0L, n, 1L, cpus * 2).select(col("id").as("k"))
-      val f = BloomBuild.concurrent(keys, col("k"), n, 0.01)
-      // broadcast probe: a capacity-n filter is tens of MB — shipping it
-      // as a literal costs per-task deserialization (measured 14-30x
-      // slower); the broadcast variant ships once per executor
-      val bc = s2.sparkContext.broadcast(f.toBytes)
-      val probes = 500000L
-      val fp = s2.range(n, n + probes).select(col("id").as("k"))
-        .filter(bloom_contains(bc, col("k"))).count()
-      val fn = s2.range(0L, probes).select(col("id").as("k"))
-        .filter(!bloom_contains(bc, col("k"))).count()
-      // lookup throughput: probe all n member keys (all-8-word worst
-      // case); median of >= 5 reps — this host shows rare 10x+ stalls
-      // (measured: 1.9s/1.9s/37s/7.4s for identical probe jobs), and the
-      // probe is cheap enough that extra reps are the right insurance
-      val probeSecs = (1 to math.max(reps, 5)).map { _ =>
-        val (_, sec) = time {
-          s2.range(0L, n, 1L, cpus * 2).select(col("id").as("k"))
-            .filter(bloom_contains(bc, col("k"))).count()
-        }
-        sec
-      }
-      (fp.toDouble / probes, fn == 0L, n / median(probeSecs))
-    } finally s2.stop()
 
     // hardware scaling ceiling (pure CPU), interleaved medians
     val cpuTp = cpuProbeInterleaved(Seq(8, 32), reps)

@@ -83,6 +83,19 @@ object functions {
   def bloom_is_empty(filter: Column): Column =
     toCol(BloomIsEmpty(toExpr(filter)))
 
+  /** Linear-counting distinct estimate from the filter's bit occupancy
+    * (no extra sketch needed — the filter IS the estimator).
+    */
+  def bloom_cardinality_estimate(filter: Column): Column =
+    toCol(BloomCardinalityEstimate(toExpr(filter)))
+
+  /** `|A ∩ B|` estimate over two compatible filters via inclusion-
+    * exclusion of the linear-counting estimates — the SBBF sibling of
+    * [[hll_intersect_estimate]]. Absolute error scales with `|A| + |B|`.
+    */
+  def bloom_intersect_estimate(a: Column, b: Column): Column =
+    toCol(BloomIntersectEstimate(toExpr(a), toExpr(b)))
+
   // --------------------------------------------------- counting bloom (CBF)
 
   /** Build a Counting Bloom filter: like [[bloom_agg]] but with per-row

@@ -83,6 +83,11 @@ object SparkEntry {
     // Executed inside the query while the conf is set (try/finally).
     "auto_prefilter_join" -> { (s, dir) =>
       graft.sql.Registry.register(s) // idempotent; installs the rule
+      // disable auto-broadcast so the join is a SHUFFLE join — the regime
+      // the rule exists for (broadcastable creation sides are skipped by
+      // default: a pre-filter in front of a BHJ is pure overhead)
+      val prevAbjt = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       s.conf.set("spark.graft.runtimeFilter.applicationSideMinSize", "1000")
       s.conf.set("spark.graft.runtimeFilter.capacity", "100000")
       try {
@@ -104,6 +109,7 @@ object SparkEntry {
         Seq((row.getLong(0), row.getLong(1), injected))
           .toDF("n", "sum_qty", "prefilter_injected")
       } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAbjt)
         s.conf.unset("spark.graft.runtimeFilter.applicationSideMinSize")
         s.conf.unset("spark.graft.runtimeFilter.capacity")
       }
@@ -203,6 +209,32 @@ object SparkEntry {
       import s.implicits._
       Seq((pass, nShards, fp.toDouble / probes <= 0.01 * 1.05))
         .toDF("n_pass", "n_shards", "fpr_within_bound")
+    },
+
+    // Set algebra beyond the reference's union-only surface: linear-
+    // counting cardinality from bit occupancy and |A∩B| via inclusion-
+    // exclusion, over two compatible filters built from overlapping
+    // order-key ranges. The exact overlap is the cross-engine oracle;
+    // both estimates must sit inside the documented error envelope.
+    "bloom_set_algebra" -> { (s, dir) =>
+      val orders = table(s, dir, "orders")
+      val n = orders.count()
+      val hi = orders.filter(col("o_totalprice") > 200000)
+      val lo = orders.filter(col("o_totalprice") < 400000)
+      val a = buildFilter(hi, "o_orderkey", n, 0.01)
+      val b = buildFilter(lo, "o_orderkey", n, 0.01)
+      val nA = hi.count()
+      val nB = lo.count()
+      val overlap = orders.filter(
+        col("o_totalprice") > 200000 && col("o_totalprice") < 400000).count()
+      import s.implicits._
+      val row = Seq((a, b)).toDF("a", "b").select(
+        bloom_cardinality_estimate(col("a")),
+        bloom_intersect_estimate(col("a"), col("b"))).head()
+      Seq((overlap,
+        math.abs(row.getDouble(0) - nA) <= 0.025 * nA + 10,
+        math.abs(row.getDouble(1) - overlap) <= 0.02 * (nA + nB) + 10))
+        .toDF("n_overlap_exact", "card_est_ok", "intersect_est_ok")
     },
 
     // Dictionary-aware build: the filter only needs DISTINCT keys, and a
@@ -639,6 +671,12 @@ object SparkEntry {
     "sharded_build_probe" ->
       """SELECT count(*) AS n_pass, CAST(8 AS INTEGER) AS n_shards,
         |CAST(1 AS BOOLEAN) AS fpr_within_bound FROM orders""".stripMargin,
+    "bloom_set_algebra" ->
+      """SELECT CAST((SELECT count(*) FROM orders
+        |  WHERE o_totalprice > 200000 AND o_totalprice < 400000) AS BIGINT)
+        |  AS n_overlap_exact,
+        |CAST(1 AS BOOLEAN) AS card_est_ok,
+        |CAST(1 AS BOOLEAN) AS intersect_est_ok""".stripMargin,
     "dict_bloom_build" ->
       """SELECT count(*) AS n_pass, CAST(1 AS BOOLEAN) AS dict_equals_scan,
         |CAST(1 AS BOOLEAN) AS used_dict_path FROM orders""".stripMargin,

@@ -168,6 +168,58 @@ final class Sbbf private[core] (
   }
   def isEmpty: Boolean = !nonEmpty
 
+  /** Linear-counting cardinality estimate from bit occupancy (Whang,
+    * Vander-Zanden, Taylor, "A linear-time probabilistic counting
+    * algorithm for database applications", ACM TODS 15(2), 1990 — the
+    * classic load-factor inversion, applied per word). Each inserted key
+    * sets EXACTLY ONE bit in each of its block's 8 words (the salted
+    * multiply-shift picks one of 64 positions per word), so a word with
+    * X bits set estimates its block's key count as `-64 ln(1 - X/64)`;
+    * the 8 words of a block observe the same count, so their log terms
+    * average, and blocks sum:
+    * `est = -(64/8) * sum over all words of ln(1 - X_w/64)`.
+    * Duplicates are counted once (this estimates DISTINCT keys). A fully
+    * saturated word is clamped to X = 63.5 (its block is beyond
+    * resolution). Relative error is sub-1% at design load — see
+    * SbbfSpec's accuracy test.
+    */
+  def estimateCardinality: Double = {
+    var sum = 0.0
+    var i = 0
+    while (i < words.length) {
+      val x = java.lang.Long.bitCount(words(i))
+      sum += Math.log1p(-(if (x >= 64) 63.5 else x.toDouble) / 64.0)
+      i += 1
+    }
+    -8.0 * sum
+  }
+
+  /** Intersection-size estimate via inclusion-exclusion over the linear-
+    * counting estimates: `|A ∩ B| ≈ est(A) + est(B) - est(A ∪ B)`, with
+    * the union occupancy read directly off the OR of the word pairs (no
+    * materialized union filter). Clamped at 0. Inherits the estimator's
+    * error on each term, so absolute error scales with |A| + |B|, not
+    * with the (possibly tiny) intersection — the standard caveat of
+    * sketch inclusion-exclusion.
+    */
+  def intersectEstimate(other: Sbbf): Double = {
+    requireCompatible(other)
+    var sumA = 0.0
+    var sumB = 0.0
+    var sumU = 0.0
+    var i = 0
+    while (i < words.length) {
+      val xa = java.lang.Long.bitCount(words(i))
+      val xb = java.lang.Long.bitCount(other.words(i))
+      val xu = java.lang.Long.bitCount(words(i) | other.words(i))
+      sumA += Math.log1p(-(if (xa >= 64) 63.5 else xa.toDouble) / 64.0)
+      sumB += Math.log1p(-(if (xb >= 64) 63.5 else xb.toDouble) / 64.0)
+      sumU += Math.log1p(-(if (xu >= 64) 63.5 else xu.toDouble) / 64.0)
+      i += 1
+    }
+    math.max(0.0, -8.0 * (sumA + sumB - sumU))
+  }
+
   def clear(): Unit = java.util.Arrays.fill(words, 0L)
 
   def copy(): Sbbf =

@@ -383,3 +383,51 @@ object BloomDescribe {
       f.k, f.isEmpty)
   }
 }
+
+/** `bloom_cardinality_estimate(filter) -> double` — linear-counting
+  * distinct estimate from bit occupancy (see
+  * [[graft.core.Sbbf.estimateCardinality]]).
+  */
+case class BloomCardinalityEstimate(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"bloom_cardinality_estimate expects binary, got ${dt.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Sbbf.fromBytes(input.asInstanceOf[Array[Byte]]).estimateCardinality
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.core.Sbbf$$.MODULE$$.fromBytes($c).estimateCardinality()")
+  override def prettyName: String = "bloom_cardinality_estimate"
+  override protected def withNewChildInternal(c: Expression): BloomCardinalityEstimate =
+    copy(child = c)
+}
+
+/** `bloom_intersect_estimate(a, b) -> double` — inclusion-exclusion over
+  * the linear-counting estimates (`est(A) + est(B) - est(A|B)`), the SBBF
+  * sibling of `hll_intersect_estimate`; filters must be compatible
+  * (same capacity + fp_rate). See [[graft.core.Sbbf.intersectEstimate]]
+  * for the error model (absolute error scales with |A| + |B|).
+  */
+case class BloomIntersectEstimate(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bloom_intersect_estimate expects (binary, binary), got (${l.sql}, ${r.sql})")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Sbbf.fromBytes(a.asInstanceOf[Array[Byte]])
+      .intersectEstimate(Sbbf.fromBytes(b.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.core.Sbbf$$.MODULE$$.fromBytes($a).intersectEstimate(graft.core.Sbbf$$.MODULE$$.fromBytes($b))")
+  override def prettyName: String = "bloom_intersect_estimate"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomIntersectEstimate =
+    copy(left = newLeft, right = newRight)
+}

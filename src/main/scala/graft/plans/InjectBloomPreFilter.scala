@@ -37,7 +37,21 @@ import graft.expr.{AbloomKeyHash, BloomFilterAgg, BloomMightContain}
   *    constant like Spark's `spark.sql.optimizer.runtime.bloomFilter.*`);
   *  - `creationSideThreshold` (32 MB) — max stats size of the build side;
   *  - `applicationSideMinSize` (128 MB) — min stats size of the pruned
-  *    side (filtering a small scan is pure overhead).
+  *    side (filtering a small scan is pure overhead);
+  *  - `skipBroadcastable` (true) — skip creation sides under
+  *    `spark.sql.autoBroadcastJoinThreshold`: those become BHJ build
+  *    sides, and a bloom probe in front of a BHJ duplicates the join's
+  *    own O(rows) probe for no shuffle savings. The rule's value regime
+  *    is the SHUFFLE-join window (broadcast threshold .. 32 MB).
+  *
+  * Creation-side scan count: the subquery re-plans the creation subtree,
+  * but under AQE any Exchange inside it is canonically identical to the
+  * join side's and is materialized ONCE (runtime `ReusedExchange` — the
+  * stage cache is shared between a query and its subqueries; pinned by
+  * InjectBloomPreFilterSpec). Only a bare-scan creation side (no shuffle
+  * anywhere below) is read twice, and that second read is pruned to the
+  * key column alone — the same trade Spark's builtin runtime filter
+  * makes.
   */
 object InjectBloomPreFilter extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -52,6 +66,21 @@ object InjectBloomPreFilter extends Rule[LogicalPlan] with PredicateHelper {
     conf.getConfString("spark.graft.runtimeFilter.fpRate", "0.01").toDouble
   private def creationMax = longConf("creationSideThreshold", 32L * 1024 * 1024)
   private def applicationMin = longConf("applicationSideMinSize", 128L * 1024 * 1024)
+  private def skipBroadcastable = boolConf("skipBroadcastable", d = true)
+
+  /** A creation side under the auto-broadcast threshold will (for the
+    * equi-joins this rule matches) be planned as the build side of a
+    * broadcast hash join — and a bloom pre-filter in front of a BHJ is
+    * pure overhead: the filter probe is the same O(app rows) hash work
+    * as the join's own build-side probe, and inner/semi BHJ already
+    * drops non-matching rows without a shuffle. The rule's value regime
+    * is creation sides ABOVE the broadcast threshold and below
+    * `creationSideThreshold` (the shuffle-join window), so broadcastable
+    * sides are skipped by default.
+    */
+  private def wouldBroadcast(creation: LogicalPlan): Boolean =
+    conf.autoBroadcastJoinThreshold >= 0 &&
+      creation.stats.sizeInBytes <= conf.autoBroadcastJoinThreshold
 
   private def supportedType(e: Expression): Boolean = e.dataType match {
     case StringType | BinaryType | LongType | IntegerType | ShortType |
@@ -100,6 +129,7 @@ object InjectBloomPreFilter extends Rule[LogicalPlan] with PredicateHelper {
       !creation.exists(_.expressions.exists(!_.deterministic)) &&
       creation.stats.sizeInBytes <= creationMax &&
       app.stats.sizeInBytes >= applicationMin &&
+      !(skipBroadcastable && wouldBroadcast(creation)) &&
       !hasBloomFilter(app)
 
   /** `Filter(bloom_contains(<subquery: ABLM over creation keys>, appKey), app)`.

@@ -41,6 +41,11 @@ object Registry {
     "bloom_union_agg" -> { args => BloomUnionAgg(args.head) },
     "bloom_describe" -> { args => BloomDescribe(args.head) },
     "bloom_is_empty" -> { args => BloomIsEmpty(args.head) },
+    "bloom_cardinality_estimate" -> { args => BloomCardinalityEstimate(args.head) },
+    "bloom_intersect_estimate" -> { args =>
+      require(args.size == 2, "bloom_intersect_estimate(a, b)")
+      BloomIntersectEstimate(args(0), args(1))
+    },
     // cbf_agg(key, capacity[, fp_rate]) = insert-only, MATCHING the Scala
     // API's argument order; the weighted form has its own name so the SQL
     // 3-arg call can never silently bind capacity as a per-row weight.

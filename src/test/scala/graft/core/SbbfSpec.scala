@@ -226,6 +226,41 @@ class SbbfSpec extends AnyFunSuite {
     assert(fp.toDouble / probes <= 0.001 * 1.05, s"fpr=${fp.toDouble / probes}")
   }
 
+  test("linear-counting cardinality estimate within ~2% at and under load") {
+    // m=64 per word is small, so the estimator carries a known upward
+    // convexity bias of ~1%; 2.5% is the honest test bound
+    for ((n, cap) <- Seq((5000, 100000L), (60000, 100000L), (100000, 100000L))) {
+      val f = Sbbf.empty(cap, 0.01)
+      (0 until n).foreach(i => f.add(Hashing.mix64(i.toLong).toString))
+      val est = f.estimateCardinality
+      assert(math.abs(est - n) <= 0.025 * n + 5, s"n=$n est=$est")
+    }
+    assert(Sbbf.empty(1000, 0.01).estimateCardinality === 0.0)
+    // duplicates count once — it estimates DISTINCT keys
+    val f = Sbbf.empty(10000, 0.01)
+    (0 until 30000).foreach(i => f.add((i % 3000).toLong))
+    assert(math.abs(f.estimateCardinality - 3000) <= 0.025 * 3000 + 5)
+  }
+
+  test("intersect estimate: overlap via inclusion-exclusion, disjoint near 0") {
+    val cap = 100000L
+    def build(range: Range): Sbbf = {
+      val f = Sbbf.empty(cap, 0.01)
+      range.foreach(i => f.add(Hashing.mix64(i.toLong).toString))
+      f
+    }
+    val a = build(0 until 60000)
+    val b = build(30000 until 90000)
+    val est = a.intersectEstimate(b)
+    assert(math.abs(est - 30000) <= 0.02 * 120000, s"est=$est (true 30000)")
+    val disjoint = build(200000 until 205000)
+    assert(a.intersectEstimate(disjoint) <= 0.01 * 65000, "disjoint sets must estimate near 0")
+    // symmetric
+    assert(math.abs(a.intersectEstimate(b) - b.intersectEstimate(a)) < 1e-9)
+    // incompatible params throw
+    intercept[IllegalArgumentException](a.intersectEstimate(Sbbf.empty(5000, 0.01)))
+  }
+
   test("incompatible filters cannot merge") {
     val a = Sbbf.empty(100, 0.01)
     intercept[IllegalArgumentException](a.or(Sbbf.empty(200, 0.01)))

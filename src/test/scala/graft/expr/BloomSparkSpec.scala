@@ -125,6 +125,25 @@ class BloomSparkSpec extends SparkTestBase {
     assert(Seq("l1", "l2", "r1", "r2").forall(f.contains))
   }
 
+  test("bloom_cardinality_estimate and bloom_intersect_estimate columns + SQL") {
+    graft.sql.Registry.register(spark)
+    val a = (0 until 6000).map(i => s"ka$i").toDF("k")
+      .agg(bloom_agg(col("k"), 20000, 0.01)).head.getAs[Array[Byte]](0)
+    val b = ((3000 until 6000).map(i => s"ka$i") ++ (0 until 3000).map(i => s"kb$i"))
+      .toDF("k").agg(bloom_agg(col("k"), 20000, 0.01)).head.getAs[Array[Byte]](0)
+    val row = Seq((a, b)).toDF("a", "b").select(
+      bloom_cardinality_estimate(col("a")).as("ca"),
+      bloom_intersect_estimate(col("a"), col("b")).as("i")).head
+    assert(math.abs(row.getDouble(0) - 6000) <= 0.03 * 6000 + 5)
+    assert(math.abs(row.getDouble(1) - 3000) <= 0.02 * 12000 + 5)
+    Seq((a, b)).toDF("a", "b").createOrReplaceTempView("bi_est")
+    val sqlRow = spark.sql(
+      """SELECT bloom_cardinality_estimate(a) AS ca,
+        |bloom_intersect_estimate(a, b) AS i FROM bi_est""".stripMargin).head
+    assert(sqlRow.getDouble(0) === row.getDouble(0))
+    assert(sqlRow.getDouble(1) === row.getDouble(1))
+  }
+
   test("SQL surface: bloom_agg / bloom_contains / bloom_describe") {
     graft.sql.Registry.register(spark)
     (0 until 100).map(i => s"sql$i").toDF("k").createOrReplaceTempView("sql_keys")
