@@ -541,6 +541,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Language-ID + rolling-hash document fingerprint under the gate.
+    // The fingerprint is a min-shingle SKETCH (similar docs may share it),
+    // so the provable invariants are: fp is a pure function of the text
+    // (per distinct text, exactly one fp — checked distributively), and
+    // planted exact copies share their original's fp. Language-ID must
+    // return a known language with confidence in [0,1] for every doc.
+    "text_fingerprint_lang" -> { (s, dir) =>
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      val aug = docs.unionByName(planted)
+        .withColumn("fp", graft.ops.TextAnalysis.doc_fingerprint(col("text")))
+        .withColumn("li", graft.ops.TextAnalysis.lang_id(col("text")))
+      val fnOfText = aug.groupBy(col("text"))
+        .agg(countDistinct(col("fp")).as("nfp"))
+        .filter(col("nfp") =!= 1).count() == 0
+      val pairs = aug.filter(col("doc_id") < 100000)
+        .select(col("doc_id").as("a"), col("fp").as("fp_a"))
+        .join(aug.filter(col("doc_id") >= 100000)
+          .select((col("doc_id") - 100000).as("a"), col("fp").as("fp_b")), "a")
+      val row = aug.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("li.lang").isin("en", "de", "fr", "es", "it", "und"), 0L)
+          .otherwise(1L)).as("bad_lang"),
+        sum(when(col("li.confidence").between(0.0, 1.0), 0L).otherwise(1L))
+          .as("bad_conf")).head()
+      val dupsShare = pairs.filter(col("fp_a") =!= col("fp_b")).count() == 0
+      import s.implicits._
+      Seq((row.getLong(0), fnOfText, dupsShare,
+        row.getLong(1) == 0L && row.getLong(2) == 0L))
+        .toDF("n_docs", "fp_function_of_text", "planted_dups_share_fp", "langs_valid")
+    },
+
     // Embedding brute-force cosine top-k (ANN correctness baseline):
     // DuckDB recomputes cosine exactly on the same vectors.
     "similarity_topk" -> { (s, dir) =>
@@ -776,6 +809,16 @@ object SparkEntry {
         |    (CASE WHEN mean_len BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
         |    (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.1)), 6) AS quality
         |FROM r ORDER BY doc_id""".stripMargin,
+    "text_fingerprint_lang" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT count(*) AS n_docs,
+        |CAST(1 AS BOOLEAN) AS fp_function_of_text,
+        |CAST(1 AS BOOLEAN) AS planted_dups_share_fp,
+        |CAST(1 AS BOOLEAN) AS langs_valid
+        |FROM aug""".stripMargin,
     "similarity_topk" ->
       """SELECT vec_id AS id,
         |round(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
