@@ -459,6 +459,36 @@ object SparkEntry {
         .orderBy(col("day"))
     },
 
+    // Streaming EXACT dedup under the gate: documents (+ planted exact
+    // copies) replayed as a file stream, first arrival of each distinct
+    // text kept via digest dropDuplicatesWithinWatermark. The surviving
+    // row count must equal the batch count(DISTINCT text) — the
+    // cross-engine oracle (planted copies add no new texts).
+    "streaming_dedup" -> { (s, dir) =>
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      val aug = docs.unionByName(planted)
+        .withColumn("ts",
+          (lit(1700000000L) + col("doc_id") % 3600).cast("timestamp"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sdd").toString
+      aug.write.parquet(s"$tmp/in")
+      val stream = s.readStream.schema(aug.schema).parquet(s"$tmp/in")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val deduped = graft.streaming.StreamingSketches.dedupExact(
+        stream, "ts", "text", "2 hours")
+      val qname = "sdd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = deduped.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val kept = s.table(qname)
+      kept.agg(
+        count(lit(1)).as("n_unique"),
+        countDistinct(col("text")).as("n_distinct_texts"))
+    },
+
     // North-rule skew handling: per-group sketches via two-phase salted
     // aggregation (bit-identical to unsalted; exact distincts oracle-
     // verified, estimates within the published bound).
@@ -502,6 +532,24 @@ object SparkEntry {
         "text", "doc_id", threshold = 0.7)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Near-dup CLUSTERS: pairs are not a dedup decision — duplicates are
+    // transitive — so the minhash pairs feed connected components and
+    // every doc maps to its component-min representative. DuckDB
+    // recomputes the same components from the exact-Jaccard pair set via
+    // a recursive CTE: a full independent cross-engine oracle of an
+    // iterative graph algorithm.
+    "dedup_clusters" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val planted = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" graftdupmarker")))
+      val aug = docs.unionByName(planted).select(col("doc_id"), col("text"))
+      val pairs = graft.ops.Dedup.minhashPairs(aug, "text", "doc_id", threshold = 0.7)
+        .select(col("id_a"), col("id_b"))
+      graft.ops.Dedup.clusterRepresentatives(pairs, aug.select(col("doc_id")), "doc_id")
+        .orderBy(col("doc_id"))
     },
 
     // SimHash dedup: candidate pairs at hamming <= 3, verified exact-equal
@@ -749,6 +797,9 @@ object SparkEntry {
         |CAST(1 AS BOOLEAN) AS zero_fn,
         |CAST(1 AS BOOLEAN) AS sha_invariant
         |FROM '/tmp/graft_oracle_source_files/*.parquet'""".stripMargin,
+    "streaming_dedup" ->
+      """SELECT count(DISTINCT text) AS n_unique,
+        |count(DISTINCT text) AS n_distinct_texts FROM documents""".stripMargin,
     "salted_group_sketch" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_distinct,
         |CAST(1 AS BOOLEAN) AS within_bound
@@ -785,6 +836,36 @@ object SparkEntry {
     "dedup_simhash" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents
         |WHERE doc_id % 10 = 0 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' graftdupmarker'
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE
+        |      WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) < 3
+        |      THEN [array_to_string(regexp_split_to_array(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_transform(
+        |        range(1, len(regexp_split_to_array(lower(trim(text)), '\s+')) - 1),
+        |        i -> regexp_split_to_array(lower(trim(text)), '\s+')[i] || ' ' ||
+        |             regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+        |             regexp_split_to_array(lower(trim(text)), '\s+')[i+2]) END) AS s
+        |  FROM aug),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |        len(list_distinct(list_concat(a.s, b.s))) >= 0.7),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM aug
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON reach.id = e.v)
+        |SELECT id AS doc_id, min(r) AS representative
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       """WITH t AS (
         |  SELECT doc_id, text, length(text) AS n,

@@ -446,4 +446,61 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
+
+  // ------------------------------------------------ cluster representatives
+
+  /** Connected components over a near-duplicate PAIR table: pairs alone do
+    * not deduplicate a corpus — duplicates are transitive (a~b, b~c means
+    * {a,b,c} is ONE group even if (a,c) never surfaced as a pair), so the
+    * keep/drop decision needs the component, not the edge. Returns one row
+    * per id in `ids` with its `representative` = the MINIMUM id reachable
+    * through the pair graph (singletons map to themselves) — keep rows
+    * where `id == representative`, drop the rest.
+    *
+    * Algorithm: iterative min-label propagation. Each round joins the
+    * current labels across the symmetrized edge list and takes the min of
+    * (own label, neighbors' labels); stops when a round changes nothing.
+    * Rounds needed = graph diameter — for dedup clusters (near-cliques of
+    * copies) that is 1-3, so the loop runs 2-4 cheap joins; `maxIters`
+    * bounds pathological chains. Every round's `count` action also
+    * truncates the growing lineage via localCheckpoint when spark has a
+    * checkpoint-capable context (eager local checkpoint every round keeps
+    * the plan O(1) deep — the classic iterative-algorithm requirement).
+    *
+    * 100 TB shape: labels and edges are both (long, long) tables; each
+    * round is one shuffle join on id. Pair tables from [[minhashPairs]] /
+    * [[simhashPairs]] / [[embeddingPairs]] are OUTPUT-sized (near-dup
+    * pairs), orders of magnitude smaller than the corpus, so the loop's
+    * joins run on the small side; the final join back to `ids` is the only
+    * corpus-sized exchange.
+    */
+  def clusterRepresentatives(
+      pairs: DataFrame,
+      ids: DataFrame,
+      idCol: String = "id",
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("rep"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      // min over (own label, labels of every neighbor)
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "v"), "v")
+        .select(col("u").as("id"), col("rep"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("rep", "prev"), "id")
+        .filter(col("rep") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("rep").as("representative"))
+  }
 }

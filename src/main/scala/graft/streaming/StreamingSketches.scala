@@ -59,6 +59,29 @@ object StreamingSketches {
         col("window.end").as("window_end"),
         col("approx_distinct"))
 
+  /** EXACT streaming deduplication by content digest: keeps the first
+    * arrival of each distinct `textCol` value, drops later duplicates.
+    * Built on `dropDuplicatesWithinWatermark` over a sha-256 digest, so
+    * state per distinct document is one digest row (bounded by the
+    * watermark horizon, NOT by total stream history — the state store
+    * evicts digests older than the watermark).
+    *
+    * Scale shape: exact dedup state is O(distinct docs inside the
+    * watermark window). For unbounded horizons use [[firstSeen]] — the
+    * Bloom-backed variant whose state is CONSTANT per entity at the cost
+    * of a fp-rate chance of dropping a genuinely-new document.
+    */
+  def dedupExact(
+      docs: DataFrame,
+      tsCol: String,
+      textCol: String,
+      watermarkDelay: String): DataFrame =
+    docs
+      .withColumn("__graft_digest", sha2(col(textCol), 256))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__graft_digest")
+      .drop("__graft_digest")
+
   /** Event for the stateful per-entity dedup/membership operator. */
   final case class KeyedEvent(entity: String, key: String)
 

@@ -49,6 +49,29 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("cluster representatives: transitive groups, singletons, convergence") {
+    // chain 1-2, 2-3 (transitive), separate pair 10-11, singletons 20, 21
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("id")
+    val reps = Dedup.clusterRepresentatives(pairs, ids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L, 21L -> 21L))
+
+    // a longer chain exercises multiple propagation rounds
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainIds = (0L until 10L).toDF("id")
+    val chainReps = Dedup.clusterRepresentatives(chain, chainIds)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(chainReps === Array(0L), "whole chain is one component rooted at 0")
+
+    // empty pair table: everyone is their own representative
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val solo = Dedup.clusterRepresentatives(none, Seq(5L, 6L).toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(solo === Map(5L -> 5L, 6L -> 6L))
+  }
+
   test("simhash near-dup pairs within hamming distance") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

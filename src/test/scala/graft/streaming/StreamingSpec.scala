@@ -46,6 +46,27 @@ class StreamingSpec extends SparkTestBase {
     (0 until 30).foreach(i => assert(w2.contains(s"w2k$i")))
   }
 
+  test("dedupExact keeps the first arrival of each distinct text, across batches") {
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "id", "text")
+    val name = "sdd_spec"
+    val q = StreamingSketches.dedupExact(docs, "ts", "text", "1 hour")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    // batch 1: 20 distinct texts, each duplicated once inside the batch
+    input.addData((0 until 40).map(i => (ts(i % 10), i.toLong, s"doc_${i % 20}")): _*)
+    q.processAllAvailable()
+    // batch 2: 10 repeats of batch-1 texts (cross-batch dups) + 5 new
+    input.addData((0 until 15).map(i =>
+      (ts(10 + i % 5), (100 + i).toLong, if (i < 10) s"doc_$i" else s"new_$i")): _*)
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table(name).collect()
+    assert(kept.length === 25, s"20 + 5 distinct texts, got ${kept.length}")
+    assert(kept.map(_.getString(2)).distinct.length === 25)
+    // the digest helper column must not leak into the output schema
+    assert(!spark.table(name).columns.contains("__graft_digest"))
+  }
+
   test("windowed HLL distinct over a stream within bound") {
     val input = MemoryStream[(Timestamp, String)]
     val q = StreamingSketches.windowedDistinct(
