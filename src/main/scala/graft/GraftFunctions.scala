@@ -199,6 +199,10 @@ object functions {
     toCol(CmsAgg(AbloomKeyHash(toExpr(key)), lit(eps), lit(delta))
       .toAggregateExpression())
 
+  /** Cell-wise-add merge of a column of stored count-min sketches. */
+  def cms_union_agg(sketches: Column): Column =
+    toCol(CmsUnionAgg(toExpr(sketches)).toAggregateExpression())
+
   def cms_query(sketch: Column, key: Column): Column =
     toCol(CmsQuery(toExpr(sketch), AbloomKeyHash(toExpr(key))))
 
@@ -207,6 +211,10 @@ object functions {
     toCol(TDigestAgg(castDouble(value), lit(compression)).toAggregateExpression())
   def tdigest_agg(value: Column): Column =
     tdigest_agg(value, graft.core.TDigest.DefaultCompression)
+
+  /** Centroid merge of a column of stored t-digests. */
+  def tdigest_union_agg(sketches: Column): Column =
+    toCol(TDigestUnionAgg(toExpr(sketches)).toAggregateExpression())
 
   def tdigest_quantile(sketch: Column, q: Double): Column =
     toCol(TDigestQuantile(toExpr(sketch), lit(q)))
@@ -217,6 +225,10 @@ object functions {
   def kll_agg(value: Column, k: Int): Column =
     toCol(KllAgg(castDouble(value), lit(k)).toAggregateExpression())
   def kll_agg(value: Column): Column = kll_agg(value, graft.core.Kll.DefaultK)
+
+  /** Compactor merge of a column of stored KLL sketches. */
+  def kll_union_agg(sketches: Column): Column =
+    toCol(KllUnionAgg(toExpr(sketches)).toAggregateExpression())
 
   def kll_quantile(sketch: Column, q: Double): Column =
     toCol(KllQuantile(toExpr(sketch), lit(q)))

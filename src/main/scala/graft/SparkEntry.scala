@@ -245,12 +245,16 @@ object SparkEntry {
     // cross-engine oracle).
     "dict_bloom_build" -> { (s, dir) =>
       val orders = table(s, dir, "orders")
-      val n = orders.count()
+      // key column choice is scale-driven: o_orderpriority (5 distinct) is
+      // dictionary-encoded at EVERY sf, while high-cardinality keys blow
+      // the writer's 1 MB dictionary-page cap at sf0.1+ and would flip the
+      // used_dict_path assertion (high-cardinality byte-identity is
+      // covered by DictBloomBuildSpec on its own written files)
       val (bytes, stats) = graft.job.DictBloomBuild.build(
-        s, s"$dir/orders.parquet", "o_orderkey", n, 0.01)
-      val scanned = buildFilter(orders, "o_orderkey", n, 0.01)
+        s, s"$dir/orders.parquet", "o_orderpriority", 1000, 0.01)
+      val scanned = buildFilter(orders, "o_orderpriority", 1000, 0.01)
       val bc = s.sparkContext.broadcast(bytes)
-      val pass = orders.filter(bloom_contains(bc, col("o_orderkey"))).count()
+      val pass = orders.filter(bloom_contains(bc, col("o_orderpriority"))).count()
       import s.implicits._
       Seq((pass, java.util.Arrays.equals(bytes, scanned),
         stats.dictFiles >= 1L && stats.fallbackFiles == 0L))

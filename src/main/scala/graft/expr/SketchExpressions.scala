@@ -428,3 +428,144 @@ object SketchRuntime {
     else { val s = Kll.fromBytes(bytes); kllCache.set((bytes, s)); s }
   }
 }
+
+// ------------------------------------------- stored-blob union aggregates
+// (tree-merge persisted partials without re-reading source data — the
+// same capability bloom/cbf/sbf/hll already have, completed for the
+// remaining sketches; merges are the cores' associative+commutative
+// merge, so any aggregation tree over the same blobs is equivalent)
+
+/** `cms_union_agg(sketch_binary)` — cell-wise-add merge of stored
+  * count-min sketches (compatible width/depth required by the core).
+  */
+case class CmsUnionAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Option[CountMin]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"cms_union_agg expects binary, got ${dt.sql}")
+  }
+
+  override def createAggregationBuffer(): Option[CountMin] = None
+  override def update(buffer: Option[CountMin], input: InternalRow): Option[CountMin] = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val s = CountMin.fromBytes(v.asInstanceOf[Array[Byte]])
+      buffer match { case Some(acc) => Some(acc.merge(s)); case None => Some(s) }
+    }
+  }
+  override def merge(a: Option[CountMin], b: Option[CountMin]): Option[CountMin] = (a, b) match {
+    case (Some(x), Some(y)) => Some(x.merge(y))
+    case (Some(x), None) => Some(x)
+    case (None, y) => y
+  }
+  override def eval(buffer: Option[CountMin]): Any = buffer.map(_.toBytes).orNull
+  override def serialize(buffer: Option[CountMin]): Array[Byte] =
+    buffer.map(_.toBytes).getOrElse(Array.emptyByteArray)
+  override def deserialize(bytes: Array[Byte]): Option[CountMin] =
+    if (bytes.isEmpty) None else Some(CountMin.fromBytes(bytes))
+
+  override def withNewMutableAggBufferOffset(o: Int): CmsUnionAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsUnionAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CmsUnionAgg =
+    copy(child = c(0))
+  override def prettyName: String = "cms_union_agg"
+}
+
+/** `tdigest_union_agg(sketch_binary)` — centroid merge of stored
+  * t-digests (same compression required by the core merge).
+  */
+case class TDigestUnionAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Option[TDigest]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"tdigest_union_agg expects binary, got ${dt.sql}")
+  }
+
+  override def createAggregationBuffer(): Option[TDigest] = None
+  override def update(buffer: Option[TDigest], input: InternalRow): Option[TDigest] = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val s = TDigest.fromBytes(v.asInstanceOf[Array[Byte]])
+      buffer match { case Some(acc) => Some(acc.merge(s)); case None => Some(s) }
+    }
+  }
+  override def merge(a: Option[TDigest], b: Option[TDigest]): Option[TDigest] = (a, b) match {
+    case (Some(x), Some(y)) => Some(x.merge(y))
+    case (Some(x), None) => Some(x)
+    case (None, y) => y
+  }
+  override def eval(buffer: Option[TDigest]): Any = buffer.map(_.toBytes).orNull
+  override def serialize(buffer: Option[TDigest]): Array[Byte] =
+    buffer.map(_.toBytes).getOrElse(Array.emptyByteArray)
+  override def deserialize(bytes: Array[Byte]): Option[TDigest] =
+    if (bytes.isEmpty) None else Some(TDigest.fromBytes(bytes))
+
+  override def withNewMutableAggBufferOffset(o: Int): TDigestUnionAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TDigestUnionAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TDigestUnionAgg =
+    copy(child = c(0))
+  override def prettyName: String = "tdigest_union_agg"
+}
+
+/** `kll_union_agg(sketch_binary)` — compactor merge of stored KLL
+  * sketches (same k required by the core merge).
+  */
+case class KllUnionAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Option[Kll]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"kll_union_agg expects binary, got ${dt.sql}")
+  }
+
+  override def createAggregationBuffer(): Option[Kll] = None
+  override def update(buffer: Option[Kll], input: InternalRow): Option[Kll] = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val s = Kll.fromBytes(v.asInstanceOf[Array[Byte]])
+      buffer match { case Some(acc) => Some(acc.merge(s)); case None => Some(s) }
+    }
+  }
+  override def merge(a: Option[Kll], b: Option[Kll]): Option[Kll] = (a, b) match {
+    case (Some(x), Some(y)) => Some(x.merge(y))
+    case (Some(x), None) => Some(x)
+    case (None, y) => y
+  }
+  override def eval(buffer: Option[Kll]): Any = buffer.map(_.toBytes).orNull
+  override def serialize(buffer: Option[Kll]): Array[Byte] =
+    buffer.map(_.toBytes).getOrElse(Array.emptyByteArray)
+  override def deserialize(bytes: Array[Byte]): Option[Kll] =
+    if (bytes.isEmpty) None else Some(Kll.fromBytes(bytes))
+
+  override def withNewMutableAggBufferOffset(o: Int): KllUnionAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllUnionAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KllUnionAgg =
+    copy(child = c(0))
+  override def prettyName: String = "kll_union_agg"
+}

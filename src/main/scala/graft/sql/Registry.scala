@@ -102,6 +102,7 @@ object Registry {
       require(args.size == 3, "cms_agg(key, eps, delta)")
       CmsAgg(AbloomKeyHash(args(0)), args(1), args(2))
     },
+    "cms_union_agg" -> { args => CmsUnionAgg(args.head) },
     "cms_query" -> { args =>
       require(args.size == 2, "cms_query(sketch, key)")
       CmsQuery(args(0), AbloomKeyHash(args(1)))
@@ -111,6 +112,7 @@ object Registry {
         else org.apache.spark.sql.catalyst.expressions.Literal(graft.core.TDigest.DefaultCompression)
       TDigestAgg(Cast(args(0), DoubleType), c)
     },
+    "tdigest_union_agg" -> { args => TDigestUnionAgg(args.head) },
     "tdigest_quantile" -> { args => TDigestQuantile(args(0), Cast(args(1), DoubleType)) },
     "tdigest_cdf" -> { args => TDigestCdf(args(0), Cast(args(1), DoubleType)) },
     "kll_agg" -> { args =>
@@ -118,6 +120,7 @@ object Registry {
         else org.apache.spark.sql.catalyst.expressions.Literal(graft.core.Kll.DefaultK)
       KllAgg(Cast(args(0), DoubleType), k)
     },
+    "kll_union_agg" -> { args => KllUnionAgg(args.head) },
     "kll_quantile" -> { args => KllQuantile(args(0), Cast(args(1), DoubleType)) },
     "kll_rank" -> { args => KllRank(args(0), Cast(args(1), DoubleType)) })
 

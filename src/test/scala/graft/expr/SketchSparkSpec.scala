@@ -85,6 +85,48 @@ class SketchSparkSpec extends SparkTestBase {
     assert(math.abs(rank - 0.5) <= 2 * kll.epsilon)
   }
 
+  test("cms/tdigest/kll union_agg tree-merge stored partials") {
+    val df = (0 until 20000).map(i => (i % 8, (i % 500).toLong, (i % 1000).toDouble))
+      .toDF("g", "k", "v")
+
+    // CMS: cell-wise add is exact — merged partials are BYTE-identical to
+    // the single global sketch
+    val cmsParts = df.groupBy(col("g")).agg(cms_agg(col("k"), 0.001, 0.01).as("s"))
+    val cmsMerged = cmsParts.agg(cms_union_agg(col("s"))).head.getAs[Array[Byte]](0)
+    val cmsGlobal = df.agg(cms_agg(col("k"), 0.001, 0.01)).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(cmsMerged, cmsGlobal))
+    // and SQL surface
+    graft.sql.Registry.register(spark)
+    cmsParts.createOrReplaceTempView("cms_parts")
+    val viaSql = spark.sql("SELECT cms_union_agg(s) FROM cms_parts").head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(viaSql, cmsGlobal))
+
+    // t-digest: merged partials answer quantiles within the rank bound
+    val tdParts = df.groupBy(col("g")).agg(tdigest_agg(col("v")).as("s"))
+    val tdMerged = TDigest.fromBytes(
+      tdParts.agg(tdigest_union_agg(col("s"))).head.getAs[Array[Byte]](0))
+    Seq(0.1, 0.5, 0.9).foreach { q =>
+      val est = tdMerged.quantile(q)
+      val rank = df.filter(col("v") <= est).count().toDouble / 20000
+      assert(math.abs(rank - q) <= 0.05, s"q=$q est=$est rank=$rank")
+    }
+
+    // KLL: merged partials answer ranks within the additive epsilon
+    val kllParts = df.groupBy(col("g")).agg(kll_agg(col("v")).as("s"))
+    val kllMerged = Kll.fromBytes(
+      kllParts.agg(kll_union_agg(col("s"))).head.getAs[Array[Byte]](0))
+    assert(kllMerged.count === 20000L)
+    Seq(0.25, 0.5, 0.75).foreach { q =>
+      val est = kllMerged.quantile(q)
+      val rank = df.filter(col("v") <= est).count().toDouble / 20000
+      assert(math.abs(rank - q) <= 3 * 2.5 / graft.core.Kll.DefaultK, s"q=$q")
+    }
+
+    // null blobs are skipped; empty input yields null
+    val empty = df.filter(col("g") < 0).agg(cms_union_agg(lit(null).cast("binary"))).head
+    assert(empty.isNullAt(0))
+  }
+
   test("hll estimate agrees with Spark's approx_count_distinct (cross-check)") {
     // SURVEY §7.3: Spark's HLL++ kept as an independent cross-check only
     val df = (0 until 30000).map(i => s"cc${i % 9000}").toDF("k")
