@@ -503,4 +503,21 @@ object Dedup {
     }
     labels.select(col("id").as(idCol), col("rep").as("representative"))
   }
+
+  /** One-call corpus deduplication: MinHash-LSH near-dup pairs ->
+    * connected components -> keep one representative (the component-min
+    * id) per duplicate group. Returns the deduplicated rows of `df` with
+    * all original columns. The composition every training-data pipeline
+    * runs; each stage is the scale-audited operator above.
+    */
+  def dedupMinhash(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double): DataFrame = {
+    val pairs = minhashPairs(df.select(col(idCol), col(textCol)), textCol, idCol,
+      threshold = threshold).select(col("id_a"), col("id_b"))
+    val reps = clusterRepresentatives(pairs, df.select(col(idCol)), idCol)
+    df.join(reps.filter(col(idCol) === col("representative")).select(col(idCol)), Seq(idCol))
+  }
 }

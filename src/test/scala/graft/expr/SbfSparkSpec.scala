@@ -24,6 +24,22 @@ class SbfSparkSpec extends SparkTestBase {
     }
   }
 
+  test("serialized bytes are run-to-run deterministic through the Spark agg") {
+    // end-to-end net for the canonical-bytes contract: the same input with
+    // the same fixed partitioning must serialize to the same blob on every
+    // run, whatever order Spark merges the partials in (the merge-tree
+    // invariance itself is property-tested in CbfSbfPropertySpec)
+    val df = spark.range(0L, 30000L, 1L, 8).toDF("k")
+    val runs = (1 to 3).map { _ =>
+      df.agg(sbf_agg(col("k"), 2048, 0.001)).head.getAs[Array[Byte]](0).toSeq
+    }
+    assert(runs.distinct.size === 1, "SBF blobs must be identical across runs")
+    // equals/hashCode see through stage-list ordering too
+    val a = Sbf.fromBytes(runs.head.toArray)
+    val b = Sbf.fromBytes(runs.last.toArray)
+    assert(a === b && a.hashCode === b.hashCode)
+  }
+
   test("empirical FPR within the serialized compound bound") {
     val df = (0L until 30000L).toDF("k").repartition(6)
     val bytes = df.agg(sbf_agg(col("k"), 4096, 0.001)).head.getAs[Array[Byte]](0)

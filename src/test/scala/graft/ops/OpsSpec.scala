@@ -49,6 +49,23 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("dedupMinhash one-call: keeps component-min representatives only") {
+    // base corpus with planted near-dups (suffix edits) and an exact pair
+    val corpus = docs
+    val deduped = Dedup.dedupMinhash(corpus, "text", "doc_id", threshold = 0.7)
+    val keptIds = deduped.select("doc_id").as[Long].collect().toSet
+    // every planted near-dup (id+1000) and the exact dup 2001 are dropped,
+    // their originals kept
+    (0 until 50 by 10).foreach { i =>
+      assert(keptIds.contains(i.toLong), s"original $i kept")
+      assert(!keptIds.contains(i.toLong + 1000), s"near-dup ${i + 1000} dropped")
+    }
+    assert(keptIds.contains(2000L) && !keptIds.contains(2001L))
+    // non-duplicated docs all survive with their columns intact
+    assert(deduped.columns.toSeq === corpus.columns.toSeq)
+    assert(deduped.count() === corpus.count() - 5 - 1)
+  }
+
   test("cluster representatives: transitive groups, singletons, convergence") {
     // chain 1-2, 2-3 (transitive), separate pair 10-11, singletons 20, 21
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
