@@ -217,36 +217,11 @@ object Bench {
     val cpuEff = cpuTp(32) / (4.0 * cpuTp(8))
 
     // single-core kernel numbers (BASELINE §1 comparison), best-of-3 —
-    // cheap (~5 s) and makes the recorded JSON self-contained
-    val kernel = {
-      def bestOf(r: Int)(f: => Unit): Double = {
-        var best = Double.MaxValue
-        (1 to r).foreach { _ =>
-          val t0 = System.nanoTime(); f
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
-        }
-        best
-      }
-      Seq(1000000, 10000000).map { kn =>
-        val hs = new Array[Long](kn)
-        var i = 0
-        while (i < kn) { hs(i) = graft.core.Hashing.hashLong(i.toLong); i += 1 }
-        val f = graft.core.Sbbf.empty(kn, 0.01)
-        f.insertHashes(hs, 0, kn)
-        val addSec = bestOf(3) {
-          val g = graft.core.Sbbf.empty(kn, 0.01)
-          g.insertHashes(hs, 0, kn)
-        }
-        val lookupSec = bestOf(3) {
-          var hits = 0L
-          var j = 0
-          while (j < kn) { if (f.checkHash(hs(j))) hits += 1; j += 1 }
-          require(hits == kn)
-        }
-        val m = kn / 1e6
-        f"""single_core_add_${kn / 1000000}m_mkeys_s":${m / addSec}%.1f,"single_core_lookup_${kn / 1000000}m_mkeys_s":${m / lookupSec}%.1f"""
-      }.mkString("{\"", ",\"", "}")
-    }
+    // cheap (~10 s), makes the recorded JSON self-contained, and is the
+    // SAME measurement KernelBench prints (one definition per metric)
+    val kernel = KernelBench.measure(3)
+      .map { case (k, v) => f""""single_core_$k":$v%.1f""" }
+      .mkString("{", ",", "}")
 
     val qs = names.filter(times.contains)
       .map(k => "\"" + k + "\":" + times(k)).mkString("{", ",", "}")

@@ -16,17 +16,19 @@ import graft.core.{Hashing, Sbbf}
   * paths) and lookup at 1M and 10M keys — best of `reps` (single-core
   * kernel peak is the comparable number on a shared host; default 5).
   * Build paths are asserted byte-identical before timing.
+  * [[graft.Bench]] embeds [[measure]]'s numbers in its recorded JSON so
+  * there is exactly ONE definition of each kernel metric.
   */
 object KernelBench {
 
-  private def hashesFor(n: Int): Array[Long] = {
+  private[graft] def hashesFor(n: Int): Array[Long] = {
     val hs = new Array[Long](n)
     var i = 0
     while (i < n) { hs(i) = Hashing.hashLong(i.toLong); i += 1 }
     hs
   }
 
-  private def bestOf(reps: Int)(f: => Unit): Double = {
+  private[graft] def bestOf(reps: Int)(f: => Unit): Double = {
     var best = Double.MaxValue
     var r = 0
     while (r < reps) {
@@ -39,10 +41,15 @@ object KernelBench {
     best
   }
 
-  def main(args: Array[String]): Unit = {
-    val reps = if (args.nonEmpty) args(0).toInt else 5
-    val sizes = Seq(1000000, 10000000)
-    val parts = sizes.flatMap { n =>
+  /** Core measurement: (metric name -> M keys/s) at the given sizes.
+    * `add` times the per-key [[Sbbf.insertHash]] loop (the headline
+    * comparable to the reference C), `add_batched` the [[Sbbf.insertHashes]]
+    * API, `lookup` the counted [[Sbbf.checkHash]] loop. The two build
+    * paths are asserted byte-identical before any timing.
+    */
+  private[graft] def measure(
+      reps: Int, sizes: Seq[Int] = Seq(1000000, 10000000)): Seq[(String, Double)] =
+    sizes.flatMap { n =>
       val hs = hashesFor(n)
 
       // correctness gate: batched == per-key, byte for byte
@@ -70,11 +77,16 @@ object KernelBench {
         require(hits == n, "zero-FN violated in lookup bench")
       }
       val m = n / 1e6
+      val tag = s"${n / 1000000}m"
       Seq(
-        f""""add_${n / 1000000}m_mkeys_s":${m / addSec}%.1f""",
-        f""""add_batched_${n / 1000000}m_mkeys_s":${m / addBatchSec}%.1f""",
-        f""""lookup_${n / 1000000}m_mkeys_s":${m / lookupSec}%.1f""")
+        s"add_${tag}_mkeys_s" -> m / addSec,
+        s"add_batched_${tag}_mkeys_s" -> m / addBatchSec,
+        s"lookup_${tag}_mkeys_s" -> m / lookupSec)
     }
+
+  def main(args: Array[String]): Unit = {
+    val reps = if (args.nonEmpty) args(0).toInt else 5
+    val parts = measure(reps).map { case (k, v) => f""""$k":$v%.1f""" }
     println(parts.mkString("{", ",", s""","reps":$reps}"""))
   }
 }

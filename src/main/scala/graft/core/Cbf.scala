@@ -56,19 +56,35 @@ final class Cbf private[core] (
 
   // ----------------------------------------------------------- add / probe
 
-  /** Saturating int32 add: clamps at Int.MaxValue / Int.MinValue instead
-    * of wrapping. Wraparound would silently flip a heavily-weighted cell
-    * negative (a positive-net key probing FALSE — a false negative, the
-    * one thing the filter must never do); saturation keeps `contains`
-    * zero-FN and `count` a no-underestimate bound for every key whose net
-    * count is int32-representable (a saturated cell can only OVERSTATE).
+  /** Saturating int32 add with a STICKY positive rail: once a cell has
+    * hit Int.MaxValue it stays pinned there forever (adds of either sign
+    * are ignored); below the rail, sums clamp at Int.MinValue. Rationale:
+    *  - wraparound would flip a heavily-weighted cell negative — a
+    *    positive-net key probing FALSE, the one thing the filter must
+    *    never do;
+    *  - a non-sticky clamp has a subtler FN: clamp loses positive weight,
+    *    so a later delete could take the cell below the key's true net
+    *    (add MAX, add MAX, delete MAX -> cell 0, net +MAX — probed
+    *    FALSE). Pinning makes an overflowed cell permanently >= any
+    *    representable net: zero FN always, at the cost of `count` (and
+    *    deletes through that cell) degrading to an overestimate — the
+    *    correct direction for both guarantees.
+    *  - the NEGATIVE rail is deliberately not sticky: a massively
+    *    over-deleted cell must be able to recover when real inserts
+    *    arrive, or those future keys would gain false negatives.
+    * At the rails the add is no longer strictly associative (clamping
+    * loses information); every order still preserves cell >= min(true
+    * sum, Int.MaxValue), which is the invariant the guarantees need.
     */
   @inline private def satAdd(idx: Int, w: Int): Unit = {
-    val s = cells(idx).toLong + w
-    cells(idx) =
-      if (s > Int.MaxValue) Int.MaxValue
-      else if (s < Int.MinValue) Int.MinValue
-      else s.toInt
+    val c = cells(idx)
+    if (c != Int.MaxValue) {
+      val s = c.toLong + w
+      cells(idx) =
+        if (s > Int.MaxValue) Int.MaxValue
+        else if (s < Int.MinValue) Int.MinValue
+        else s.toInt
+    }
   }
 
   /** Add `weight` (use +1 to insert, -1 to delete) for a pre-computed

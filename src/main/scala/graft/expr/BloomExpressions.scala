@@ -157,20 +157,33 @@ object BloomRuntime {
   // key and reparses per row — use a literal/broadcast filter on hot paths.
   private val cache = new ThreadLocal[(Array[Byte], Sbbf)]
 
+  // driver-side (no TaskContext) single-slot cache: SoftReference so the
+  // GC — not a task-completion hook, which does not exist there — bounds
+  // the blob's lifetime; without it a constant-folded probe over a
+  // LocalRelation would re-parse the same literal array per ROW
+  private val driverCache =
+    new ThreadLocal[java.lang.ref.SoftReference[(Array[Byte], Sbbf)]]
+
   def parse(bytes: Array[Byte]): Sbbf = {
     val c = cache.get()
     if (c != null && (c._1 eq bytes)) c._2
     else {
-      val f = Sbbf.fromBytes(bytes)
       val tc = org.apache.spark.TaskContext.get()
-      // outside a task (driver-side eval, e.g. ConvertToLocalRelation)
-      // there is no completion hook to evict — never cache there, or the
-      // blob stays pinned to the driver thread for the JVM lifetime
-      if (tc != null) {
+      if (tc == null) {
+        val sr = driverCache.get()
+        val entry = if (sr != null) sr.get() else null
+        if (entry != null && (entry._1 eq bytes)) entry._2
+        else {
+          val f = Sbbf.fromBytes(bytes)
+          driverCache.set(new java.lang.ref.SoftReference((bytes, f)))
+          f
+        }
+      } else {
+        val f = Sbbf.fromBytes(bytes)
         if (c == null) tc.addTaskCompletionListener[Unit](_ => cache.remove())
         cache.set((bytes, f))
+        f
       }
-      f
     }
   }
 

@@ -148,19 +148,33 @@ case class CbfUnionAgg(
 object CbfRuntime {
   private val cache = new ThreadLocal[(Array[Byte], Cbf)]
 
+  // driver-side (no TaskContext) single-slot cache: SoftReference so the
+  // GC — not a task-completion hook, which does not exist there — bounds
+  // the blob's lifetime; without it a constant-folded probe over a
+  // LocalRelation would re-parse the same literal array per ROW
+  private val driverCache =
+    new ThreadLocal[java.lang.ref.SoftReference[(Array[Byte], Cbf)]]
+
   def parse(bytes: Array[Byte]): Cbf = {
     val c = cache.get()
     if (c != null && (c._1 eq bytes)) c._2
     else {
-      val f = Cbf.fromBytes(bytes)
       val tc = org.apache.spark.TaskContext.get()
-      // no TaskContext = driver-side eval: don't cache (nothing would ever
-      // evict a 32x-SBBF-sized blob from the driver thread)
-      if (tc != null) {
+      if (tc == null) {
+        val sr = driverCache.get()
+        val entry = if (sr != null) sr.get() else null
+        if (entry != null && (entry._1 eq bytes)) entry._2
+        else {
+          val f = Cbf.fromBytes(bytes)
+          driverCache.set(new java.lang.ref.SoftReference((bytes, f)))
+          f
+        }
+      } else {
+        val f = Cbf.fromBytes(bytes)
         if (c == null) tc.addTaskCompletionListener[Unit](_ => cache.remove())
         cache.set((bytes, f))
+        f
       }
-      f
     }
   }
 

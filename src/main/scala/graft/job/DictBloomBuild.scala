@@ -48,6 +48,36 @@ object DictBloomBuild {
       dictEntries: Long, // total dictionary entries inserted
       fallbackFiles: Long) // files routed through the row-scan build
 
+  /** True iff the column's (physical, logical-annotation) pair decodes to
+    * the SAME value Spark's reader hands `abloom_key_hash` — the
+    * dictionary path must be byte-identical to the row scan, and e.g. a
+    * UINT_32 annotation makes Spark widen to signed long while
+    * `decodeToInt(..).toLong` sign-extends the raw bits: different hash,
+    * silent false negatives. Anything not provably plain-signed /
+    * string / raw-binary / plain-float routes to the row-scan fallback
+    * (which then either hashes correctly or fails analysis with the
+    * same type error the scan build would give).
+    */
+  private[job] def hashCompatible(desc: ColumnDescriptor): Boolean = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val t = desc.getPrimitiveType
+    val ann = t.getLogicalTypeAnnotation
+    t.getPrimitiveTypeName match {
+      case PrimitiveTypeName.BINARY =>
+        ann == null || ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+      case PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY =>
+        ann == null // decimals/UUID/float16 annotations diverge from raw bytes
+      case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+        ann match {
+          case null => true
+          case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+          case _ => false // DATE/TIME/TIMESTAMP/DECIMAL read as non-integral Spark types
+        }
+      case PrimitiveTypeName.DOUBLE | PrimitiveTypeName.FLOAT => ann == null
+      case _ => false
+    }
+  }
+
   /** True iff every data page of the chunk is provably dictionary-encoded. */
   private[job] def fullyDictEncoded(chunk: ColumnChunkMetaData): Boolean = {
     val es = chunk.getEncodingStats
@@ -127,7 +157,8 @@ object DictBloomBuild {
             val blocks: Seq[BlockMetaData] = footer.getBlocks.asScala.toSeq
             def chunkOf(b: BlockMetaData): ColumnChunkMetaData =
               b.getColumns.asScala.find(_.getPath.toDotString == column).get
-            if (blocks.forall(b => fullyDictEncoded(chunkOf(b)))) {
+            if (hashCompatible(desc) &&
+                blocks.forall(b => fullyDictEncoded(chunkOf(b)))) {
               blocks.foreach { b =>
                 // upcast: the concrete reader class is package-private
                 val store: org.apache.parquet.column.page.DictionaryPageReadStore =

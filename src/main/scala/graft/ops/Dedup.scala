@@ -498,9 +498,17 @@ object Dedup {
         .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("rep", "prev"), "id")
         .filter(col("rep") =!= col("prev")).count()
+      labels.unpersist() // superseded checkpoint: one label table live at a time
       labels = next
       iter += 1
     }
+    // partially-propagated labels would silently split a duplicate group
+    // into several "representatives" — fail loud instead
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"clusterRepresentatives did not converge in $maxIters rounds " +
+          s"(a component's diameter exceeds maxIters — raise maxIters)")
+    edges.unpersist()
     labels.select(col("id").as(idCol), col("rep").as("representative"))
   }
 

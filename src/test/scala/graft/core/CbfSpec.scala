@@ -17,23 +17,37 @@ class CbfSpec extends AnyFunSuite {
     }
   }
 
-  test("cell arithmetic saturates: no wraparound FN, counts stay clamped") {
+  test("cell arithmetic saturates with a sticky positive rail: zero FN survives") {
     val f = Cbf.empty(100, 0.01)
     // without saturation this wraps to -2 and the key probes FALSE
     f.add(42L, Int.MaxValue)
     f.add(42L, Int.MaxValue)
     assert(f.contains(42L), "saturated key must still be contained")
     assert(f.count(42L) === Int.MaxValue.toLong, "count clamps at the rail")
-    // negative rail: a massive over-delete pins at MinValue, not +huge
-    f.add(42L, Int.MinValue); f.add(42L, Int.MinValue); f.add(42L, Int.MinValue)
-    assert(!f.contains(42L))
-    assert(f.count(42L) === 0L) // clamped at 0, never negative
+    // THE sticky case: a clamp lost MaxValue-1 of weight above, so a
+    // plain clamp would let this delete drive the cell to 0 and lose the
+    // key (net is +MaxValue — representable!). Pinned cells ignore adds.
+    f.add(42L, -Int.MaxValue)
+    assert(f.contains(42L), "delete after overflow must not create an FN")
+    assert(f.count(42L) === Int.MaxValue.toLong)
+
+    // negative rail is NOT sticky: an over-deleted cell recovers when
+    // real inserts arrive (otherwise future keys would gain FNs)
+    val g = Cbf.empty(100, 0.01)
+    g.add(9L, Int.MinValue); g.add(9L, Int.MinValue)
+    assert(!g.contains(9L) && g.count(9L) === 0L)
+    g.add(9L, Int.MaxValue); g.add(9L, Int.MaxValue); g.add(9L, 5)
+    assert(g.contains(9L), "negative rail must be recoverable")
 
     // merge path saturates too (addInPlace goes through the same clamp)
     val a = Cbf.empty(100, 0.01); a.add(7L, Int.MaxValue)
     val b = Cbf.empty(100, 0.01); b.add(7L, Int.MaxValue)
     a.addInPlace(b)
     assert(a.contains(7L) && a.count(7L) === Int.MaxValue.toLong)
+    // pinned side absorbs a delete-carrying partial without losing the key
+    val d = Cbf.empty(100, 0.01); d.add(7L, -3)
+    a.addInPlace(d)
+    assert(a.contains(7L))
   }
 
   test("deleted-key FPR stays near the SBBF target") {

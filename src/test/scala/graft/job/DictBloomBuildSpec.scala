@@ -71,6 +71,38 @@ class DictBloomBuildSpec extends SparkTestBase {
     (0 until 30).foreach(i => assert(f.contains(s"a_$i") && f.contains(s"b_$i")))
   }
 
+  test("logical-type guard: only annotations that hash like Spark's reader qualify") {
+    import org.apache.parquet.schema._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    def descOf(t: Types.PrimitiveBuilder[PrimitiveType]): org.apache.parquet.column.ColumnDescriptor =
+      new MessageType("r", t.named("k")).getColumns.get(0)
+    // plain signed ints, strings, raw binary, plain floats: compatible
+    assert(DictBloomBuild.hashCompatible(descOf(Types.required(INT64))))
+    assert(DictBloomBuild.hashCompatible(descOf(Types.required(INT32))))
+    assert(DictBloomBuild.hashCompatible(
+      descOf(Types.required(INT32).as(LogicalTypeAnnotation.intType(16, true)))))
+    assert(DictBloomBuild.hashCompatible(
+      descOf(Types.required(BINARY).as(LogicalTypeAnnotation.stringType()))))
+    assert(DictBloomBuild.hashCompatible(descOf(Types.required(BINARY))))
+    assert(DictBloomBuild.hashCompatible(descOf(Types.required(DOUBLE))))
+    // unsigned ints: Spark widens, decodeToInt sign-extends -> divergent hash
+    assert(!DictBloomBuild.hashCompatible(
+      descOf(Types.required(INT32).as(LogicalTypeAnnotation.intType(32, false)))))
+    assert(!DictBloomBuild.hashCompatible(
+      descOf(Types.required(INT64).as(LogicalTypeAnnotation.intType(64, false)))))
+    // temporal/decimal annotations read as non-integral Spark types
+    assert(!DictBloomBuild.hashCompatible(
+      descOf(Types.required(INT32).as(LogicalTypeAnnotation.dateType()))))
+    assert(!DictBloomBuild.hashCompatible(
+      descOf(Types.required(INT64).as(LogicalTypeAnnotation.timestampType(
+        true, LogicalTypeAnnotation.TimeUnit.MICROS)))))
+    assert(!DictBloomBuild.hashCompatible(
+      descOf(Types.required(BINARY).as(LogicalTypeAnnotation.decimalType(2, 20)))))
+    assert(!DictBloomBuild.hashCompatible(
+      descOf(Types.required(FIXED_LEN_BYTE_ARRAY).length(16)
+        .as(LogicalTypeAnnotation.uuidType()))))
+  }
+
   test("high-cardinality column: dictionary write falls back mid-chunk, detected") {
     val dir = tmpDir("graft-dict-hc")
     // unique long strings blow the 1 MB dictionary-page cap -> the writer
