@@ -837,9 +837,17 @@ object SparkEntry {
         |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
         |      len(list_distinct(list_concat(a.s, b.s))) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
+    // the oracle is ALL identical-text pairs, not just the planted ones:
+    // larger scale factors contain natural exact duplicates (sf0.1 has 8),
+    // and identical texts share a simhash, so banding must surface them
     "dedup_simhash" ->
-      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents
-        |WHERE doc_id % 10 = 0 ORDER BY id_a, id_b""".stripMargin,
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM aug a JOIN aug b ON a.doc_id < b.doc_id AND a.text = b.text
+        |ORDER BY id_a, id_b""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE aug AS (
         |  SELECT doc_id, text FROM documents
