@@ -489,16 +489,40 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      // min over (own label, labels of every neighbor)
-      val viaEdges = edges
+      // min over (own label, labels of every neighbor) — expressed as a
+      // left join against the per-node neighbor minimum rather than a
+      // union (a union whose right side embeds `labels` carries the same
+      // attribute ids on both children, which trips Catalyst's Union
+      // constraint rewrite); checkpointed so the pointer-jump self-join
+      // below reads a materialized table
+      val nbrMin = edges
         .join(labels.withColumnRenamed("id", "v"), "v")
-        .select(col("u").as("id"), col("rep"))
-      val next = labels.unionByName(viaEdges)
-        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+        .groupBy(col("u")).agg(min(col("rep")).as("__nrep"))
+        .withColumnRenamed("u", "id")
+      val propagated = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("__nrep"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      // POINTER JUMPING: rep := min(rep, rep(rep)). Edge propagation
+      // alone moves a label one hop per round (O(diameter) rounds — a
+      // long near-dup chain would exhaust maxIters); following the
+      // label indirection halves every label path each round, so chains
+      // converge in O(log diameter) rounds. Every rep value is itself
+      // an id in `labels`, so the self-join is total; the fixpoint is
+      // unchanged (at convergence rep(u) <= rep of every neighbor AND
+      // rep(rep(u)) == rep(u), which forces rep == component minimum).
+      val next = propagated.alias("l")
+        .join(propagated.select(col("id").as("__rid"), col("rep").as("__rrep"))
+          .alias("r"), col("l.rep") === col("__rid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.rep"), coalesce(col("__rrep"), col("l.rep"))).as("rep"))
         .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("rep", "prev"), "id")
         .filter(col("rep") =!= col("prev")).count()
-      labels.unpersist() // superseded checkpoint: one label table live at a time
+      // superseded checkpoints: only `next` stays live into the next round
+      propagated.unpersist()
+      labels.unpersist()
       labels = next
       iter += 1
     }

@@ -75,12 +75,33 @@ class OpsSpec extends SparkTestBase {
     assert(reps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
       11L -> 10L, 20L -> 20L, 21L -> 21L))
 
-    // a longer chain exercises multiple propagation rounds
-    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val chainIds = (0L until 10L).toDF("id")
+    // a LONG chain: diameter 200 >> default maxIters 20, so plain
+    // one-hop propagation would throw — pointer jumping must converge
+    // in O(log 200) ~ 8 rounds
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainIds = (0L until 201L).toDF("id")
     val chainReps = Dedup.clusterRepresentatives(chain, chainIds)
       .collect().map(r => r.getLong(1)).distinct
     assert(chainReps === Array(0L), "whole chain is one component rooted at 0")
+
+    // random graphs: equivalent to a driver-side union-find (3 seeds)
+    for (seed <- Seq(11, 42, 97)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val es = (0 until 80).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = Dedup.clusterRepresentatives(
+        es.toDF("id_a", "id_b"), (0L until n.toLong).toDF("id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"seed=$seed")
+    }
 
     // empty pair table: everyone is their own representative
     val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
