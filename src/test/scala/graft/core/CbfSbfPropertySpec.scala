@@ -118,6 +118,9 @@ class CbfSbfPropertySpec extends AnyFunSuite {
         assert(f.insertedCount === keys.size.toLong)
         keys.foreach(k => assert(f.contains(k), s"k=$k zero FN after compact"))
       }
+      // compaction is idempotent on already-compacted series
+      val once = compacted(0).toBytes.toSeq
+      assert(compacted(0).compact().toBytes.toSeq === once)
     }
   }
 
