@@ -230,6 +230,21 @@ object functions {
   def kll_union_agg(sketches: Column): Column =
     toCol(KllUnionAgg(toExpr(sketches)).toAggregateExpression())
 
+  /** Misra–Gries heavy hitters over a STRING key: deterministic
+    * frequent-items summary (counter <= true <= counter + err,
+    * err <= n/(k+1); EXACT when distinct keys <= k). Returns ABMG bytes.
+    */
+  def mg_agg(key: Column, k: Int): Column =
+    toCol(MgAgg(toExpr(key), lit(k)).toAggregateExpression())
+
+  /** Merge a column of stored heavy-hitter summaries (same k). */
+  def mg_union_agg(sketches: Column): Column =
+    toCol(MgUnionAgg(toExpr(sketches)).toAggregateExpression())
+
+  /** Top-m tracked keys with their count intervals. */
+  def mg_topk(sketch: Column, m: Int): Column =
+    toCol(MgTopK(toExpr(sketch), lit(m)))
+
   def kll_quantile(sketch: Column, q: Double): Column =
     toCol(KllQuantile(toExpr(sketch), lit(q)))
   def kll_rank(sketch: Column, x: Column): Column =

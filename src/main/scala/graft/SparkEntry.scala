@@ -352,6 +352,23 @@ object SparkEntry {
         .orderBy(col("event_type"))
     },
 
+    // Misra–Gries heavy hitters: event_type has few distinct values, so
+    // at k=32 the summary never decrements and the counters are EXACT —
+    // the full per-key counts are the cross-engine oracle (ORDER BY item
+    // for tie-stability).
+    "heavy_hitters" -> { (s, dir) =>
+      val events = table(s, dir, "events")
+      val bytes = events.agg(mg_agg(col("event_type"), 32))
+        .head().getAs[Array[Byte]](0)
+      val exact = graft.core.MisraGries.fromBytes(bytes).decrementedWeight == 0L
+      import s.implicits._
+      Seq(bytes).toDF("sk")
+        .select(explode(mg_topk(col("sk"), 100)).as("e"))
+        .select(col("e.item").as("item"), col("e.count_lb").as("cnt"),
+          lit(exact).as("exact_counts"))
+        .orderBy(col("item"))
+    },
+
     // §7.4 t-digest: the estimate's exact rank must sit within the
     // published rank-error envelope of the requested quantile.
     "tdigest_quantiles" -> { (s, dir) =>
@@ -780,6 +797,10 @@ object SparkEntry {
       """SELECT event_type, count(*) AS true_count,
         |CAST(1 AS BOOLEAN) AS no_underestimate, CAST(1 AS BOOLEAN) AS within_eps
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "heavy_hitters" ->
+      """SELECT event_type AS item, count(*) AS cnt,
+        |CAST(1 AS BOOLEAN) AS exact_counts
+        |FROM events GROUP BY event_type ORDER BY item""".stripMargin,
     "tdigest_quantiles" ->
       """SELECT q, CAST(1 AS BOOLEAN) AS rank_within_bound
         |FROM (VALUES (0.01), (0.5), (0.99)) AS t(q) ORDER BY q""".stripMargin,

@@ -121,6 +121,15 @@ object Registry {
       KllAgg(Cast(args(0), DoubleType), k)
     },
     "kll_union_agg" -> { args => KllUnionAgg(args.head) },
+    "mg_agg" -> { args =>
+      require(args.size == 2, "mg_agg(key, k)")
+      MgAgg(args(0), args(1))
+    },
+    "mg_union_agg" -> { args => MgUnionAgg(args.head) },
+    "mg_topk" -> { args =>
+      require(args.size == 2, "mg_topk(sketch, m)")
+      MgTopK(args(0), Cast(args(1), org.apache.spark.sql.types.IntegerType))
+    },
     "kll_quantile" -> { args => KllQuantile(args(0), Cast(args(1), DoubleType)) },
     "kll_rank" -> { args => KllRank(args(0), Cast(args(1), DoubleType)) })
 

@@ -85,6 +85,38 @@ class SketchSparkSpec extends SparkTestBase {
     assert(math.abs(rank - 0.5) <= 2 * kll.epsilon)
   }
 
+  test("mg_agg heavy hitters: exact when distinct <= k, topk, SQL, union") {
+    import graft.core.MisraGries
+    val df = (0 until 18000).map(i => s"type${i % 6}").toDF("k").repartition(4)
+    val bytes = df.agg(mg_agg(col("k"), 16)).head.getAs[Array[Byte]](0)
+    val mg = MisraGries.fromBytes(bytes)
+    assert(mg.decrementedWeight === 0L, "6 distinct <= k: exact")
+    (0 until 6).foreach(i => assert(mg.bounds(s"type$i") === ((3000L, 3000L))))
+
+    // topk expression surface
+    import org.apache.spark.sql.functions.explode
+    val top = Seq(bytes).toDF("s")
+      .select(explode(mg_topk(col("s"), 3)).as("e"))
+      .select(col("e.item"), col("e.count_lb"), col("e.count_ub"))
+      .collect()
+    assert(top.length === 3)
+    top.foreach(r => assert(r.getLong(1) === 3000L && r.getLong(2) === 3000L))
+
+    // per-group partials merged via mg_union_agg == global (exact case
+    // has no decrements, and the codec sorts entries -> byte equality)
+    val merged = df.withColumn("g", org.apache.spark.sql.functions.crc32(col("k")) % 4)
+      .groupBy(col("g")).agg(mg_agg(col("k"), 16).as("s"))
+      .agg(mg_union_agg(col("s"))).head.getAs[Array[Byte]](0)
+    assert(merged.toSeq === bytes.toSeq)
+
+    // SQL surface
+    graft.sql.Registry.register(spark)
+    df.createOrReplaceTempView("mg_keys")
+    val viaSql = spark.sql(
+      "SELECT mg_topk(mg_agg(k, 16), 6) FROM mg_keys").head.getSeq[Any](0)
+    assert(viaSql.size === 6)
+  }
+
   test("cms/tdigest/kll union_agg tree-merge stored partials") {
     val df = (0 until 20000).map(i => (i % 8, (i % 500).toLong, (i % 1000).toDouble))
       .toDF("g", "k", "v")
