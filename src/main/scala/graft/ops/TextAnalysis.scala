@@ -134,4 +134,25 @@ object TextAnalysis {
     * character 16-grams.
     */
   def doc_fingerprint(text: Column): Column = fingerprintUdf(text)
+
+  /** Top-m most frequent whitespace tokens across a corpus, via the
+    * Misra-Gries heavy-hitters aggregate over the exploded token stream —
+    * the canonical "vocabulary head" question a training-data pipeline
+    * asks of a 100 TB corpus. One shuffle (the aggregate's partials are
+    * k-entry summaries, independent of row count); returns
+    * (token, count_lb, count_ub) with the deterministic MG interval —
+    * exact whenever the corpus has at most k distinct tokens, and always
+    * containing the truth with width <= total_tokens/(k+1).
+    */
+  def topTokens(df: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int, m: Int): org.apache.spark.sql.DataFrame = {
+    import graft.functions.{mg_agg, mg_topk}
+    df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .agg(mg_agg(col("__tok"), k).as("__sk"))
+      .select(explode(mg_topk(col("__sk"), m)).as("e"))
+      .select(col("e.item").as("token"),
+        col("e.count_lb").as("count_lb"),
+        col("e.count_ub").as("count_ub"))
+  }
 }

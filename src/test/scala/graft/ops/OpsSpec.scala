@@ -332,6 +332,27 @@ class OpsSpec extends SparkTestBase {
     assert(stats.getDouble(2) === 0.3 && stats.getDouble(3) === 0.3)
   }
 
+  test("topTokens: exact MG head when vocabulary fits k, bounds otherwise") {
+    val corpus = (0 until 300).map { i =>
+      // "alpha" in every doc, "beta" in half, "gamma" in a tenth, noise id
+      val parts = Seq("alpha") ++ (if (i % 2 == 0) Seq("beta") else Nil) ++
+        (if (i % 10 == 0) Seq("gamma") else Nil) ++ Seq(s"noise$i")
+      parts.mkString(" ")
+    }.toDF("text")
+    // k larger than the vocabulary: exact counts
+    val exact = TextAnalysis.topTokens(corpus, "text", k = 1024, m = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(exact(0) === (("alpha", 300L, 300L)))
+    assert(exact(1) === (("beta", 150L, 150L)))
+    assert(exact(2) === (("gamma", 30L, 30L)))
+    // k smaller than the vocabulary: the heavy head still surfaces with
+    // truth inside the interval (alpha freq 300 >> n/(k+1))
+    val bounded = TextAnalysis.topTokens(corpus, "text", k = 16, m = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(bounded(0)._1 === "alpha")
+    assert(bounded(0)._2 <= 300L && 300L <= bounded(0)._3)
+  }
+
   test("language id picks the right language on clear samples") {
     assert(TextAnalysis.detectLanguage(
       "the cat and the dog sat on the mat with a hat for the fun of it")._1 === "en")
