@@ -303,7 +303,11 @@ object SparkEntry {
     // sit within the filter's own serialized compound union bound.
     "sbf_unknown_cardinality" -> { (s, dir) =>
       val events = table(s, dir, "events")
-      val bytes = events.agg(sbf_agg(col("event_id"), 4096, 0.001))
+      // initial capacity must sit well below the row count at ANY scale
+      // factor, or the stage series never grows and grew_stages flips
+      // (caught at sf0.001 with a fixed 4096)
+      val c0 = math.max(16L, events.count() / 8)
+      val bytes = events.agg(sbf_agg(col("event_id"), c0, 0.001))
         .head().getAs[Array[Byte]](0)
       val desc = graft.core.Sbf.fromBytes(bytes)
       // grown stage series: broadcast the blob (crosses the ~1 MB literal
