@@ -391,6 +391,26 @@ object SparkEntry {
       checks.toDF("q", "rank_within_bound").orderBy(col("q"))
     },
 
+    // Sketch-driven balanced range partitioning: t-digest cut points ->
+    // codegen'd bucket assignment; every bucket populated and sizes
+    // within 25% of ideal (t-digest interior rank error is ~1-2%).
+    // Total row count is the cross-engine oracle.
+    "balanced_partitions" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      val buckets = 16
+      val cuts = graft.job.SketchPartition.rangeCuts(li, col("l_extendedprice"), buckets)
+      val counts = graft.job.SketchPartition
+        .withRangeBucket(li, col("l_extendedprice"), cuts)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val n = li.count()
+      val ideal = n.toDouble / buckets
+      import s.implicits._
+      Seq((n, counts.size,
+        counts.values.forall(c => math.abs(c - ideal) <= 0.25 * ideal)))
+        .toDF("n_rows", "n_buckets_populated", "balanced_within_25pct")
+    },
+
     // §7.4 KLL: additive rank error <= 2.5/k at k = 200 for every decile.
     "kll_rank_error" -> { (s, dir) =>
       val ev = table(s, dir, "events")
@@ -808,6 +828,9 @@ object SparkEntry {
     "tdigest_quantiles" ->
       """SELECT q, CAST(1 AS BOOLEAN) AS rank_within_bound
         |FROM (VALUES (0.01), (0.5), (0.99)) AS t(q) ORDER BY q""".stripMargin,
+    "balanced_partitions" ->
+      """SELECT count(*) AS n_rows, CAST(16 AS INTEGER) AS n_buckets_populated,
+        |CAST(1 AS BOOLEAN) AS balanced_within_25pct FROM lineitem""".stripMargin,
     "kll_rank_error" ->
       """SELECT q, CAST(1 AS BOOLEAN) AS rank_within_eps
         |FROM (VALUES (0.1),(0.2),(0.3),(0.4),(0.5),(0.6),(0.7),(0.8),(0.9)) AS t(q)

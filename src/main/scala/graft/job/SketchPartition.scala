@@ -1,0 +1,69 @@
+package graft.job
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.TDigest
+import graft.functions.tdigest_agg
+
+/** Balanced range partitioning from a quantile sketch — the "write
+  * evenly-sized sorted files" primitive a 100 TB pipeline needs without
+  * Spark's sample-based `repartitionByRange` rescan:
+  *
+  *  1. ONE mergeable-aggregate pass builds a t-digest of the value
+  *     column (partials are O(compression) centroids, independent of
+  *     row count — and at steady state the digest can come from a
+  *     PREVIOUS run's stored sketch, making the cut computation free);
+  *  2. the driver takes `buckets - 1` quantile cut points from the
+  *     digest (O(compression) work, no data);
+  *  3. [[withRangeBucket]] assigns each row its bucket with a chain of
+  *     codegen'd comparisons (no UDF) — usable as a `repartition` /
+  *     `partitionBy` key for balanced, range-ordered output.
+  *
+  * Balance error inherits the t-digest rank error (~1-2% interior), so
+  * bucket sizes land within a few percent of n/buckets — vs unbounded
+  * skew from naive hash-on-value when values repeat, and no second scan
+  * vs `repartitionByRange`'s sampler.
+  */
+object SketchPartition {
+
+  /** `buckets - 1` ascending cut points of `valueCol`'s distribution. */
+  def rangeCuts(
+      df: DataFrame,
+      valueCol: Column,
+      buckets: Int,
+      compression: Double = 200.0): Array[Double] = {
+    require(buckets >= 2, "buckets must be >= 2")
+    require(buckets <= 10000, "use <= 10000 buckets (cut evaluation is a comparison chain)")
+    val bytes = df.agg(tdigest_agg(valueCol, compression)).head().getAs[Array[Byte]](0)
+    val digest = TDigest.fromBytes(bytes)
+    (1 until buckets).map(i => digest.quantile(i.toDouble / buckets)).toArray
+  }
+
+  /** Append an integer `bucketCol` in [0, cuts.length]: the rank of the
+    * value among the cut points. Pure codegen'd comparisons.
+    */
+  def withRangeBucket(
+      df: DataFrame,
+      valueCol: Column,
+      cuts: Array[Double],
+      bucketCol: String = "bucket"): DataFrame = {
+    val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(valueCol > c, 1).otherwise(0)
+    }
+    df.withColumn(bucketCol, bucket)
+  }
+
+  /** One-call: compute cuts and repartition into `buckets` balanced
+    * range partitions (rows of bucket i all precede bucket i+1's range).
+    */
+  def repartitionBalanced(
+      df: DataFrame,
+      valueCol: Column,
+      buckets: Int,
+      compression: Double = 200.0): DataFrame = {
+    val cuts = rangeCuts(df, valueCol, buckets, compression)
+    withRangeBucket(df, valueCol, cuts)
+      .repartition(buckets, col("bucket"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.job
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SketchPartitionSpec extends SparkTestBase {
+
+  import SparkTestBase.spark.implicits._
+
+  test("range cuts produce balanced buckets on skewed data") {
+    // log-skewed values — the case hash partitioning handles but range
+    // partitioning must get right via quantiles
+    val df = (0 until 40000).map(i => math.exp((i % 9973).toDouble / 1200.0)).toDF("v")
+      .repartition(8)
+    val buckets = 16
+    val cuts = SketchPartition.rangeCuts(df, col("v"), buckets)
+    assert(cuts.length === buckets - 1)
+    assert(cuts.sorted.toSeq === cuts.toSeq, "cuts ascend")
+    val counts = SketchPartition.withRangeBucket(df, col("v"), cuts)
+      .groupBy(col("bucket")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === (0 until buckets).toSet, "every bucket populated")
+    val ideal = 40000.0 / buckets
+    counts.values.foreach { c =>
+      assert(math.abs(c - ideal) <= 0.25 * ideal, s"bucket count $c vs ideal $ideal")
+    }
+  }
+
+  test("bucket assignment is a monotone function of the value") {
+    val df = (0 until 5000).map(_.toDouble).toDF("v")
+    val cuts = SketchPartition.rangeCuts(df, col("v"), 8)
+    val rows = SketchPartition.withRangeBucket(df, col("v"), cuts)
+      .orderBy(col("v")).collect().map(r => (r.getDouble(0), r.getInt(1)))
+    rows.sliding(2).foreach {
+      case Array((_, b1), (_, b2)) => assert(b1 <= b2)
+      case _ =>
+    }
+    assert(rows.head._2 === 0 && rows.last._2 === 7)
+  }
+
+  test("repartitionBalanced yields buckets-many partitions with ranges intact") {
+    val df = (0 until 20000).map(i => ((i * 2654435761L) % 100000).toDouble).toDF("v")
+    val parts = SketchPartition.repartitionBalanced(df, col("v"), 8)
+    assert(parts.rdd.getNumPartitions === 8)
+    // each bucket's max must not exceed the next bucket's min
+    val ranges = parts.groupBy(col("bucket"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy(col("bucket"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"$hi1 > $lo2")
+      case _ =>
+    }
+  }
+}
