@@ -466,6 +466,34 @@ object SparkEntry {
           "lineage_partitions", "zero_fn", "sha_invariant")
     },
 
+    // Generalized checkpointed-resumable build (SketchBuild): the
+    // north-rule resumability contract on a NON-idempotent-merge sketch
+    // family. Full HLL build over lineitem order keys with per-partition
+    // lineage; a resume seeded with a strict subset of that lineage must
+    // produce byte-identical output (canonical merge order); the
+    // estimate must sit within the published 3-sigma bound; and the
+    // lineage row-count metric must equal count(*) cross-engine.
+    "sketch_build_resume" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem").repartition(8)
+      val sk = graft.job.PartitionSketcher.hll()
+      val fullDir = java.nio.file.Files.createTempDirectory("graft-sbr").toString + "/cp"
+      val full = graft.job.SketchBuild.resume(li, col("l_orderkey"), sk, fullDir)
+      val partialDir = java.nio.file.Files.createTempDirectory("graft-sbr").toString + "/cp"
+      graft.job.SketchBuild.lineage(s, fullDir)
+        .filter(col("partition_id").isin(0, 3, 6)).write.parquet(partialDir)
+      val resumed = graft.job.SketchBuild.resume(li, col("l_orderkey"), sk, partialDir)
+      val rowsBuilt = graft.job.SketchBuild.lineage(s, fullDir)
+        .agg(sum(col("rows"))).head().getLong(0)
+      val exact = li.agg(countDistinct(col("l_orderkey"))).head().getLong(0)
+      val est = graft.core.Hll.fromBytes(full).estimate
+      import s.implicits._
+      Seq((rowsBuilt, exact,
+        java.util.Arrays.equals(full, resumed),
+        math.abs(est - exact).toDouble / exact <= 3 * 0.0082))
+        .toDF("n_rows", "n_distinct_orders",
+          "resume_byte_identical", "estimate_within_bound")
+    },
+
     // Structured Streaming end-to-end under the correctness gate: the
     // events table replayed as a file stream -> windowed HLL distinct
     // (AvailableNow trigger, memory sink) -> per-day estimates joined
@@ -849,6 +877,12 @@ object SparkEntry {
         |CAST(1 AS BOOLEAN) AS zero_fn,
         |CAST(1 AS BOOLEAN) AS sha_invariant
         |FROM '/tmp/graft_oracle_source_files/*.parquet'""".stripMargin,
+    "sketch_build_resume" ->
+      """SELECT count(*) AS n_rows,
+        |count(DISTINCT l_orderkey) AS n_distinct_orders,
+        |CAST(1 AS BOOLEAN) AS resume_byte_identical,
+        |CAST(1 AS BOOLEAN) AS estimate_within_bound
+        |FROM lineitem""".stripMargin,
     "streaming_dedup" ->
       """SELECT count(DISTINCT text) AS n_unique,
         |count(DISTINCT text) AS n_distinct_texts FROM documents""".stripMargin,

@@ -1,0 +1,199 @@
+package graft.job
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{CountMin, Hll, Kll, MisraGries, Sbbf, TDigest}
+import graft.functions._
+
+/** A per-partition sketch kernel for [[SketchBuild]]: how to project the
+  * input column, fold a partition's rows into a fresh buffer, serialize
+  * the partial, and union the partials declaratively.
+  *
+  * Every graft sketch is mergeable (SURVEY.md §2.5 laws), so any of them
+  * can run the reference's checkpointed-resumable build contract
+  * (`/root/reference/README.md` "merge partial filters built in
+  * parallel") — not just the Bloom filter.
+  */
+trait PartitionSketcher extends Serializable {
+  /** Single-column projection handed to [[update]]; null rows are skipped
+    * before update is called (matching the aggregate expressions' null
+    * semantics). */
+  def project(valueCol: Column): Column
+  def newBuffer(): AnyRef
+  /** Fold the projected (non-null) value at ordinal 0 into the buffer. */
+  def update(buffer: AnyRef, row: InternalRow): Unit
+  def toBytes(buffer: AnyRef): Array[Byte]
+  /** Declarative union aggregate over serialized partials. */
+  def unionAgg(sketches: Column): Column
+}
+
+object PartitionSketcher {
+
+  /** Hashed-long kernels share the upstream `abloom_key_hash` projection —
+    * one codegen'd hash per row, `getLong` in the loop. */
+  private abstract class HashedKernel extends PartitionSketcher {
+    final def project(valueCol: Column): Column = abloom_key_hash(valueCol)
+  }
+
+  def bloom(capacity: Long, fpRate: Double): PartitionSketcher = new HashedKernel {
+    def newBuffer(): AnyRef = Sbbf.empty(capacity, fpRate)
+    def update(b: AnyRef, row: InternalRow): Unit =
+      b.asInstanceOf[Sbbf].insertHash(row.getLong(0))
+    def toBytes(b: AnyRef): Array[Byte] = b.asInstanceOf[Sbbf].toBytes
+    def unionAgg(c: Column): Column = bloom_union_agg(c)
+  }
+
+  def hll(p: Int = Hll.DefaultP): PartitionSketcher = new HashedKernel {
+    def newBuffer(): AnyRef = Hll.empty(p)
+    def update(b: AnyRef, row: InternalRow): Unit =
+      b.asInstanceOf[Hll].addHash(row.getLong(0))
+    def toBytes(b: AnyRef): Array[Byte] = b.asInstanceOf[Hll].toBytes
+    def unionAgg(c: Column): Column = graft.functions.hll_union_agg(c)
+  }
+
+  def cms(eps: Double, delta: Double): PartitionSketcher = new HashedKernel {
+    def newBuffer(): AnyRef = CountMin.forError(eps, delta)
+    def update(b: AnyRef, row: InternalRow): Unit =
+      b.asInstanceOf[CountMin].addHash(row.getLong(0))
+    def toBytes(b: AnyRef): Array[Byte] = b.asInstanceOf[CountMin].toBytes
+    def unionAgg(c: Column): Column = cms_union_agg(c)
+  }
+
+  def tdigest(compression: Double = TDigest.DefaultCompression): PartitionSketcher =
+    new PartitionSketcher {
+      def project(valueCol: Column): Column = valueCol.cast(DoubleType)
+      def newBuffer(): AnyRef = TDigest.empty(compression)
+      def update(b: AnyRef, row: InternalRow): Unit =
+        b.asInstanceOf[TDigest].add(row.getDouble(0))
+      def toBytes(b: AnyRef): Array[Byte] = b.asInstanceOf[TDigest].toBytes
+      def unionAgg(c: Column): Column = tdigest_union_agg(c)
+    }
+
+  def kll(k: Int = Kll.DefaultK): PartitionSketcher = new PartitionSketcher {
+    def project(valueCol: Column): Column = valueCol.cast(DoubleType)
+    def newBuffer(): AnyRef = Kll.empty(k)
+    def update(b: AnyRef, row: InternalRow): Unit =
+      b.asInstanceOf[Kll].add(row.getDouble(0))
+    def toBytes(b: AnyRef): Array[Byte] = b.asInstanceOf[Kll].toBytes
+    def unionAgg(c: Column): Column = kll_union_agg(c)
+  }
+
+  def misraGries(k: Int): PartitionSketcher = new PartitionSketcher {
+    def project(valueCol: Column): Column = valueCol.cast(StringType)
+    def newBuffer(): AnyRef = MisraGries.empty(k)
+    def update(b: AnyRef, row: InternalRow): Unit =
+      b.asInstanceOf[MisraGries].add(row.getUTF8String(0).toString)
+    def toBytes(b: AnyRef): Array[Byte] = b.asInstanceOf[MisraGries].toBytes
+    def unionAgg(c: Column): Column = mg_union_agg(c)
+  }
+}
+
+/** Checkpointed, resumable sketch build with per-partition lineage +
+  * metrics — [[BloomBuild.partitioned]]'s contract generalized to every
+  * mergeable graft sketch (HLL, count-min, t-digest, KLL, Misra-Gries,
+  * and the Bloom family itself).
+  *
+  * Resumability model: each input partition contributes exactly one
+  * lineage row (partition_id, sketch bytes, rows, build_ms,
+  * keys_per_sec), appended to the checkpoint as its batch completes. A
+  * resume reads completed partition ids, builds only the missing ones,
+  * and merges ALL checkpointed partials. Replayed partitions (a batch
+  * that crashed after compute but mid-append) are removed by a
+  * partition_id dedup before the merge, so correctness needs only
+  * per-partition determinism, not merge idempotence — which is what
+  * makes the generalization sound for non-idempotent merges (count-min
+  * adds, t-digest weights).
+  *
+  * Determinism: the final merge sorts partials by partition_id into a
+  * single partition, giving every run — interrupted anywhere, resumed
+  * any number of times — one canonical merge order and therefore
+  * byte-identical output for every sketch family (the same canonical-
+  * order discipline as `Sbf.toBytes`, see CLAUDE.md round 3).
+  *
+  * At 100 TB: the lineage table is O(partitions) rows of O(sketch)
+  * bytes; `batchSize` bounds lost work per failure; the merge input is
+  * O(partitions × sketch), shuffled once to one task — for >100k
+  * partitions swap the final step for a two-level union (the
+  * [[BloomBuild.treeAgg]] shape) on the same checkpoint table.
+  */
+object SketchBuild {
+
+  val checkpointSchema: StructType = BloomBuild.checkpointSchema
+
+  /** Build (or resume) the checkpointed sketch over `valueCol`. */
+  def resume(
+      df: DataFrame,
+      valueCol: Column,
+      sketcher: PartitionSketcher,
+      checkpointDir: String,
+      batchSize: Int = 64): Array[Byte] = {
+    val spark = df.sparkSession
+    val nParts = df.rdd.getNumPartitions
+    val done: Set[Int] =
+      if (checkpointExists(spark, checkpointDir))
+        lineage(spark, checkpointDir)
+          .select("partition_id").collect().map(_.getInt(0)).toSet
+      else Set.empty
+    val todo = (0 until nParts).filterNot(done)
+
+    todo.grouped(batchSize).foreach { batch =>
+      val rows = buildPartitions(df, valueCol, sketcher, batch)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), checkpointSchema)
+        .write.mode(SaveMode.Append).parquet(checkpointDir)
+    }
+    merge(spark, sketcher, checkpointDir)
+  }
+
+  /** Canonical-order merge of every checkpointed partial. */
+  def merge(
+      spark: SparkSession,
+      sketcher: PartitionSketcher,
+      checkpointDir: String): Array[Byte] =
+    lineage(spark, checkpointDir)
+      .dropDuplicates("partition_id")
+      .repartition(1)
+      .sortWithinPartitions("partition_id")
+      .agg(sketcher.unionAgg(col("filter")))
+      .head().getAs[Array[Byte]](0)
+
+  /** Per-partition lineage + metrics of a checkpointed build. */
+  def lineage(spark: SparkSession, checkpointDir: String): DataFrame =
+    spark.read.schema(checkpointSchema).parquet(checkpointDir)
+
+  private def buildPartitions(
+      df: DataFrame,
+      valueCol: Column,
+      sketcher: PartitionSketcher,
+      partitionIds: Seq[Int]): Seq[Row] = {
+    val spark = df.sparkSession
+    val projected = df.select(sketcher.project(valueCol).as("v"))
+      .queryExecution.toRdd
+    val results = spark.sparkContext.runJob(
+      projected,
+      (ctx: org.apache.spark.TaskContext, it: Iterator[InternalRow]) => {
+        val t0 = System.nanoTime()
+        val buf = sketcher.newBuffer()
+        var n = 0L
+        while (it.hasNext) {
+          val row = it.next()
+          if (!row.isNullAt(0)) { sketcher.update(buf, row); n += 1 }
+        }
+        val ms = (System.nanoTime() - t0) / 1000000L
+        (ctx.partitionId(), sketcher.toBytes(buf), n, ms)
+      },
+      partitionIds)
+    results.toSeq.map { case (pid, bytes, n, ms) =>
+      Row(pid, bytes, n, ms, if (ms > 0) n * 1000.0 / ms else 0.0)
+    }
+  }
+
+  private def checkpointExists(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) && fs.listStatus(path).nonEmpty
+  }
+}

@@ -1,0 +1,123 @@
+package graft.job
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.core.{CountMin, Hll, Kll, MisraGries, Sbbf, TDigest}
+
+/** The generalized checkpointed build must (a) resume from any partial
+  * checkpoint to a byte-identical final sketch, (b) produce estimates
+  * within each family's published bound, and (c) keep the Bloom path
+  * byte-identical to the sequential reference build.
+  */
+class SketchBuildSpec extends SparkTestBase {
+
+  import SparkTestBase.spark.implicits._
+
+  private val n = 20000L
+  private def longs = spark.range(0L, n, 1L, 7).toDF("id")
+  private def tmp() = Files.createTempDirectory("graft-skb").toString + "/cp"
+
+  private def resumeIsByteStable(sketcher: PartitionSketcher, valueCol: String): Unit = {
+    val full = tmp()
+    val bytes = SketchBuild.resume(longs, col(valueCol), sketcher, full, batchSize = 3)
+    // uninterrupted second run over the complete checkpoint: no rebuild,
+    // identical bytes
+    assert(java.util.Arrays.equals(
+      SketchBuild.resume(longs, col(valueCol), sketcher, full), bytes))
+
+    // interrupted run: seed a new checkpoint with a strict subset of the
+    // full run's lineage, resume, and require byte-identity
+    val partialDir = tmp()
+    SketchBuild.lineage(spark, full)
+      .filter(col("partition_id").isin(0, 2, 5))
+      .write.parquet(partialDir)
+    val resumed = SketchBuild.resume(longs, col(valueCol), sketcher, partialDir, batchSize = 2)
+    assert(java.util.Arrays.equals(resumed, bytes),
+      "resume from partial checkpoint must be byte-identical")
+    val pids = SketchBuild.lineage(spark, partialDir)
+      .select("partition_id").collect().map(_.getInt(0)).sorted
+    assert(pids.toSeq === (0 until 7))
+  }
+
+  test("bloom: checkpointed build matches the sequential reference filter") {
+    val dir = tmp()
+    val bytes = SketchBuild.resume(
+      longs, col("id"), PartitionSketcher.bloom(n, 0.01), dir, batchSize = 3)
+    val ref = Sbbf.empty(n, 0.01)
+    (0L until n).foreach(ref.add)
+    assert(java.util.Arrays.equals(bytes, ref.toBytes))
+    val lin = SketchBuild.lineage(spark, dir).collect()
+    assert(lin.length === 7)
+    assert(lin.map(_.getLong(2)).sum === n)
+  }
+
+  test("hll: resume byte-stable and estimate within 3 sigma") {
+    val sk = PartitionSketcher.hll()
+    resumeIsByteStable(sk, "id")
+    val est = Hll.fromBytes(
+      SketchBuild.resume(longs, col("id"), sk, tmp())).estimate
+    val err = Hll.empty().relativeError
+    assert(math.abs(est - n) <= 3 * err * n, s"estimate $est vs $n")
+  }
+
+  test("cms: resume byte-stable and point queries within eps*N over-count") {
+    val sk = PartitionSketcher.cms(0.01, 0.01)
+    resumeIsByteStable(sk, "id")
+    val cms = CountMin.fromBytes(SketchBuild.resume(longs, col("id"), sk, tmp()))
+    assert(cms.total === n)
+    val h = graft.core.Hashing.hashLong(7L)
+    val c = cms.queryHash(h)
+    assert(c >= 1L && c <= 1L + cms.errorBound)
+  }
+
+  test("tdigest: resume byte-stable and median within 2% rank error") {
+    val sk = PartitionSketcher.tdigest()
+    resumeIsByteStable(sk, "id")
+    val td = TDigest.fromBytes(SketchBuild.resume(longs, col("id"), sk, tmp()))
+    assert(td.count === n.toDouble)
+    val med = td.quantile(0.5)
+    assert(math.abs(med - n / 2.0) <= 0.02 * n, s"median $med")
+  }
+
+  test("kll: resume byte-stable and decile ranks within epsilon") {
+    val sk = PartitionSketcher.kll()
+    resumeIsByteStable(sk, "id")
+    val kll = Kll.fromBytes(SketchBuild.resume(longs, col("id"), sk, tmp()))
+    assert(kll.count === n)
+    (1 to 9).foreach { d =>
+      val q = d / 10.0
+      val r = kll.rank(kll.quantile(q))
+      assert(math.abs(r - q) <= kll.epsilon + 1e-9, s"decile $q rank $r")
+    }
+  }
+
+  test("misra-gries: resume byte-stable; heavy key bounds contain the truth") {
+    // skewed keys: key 'hot' appears ~half the time
+    val df = spark.range(0L, n, 1L, 7)
+      .select(when(col("id") % 2 === 0, lit("hot"))
+        .otherwise(concat(lit("k"), col("id"))).as("k"))
+    val sk = PartitionSketcher.misraGries(64)
+    val dirA = tmp()
+    val a = SketchBuild.resume(df, col("k"), sk, dirA, batchSize = 3)
+    val partial = tmp()
+    SketchBuild.lineage(spark, dirA)
+      .filter(col("partition_id").isin(1, 3)).write.parquet(partial)
+    val b = SketchBuild.resume(df, col("k"), sk, partial)
+    assert(java.util.Arrays.equals(a, b))
+    val mg = MisraGries.fromBytes(a)
+    val (lo, hi) = mg.bounds("hot")
+    assert(lo <= n / 2 && n / 2 <= hi, s"bounds ($lo,$hi) vs ${n / 2}")
+  }
+
+  test("null values are skipped and excluded from lineage row counts") {
+    val df = spark.range(0L, 1000L, 1L, 4)
+      .select(when(col("id") % 10 === 0, lit(null)).otherwise(col("id")).as("v"))
+    val dir = tmp()
+    SketchBuild.resume(df, col("v"), PartitionSketcher.hll(), dir)
+    assert(SketchBuild.lineage(spark, dir)
+      .agg(sum(col("rows"))).head().getLong(0) === 900L)
+  }
+}
