@@ -145,6 +145,10 @@ object Registry {
     val rules = Seq(graft.plans.InjectBloomPreFilter, graft.plans.HoistSketchKeyHash)
     val extra = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = extra ++ rules.filterNot(extra.contains)
+    val strategy = graft.plans.SketchAggStrategy(spark)
+    val extraS = spark.experimental.extraStrategies
+    if (!extraS.exists(_.isInstanceOf[graft.plans.SketchAggStrategy]))
+      spark.experimental.extraStrategies = extraS :+ strategy
   }
 }
 
@@ -161,5 +165,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (stats available, no ping-pong with PushDownPredicates) — the same
     // slot Spark's own InjectRuntimeFilter effectively occupies.
     ext.injectPreCBORule(_ => graft.plans.InjectBloomPreFilter)
+    ext.injectPlannerStrategy(graft.plans.SketchAggStrategy(_))
   }
 }

@@ -21,4 +21,11 @@ object GraftBridge {
   def serializableConf(
       conf: org.apache.hadoop.conf.Configuration): org.apache.spark.util.SerializableConfiguration =
     new org.apache.spark.util.SerializableConfiguration(conf)
+
+  /** `RDD.mapPartitionsInternal` (skips closure cleaning) is
+    * `private[spark]`; physical operators use it for their hot path. */
+  def mapPartitionsInternal[T, U: scala.reflect.ClassTag](
+      rdd: org.apache.spark.rdd.RDD[T])(
+      f: Iterator[T] => Iterator[U]): org.apache.spark.rdd.RDD[U] =
+    rdd.mapPartitionsInternal(f, preservesPartitioning = true)
 }

@@ -1,0 +1,157 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions._
+
+/** The custom sketch aggregation physical operator must (a) actually
+  * replace ObjectHashAggregate for all-sketch aggregates, (b) produce
+  * results identical to the built-in path, including under partial-map
+  * flushes, nulls, global aggregates, and SQL, and (c) bail out cleanly
+  * on mixed/distinct/filtered aggregates.
+  */
+class SketchAggExecSpec extends SparkTestBase {
+
+  import SparkTestBase.spark.implicits._
+
+  private def collectPhysical(df: DataFrame): Seq[SparkPlan] = {
+    // materialize first so AQE has a final plan
+    df.collect()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    flatten(df.queryExecution.executedPlan)
+  }
+
+  private def groups = spark.range(0L, 30000L, 1L, 6)
+    .select((col("id") % 500).as("g"), col("id").as("k"))
+
+  private def withBuiltin[T](f: => T): T = {
+    spark.conf.set("spark.graft.sketchAgg.enabled", "false")
+    try f finally spark.conf.set("spark.graft.sketchAgg.enabled", "true")
+  }
+
+  test("grouped sketch aggregate plans as GraftSketchAgg, not ObjectHashAggregate") {
+    val df = groups.groupBy(col("g")).agg(hll_agg(col("k")).as("h"))
+    val plan = collectPhysical(df)
+    assert(plan.exists(_.isInstanceOf[SketchFinalAggExec]))
+    assert(plan.exists(_.isInstanceOf[SketchPartialAggExec]))
+    assert(!plan.exists(_.isInstanceOf[ObjectHashAggregateExec]))
+  }
+
+  test("grouped results byte-identical to the built-in path (hll + bloom + cms)") {
+    def run() = groups.groupBy(col("g"))
+      .agg(
+        hll_agg(col("k")).as("h"),
+        bloom_agg(col("k"), 100, 0.01).as("b"),
+        cms_agg(col("k"), 0.01, 0.01).as("c"))
+      .orderBy(col("g"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq,
+        r.getAs[Array[Byte]](2).toSeq, r.getAs[Array[Byte]](3).toSeq))
+    val custom = run()
+    val builtin = withBuiltin(run())
+    assert(custom.toSeq === builtin.toSeq)
+  }
+
+  test("flush threshold 4 (many partials per group) still exact") {
+    spark.conf.set("spark.graft.sketchAgg.flushThreshold", "4")
+    try {
+      val custom = groups.groupBy(col("g")).agg(hll_agg(col("k")).as("h"))
+        .orderBy(col("g")).collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq))
+      val builtin = withBuiltin {
+        groups.groupBy(col("g")).agg(hll_agg(col("k")).as("h"))
+          .orderBy(col("g")).collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq))
+      }
+      assert(custom.toSeq === builtin.toSeq)
+    } finally spark.conf.unset("spark.graft.sketchAgg.flushThreshold")
+  }
+
+  test("global (ungrouped) aggregate and empty input") {
+    val df = groups.agg(bloom_agg(col("k"), 30000, 0.01).as("b"))
+    assert(collectPhysical(df).exists(_.isInstanceOf[SketchFinalAggExec]))
+    val bytes = df.head().getAs[Array[Byte]](0)
+    val builtin = withBuiltin(
+      groups.agg(bloom_agg(col("k"), 30000, 0.01)).head().getAs[Array[Byte]](0))
+    assert(java.util.Arrays.equals(bytes, builtin))
+
+    val empty = groups.filter(col("k") < 0)
+      .agg(hll_agg(col("k")).as("h"))
+    val row = empty.collect()
+    assert(row.length === 1, "empty global aggregate still emits one row")
+    assert(graft.core.Hll.fromBytes(row(0).getAs[Array[Byte]](0)).estimate === 0L)
+  }
+
+  test("null group keys and null values match the built-in path") {
+    val df = spark.range(0L, 5000L, 1L, 4).select(
+      when(col("id") % 7 === 0, lit(null)).otherwise(col("id") % 5).as("g"),
+      when(col("id") % 11 === 0, lit(null)).otherwise(col("id")).as("k"))
+    def run() = df.groupBy(col("g")).agg(hll_agg(col("k")).as("h"))
+      .collect().map(r => (Option(r.get(0)), r.getAs[Array[Byte]](1).toSeq)).sortBy(_.toString)
+    val custom = run()
+    val builtin = withBuiltin(run())
+    assert(custom.toSeq === builtin.toSeq)
+  }
+
+  test("order-sensitive sketches (tdigest/kll) stay within bounds through the custom plan") {
+    val vals = spark.range(0L, 20000L, 1L, 6)
+      .select((col("id") % 4).as("g"), col("id").cast("double").as("v"))
+    val rows = vals.groupBy(col("g"))
+      .agg(tdigest_agg(col("v")).as("td"), kll_agg(col("v")).as("kl"))
+      .collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      val td = graft.core.TDigest.fromBytes(r.getAs[Array[Byte]](1))
+      assert(td.count === 5000.0)
+      val med = td.quantile(0.5)
+      // group g holds values {g, g+4, g+8, ...}: median ~ 10000
+      assert(math.abs(med - 10000.0) <= 400.0, s"median $med")
+      val kl = graft.core.Kll.fromBytes(r.getAs[Array[Byte]](2))
+      assert(kl.count === 5000L)
+      assert(math.abs(kl.rank(kl.quantile(0.5)) - 0.5) <= kl.epsilon + 1e-9)
+    }
+  }
+
+  test("mixed sketch+builtin aggregates fall back to ObjectHashAggregate") {
+    val df = groups.groupBy(col("g"))
+      .agg(hll_agg(col("k")).as("h"), count(lit(1)).as("c"))
+    val plan = collectPhysical(df)
+    assert(!plan.exists(_.isInstanceOf[SketchFinalAggExec]))
+    assert(df.count() === 500)
+  }
+
+  test("distinct and filtered sketch aggregates fall back") {
+    groups.createOrReplaceTempView("sk_groups")
+    val filtered = spark.sql(
+      "SELECT g, hll_agg(k) FILTER (WHERE k % 2 = 0) AS h FROM sk_groups GROUP BY g")
+    assert(!collectPhysical(filtered).exists(_.isInstanceOf[SketchFinalAggExec]))
+    assert(filtered.count() === 500)
+  }
+
+  test("SQL path with expression over the sketch result and grouping expr reuse") {
+    groups.createOrReplaceTempView("sk_groups")
+    val df = spark.sql(
+      """SELECT g % 10 AS gm, hll_estimate(hll_union_agg(h)) AS est
+        |FROM (SELECT g, hll_agg(k) AS h FROM sk_groups GROUP BY g)
+        |GROUP BY g % 10 ORDER BY gm""".stripMargin)
+    assert(collectPhysical(df).exists(_.isInstanceOf[SketchFinalAggExec]))
+    val rows = df.collect()
+    assert(rows.length === 10)
+    // each gm covers 50 groups x 60 distinct keys = 3000 distinct
+    rows.foreach(r => assert(math.abs(r.getLong(1) - 3000L) <= 3000 * 3 * 0.0082 + 1))
+  }
+
+  test("disabled by conf: built-in plan returns") {
+    withBuiltin {
+      val df = groups.groupBy(col("g")).agg(hll_agg(col("k")).as("h"))
+      assert(!collectPhysical(df).exists(_.isInstanceOf[SketchFinalAggExec]))
+    }
+  }
+}
