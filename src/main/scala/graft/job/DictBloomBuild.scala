@@ -29,15 +29,22 @@ import graft.core.{Hashing, Sbbf}
   * Detection: a chunk qualifies when parquet `EncodingStats` says it has
   * dictionary pages and zero non-dictionary-encoded data pages (both
   * parquet-java and parquet-cpp/pyarrow write these stats). Without
-  * stats, a conservative encoding-set heuristic is used; any chunk that
-  * cannot be PROVEN fully dictionary-encoded sends its whole file down
-  * the fallback row-scan path — correctness never depends on the
-  * heuristic.
+  * stats, a conservative encoding-set heuristic is used; correctness
+  * never depends on the heuristic.
+  *
+  * Fallback granularity is PER ROW GROUP: a chunk that cannot be proven
+  * fully dictionary-encoded is page-scanned in place (the parquet
+  * column reader decodes its data pages; dict-encoded pages still
+  * resolve through the dictionary), while the file's other chunks keep
+  * the dictionary-only path. A file only routes to the separate Spark
+  * row-scan when its column's logical type is not [[hashCompatible]] —
+  * there Spark's own reader must define the value (e.g. unsigned-int
+  * widening).
   *
   * Scale shape: files are processed in parallel tasks, one partial
   * filter per partition (same merge fan-in as the normal aggregate
-  * build); fallback files go through the ordinary codegen'd scan build;
-  * the two partial sets OR together (commutative/associative).
+  * build); hash-incompatible files go through the ordinary codegen'd
+  * scan build; all partials OR together (commutative/associative).
   */
 object DictBloomBuild {
 
@@ -46,7 +53,9 @@ object DictBloomBuild {
       dictFiles: Long, // files built from dictionary pages only
       dictChunks: Long, // column chunks whose dictionaries were read
       dictEntries: Long, // total dictionary entries inserted
-      fallbackFiles: Long) // files routed through the row-scan build
+      pageScanChunks: Long, // non-dict row groups page-scanned in place
+      pageScanRows: Long, // values hashed by the page-scan path
+      fallbackFiles: Long) // files routed through the Spark row-scan build
 
   /** True iff the column's (physical, logical-annotation) pair decodes to
     * the SAME value Spark's reader hands `abloom_key_hash` — the
@@ -120,6 +129,54 @@ object DictBloomBuild {
     n.toLong
   }
 
+  /** Page-scan one row group's column chunk in place: decode every value
+    * of `column` from the (possibly mixed dict/plain) data pages and
+    * insert its hash. This is the PER-ROW-GROUP fallback — a file whose
+    * chunk 0 is fully dictionary-encoded but whose chunk 1 overflowed
+    * the 1 MB dictionary-page cap reads chunk 0's dictionary only and
+    * page-scans chunk 1, instead of routing the whole file to a second
+    * Spark scan.
+    */
+  private def pageScanRowGroup(
+      reader: ParquetFileReader,
+      blockIndex: Int,
+      projSchema: org.apache.parquet.schema.MessageType,
+      createdBy: String,
+      f: Sbbf): Long = {
+    val desc = projSchema.getColumns.get(0)
+    val pages = reader.readRowGroup(blockIndex)
+    val dummy = new org.apache.parquet.io.api.GroupConverter {
+      override def getConverter(i: Int) =
+        new org.apache.parquet.io.api.PrimitiveConverter {}
+      override def start(): Unit = ()
+      override def end(): Unit = ()
+    }
+    val cr = new org.apache.parquet.column.impl.ColumnReadStoreImpl(
+      pages, dummy, projSchema, createdBy).getColumnReader(desc)
+    val total = cr.getTotalValueCount
+    val maxDef = desc.getMaxDefinitionLevel
+    val tpe = desc.getPrimitiveType.getPrimitiveTypeName
+    var n = 0L
+    var i = 0L
+    while (i < total) {
+      if (cr.getCurrentDefinitionLevel == maxDef) {
+        tpe match {
+          case PrimitiveTypeName.BINARY | PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY =>
+            f.insertHash(Hashing.hashBytes(cr.getBinary.getBytes))
+          case PrimitiveTypeName.INT64 => f.insertHash(Hashing.hashLong(cr.getLong))
+          case PrimitiveTypeName.INT32 => f.insertHash(Hashing.hashLong(cr.getInteger.toLong))
+          case PrimitiveTypeName.DOUBLE => f.insertHash(Hashing.hashDouble(cr.getDouble))
+          case PrimitiveTypeName.FLOAT => f.insertHash(Hashing.hashDouble(cr.getFloat.toDouble))
+          case other => throw new IllegalArgumentException(
+            s"dict_bloom_build: unsupported parquet physical type $other")
+        }
+        n += 1
+      }
+      cr.consume(); i += 1
+    }
+    n
+  }
+
   /** Build a global SBBF over top-level column `column` of the parquet
     * table at `path`. Returns the ABLM v2 filter bytes plus [[Stats]].
     */
@@ -145,21 +202,27 @@ object DictBloomBuild {
         var dictFiles = 0L
         var dictChunks = 0L
         var dictEntries = 0L
+        var pageScanChunks = 0L
+        var pageScanRows = 0L
         val fallback = Seq.newBuilder[String]
         fileIt.foreach { file =>
           val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
           try {
             val footer = reader.getFooter
-            val desc = footer.getFileMetaData.getSchema.getColumns.asScala
+            val fileSchema = footer.getFileMetaData.getSchema
+            val desc = fileSchema.getColumns.asScala
               .find(d => d.getPath.length == 1 && d.getPath()(0) == column)
               .getOrElse(throw new IllegalArgumentException(
                 s"dict_bloom_build: no top-level column '$column' in $file"))
             val blocks: Seq[BlockMetaData] = footer.getBlocks.asScala.toSeq
             def chunkOf(b: BlockMetaData): ColumnChunkMetaData =
               b.getColumns.asScala.find(_.getPath.toDotString == column).get
-            if (hashCompatible(desc) &&
-                blocks.forall(b => fullyDictEncoded(chunkOf(b)))) {
-              blocks.foreach { b =>
+            if (hashCompatible(desc)) {
+              // per-ROW-GROUP granularity: dictionary page for provably
+              // fully-dict chunks, in-place page scan for the rest
+              val (dictBlocks, scanBlocks) =
+                blocks.zipWithIndex.partition { case (b, _) => fullyDictEncoded(chunkOf(b)) }
+              dictBlocks.foreach { case (b, _) =>
                 // upcast: the concrete reader class is package-private
                 val store: org.apache.parquet.column.page.DictionaryPageReadStore =
                   reader.getDictionaryReader(b)
@@ -168,16 +231,27 @@ object DictBloomBuild {
                 dictEntries += insertDictionary(f, dict, desc)
                 dictChunks += 1
               }
-              dictFiles += 1
+              if (scanBlocks.nonEmpty) {
+                val projSchema = new org.apache.parquet.schema.MessageType(
+                  fileSchema.getName,
+                  fileSchema.getType(Seq(column): _*))
+                reader.setRequestedSchema(projSchema)
+                scanBlocks.foreach { case (_, idx) =>
+                  pageScanRows += pageScanRowGroup(
+                    reader, idx, projSchema, footer.getFileMetaData.getCreatedBy, f)
+                  pageScanChunks += 1
+                }
+              } else dictFiles += 1
             } else fallback += file
           } finally reader.close()
         }
-        Iterator.single((f.toBytes, dictFiles, dictChunks, dictEntries, fallback.result()))
+        Iterator.single((f.toBytes, dictFiles, dictChunks, dictEntries,
+          pageScanChunks, pageScanRows, fallback.result()))
       }.collect()
 
     val filter = Sbbf.empty(capacity, fpRate)
-    partials.foreach { case (bytes, _, _, _, _) => filter.orInPlace(Sbbf.fromBytes(bytes)) }
-    val fallbackFiles = partials.flatMap(_._5).toSeq
+    partials.foreach { case (bytes, _, _, _, _, _, _) => filter.orInPlace(Sbbf.fromBytes(bytes)) }
+    val fallbackFiles = partials.flatMap(_._7).toSeq
 
     // phase 2: row-scan build over the files the dictionary path could
     // not prove — the ordinary codegen'd hash + aggregate plan
@@ -190,6 +264,7 @@ object DictBloomBuild {
     }
     val stats = Stats(
       partials.map(_._2).sum, partials.map(_._3).sum, partials.map(_._4).sum,
+      partials.map(_._5).sum, partials.map(_._6).sum,
       fallbackFiles.size.toLong)
     (filter.toBytes, stats)
   }

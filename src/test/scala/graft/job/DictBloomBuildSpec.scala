@@ -47,7 +47,7 @@ class DictBloomBuildSpec extends SparkTestBase {
     assert(statsD.fallbackFiles === 0L)
   }
 
-  test("non-dictionary files fall back to the row scan, still byte-identical") {
+  test("non-dictionary files are page-scanned in place, still byte-identical") {
     val dir = tmpDir("graft-dict-fb")
     (0 until 5000).map(i => s"v_${i % 40}").toDF("k")
       .repartition(2).write
@@ -55,20 +55,49 @@ class DictBloomBuildSpec extends SparkTestBase {
       .parquet(dir)
     val (bytes, stats) = DictBloomBuild.build(spark, dir, "k", 500, 0.01)
     assert(stats.dictFiles === 0L)
-    assert(stats.fallbackFiles === 2L)
+    assert(stats.fallbackFiles === 0L, "hash-compatible plain chunks page-scan, no Spark rescan")
+    assert(stats.pageScanChunks === 2L)
+    assert(stats.pageScanRows === 5000L)
     assert(bytes.toSeq === scanBuild(dir, "k", 500, 0.01).toSeq)
   }
 
-  test("mixed directory: dict files use dictionaries, plain files fall back") {
+  test("mixed directory: dict files use dictionaries, plain files page-scan") {
     val dir = tmpDir("graft-dict-mix")
     (0 until 4000).map(i => s"a_${i % 30}").toDF("k").coalesce(1).write.parquet(dir)
     (0 until 4000).map(i => s"b_${i % 30}").toDF("k").coalesce(1).write
       .option("parquet.enable.dictionary", "false").mode("append").parquet(dir)
     val (bytes, stats) = DictBloomBuild.build(spark, dir, "k", 500, 0.01)
-    assert(stats.dictFiles === 1L && stats.fallbackFiles === 1L)
+    assert(stats.dictFiles === 1L && stats.fallbackFiles === 0L)
+    assert(stats.pageScanChunks === 1L && stats.pageScanRows === 4000L)
     assert(bytes.toSeq === scanBuild(dir, "k", 500, 0.01).toSeq)
     val f = Sbbf.fromBytes(bytes)
     (0 until 30).foreach(i => assert(f.contains(s"a_$i") && f.contains(s"b_$i")))
+  }
+
+  test("mixed row groups inside ONE file: dict chunks read dictionaries, others page-scan") {
+    val dir = tmpDir("graft-dict-rg")
+    // small row groups; low-cardinality rows first, then high-cardinality
+    // rows whose dictionary overflows -> later chunks are not fully dict
+    val low = (0 until 40000).map(i => (i, s"rep_${i % 20}"))
+    val high = (40000 until 80000).map(i => (i, s"unique_value_padpadpadpadpadpadpad_$i"))
+    (low ++ high).toDF("ord", "k").coalesce(1)
+      .sortWithinPartitions("ord")
+      .write.option("parquet.block.size", "262144").parquet(dir)
+    val (bytes, stats) = DictBloomBuild.build(spark, dir, "k", 80000, 0.01)
+    assert(stats.fallbackFiles === 0L)
+    assert(stats.dictChunks >= 1L, "low-cardinality row groups keep the dictionary path")
+    assert(stats.pageScanChunks >= 1L, "overflowed row groups page-scan in place")
+    assert(bytes.toSeq === scanBuild(dir, "k", 80000, 0.01).toSeq)
+  }
+
+  test("page scan of an optional column skips nulls, byte-identical") {
+    val dir = tmpDir("graft-dict-null")
+    (0 until 6000).map(i => if (i % 5 == 0) null else s"u_${i}_pad")
+      .toDF("k").coalesce(1).write
+      .option("parquet.enable.dictionary", "false").parquet(dir)
+    val (bytes, stats) = DictBloomBuild.build(spark, dir, "k", 6000, 0.01)
+    assert(stats.pageScanRows === 4800L, "nulls are not hashed")
+    assert(bytes.toSeq === scanBuild(dir, "k", 6000, 0.01).toSeq)
   }
 
   test("logical-type guard: only annotations that hash like Spark's reader qualify") {
@@ -106,11 +135,15 @@ class DictBloomBuildSpec extends SparkTestBase {
   test("high-cardinality column: dictionary write falls back mid-chunk, detected") {
     val dir = tmpDir("graft-dict-hc")
     // unique long strings blow the 1 MB dictionary-page cap -> the writer
-    // switches to plain data pages; EncodingStats must route to fallback
+    // switches to plain data pages; EncodingStats must keep the chunk off
+    // the dictionary-only path (its dictionary is incomplete) and the
+    // page scan must decode BOTH its dict-encoded and plain pages
     (0 until 60000).map(i => s"unique_value_padpadpadpadpad_$i").toDF("k")
       .coalesce(1).write.parquet(dir)
     val (bytes, stats) = DictBloomBuild.build(spark, dir, "k", 60000, 0.01)
-    assert(stats.fallbackFiles === 1L, "partial-dict chunk must not take the dictionary path")
+    assert(stats.dictChunks === 0L, "partial-dict chunk must not take the dictionary path")
+    assert(stats.pageScanChunks >= 1L && stats.pageScanRows === 60000L)
+    assert(stats.fallbackFiles === 0L)
     assert(bytes.toSeq === scanBuild(dir, "k", 60000, 0.01).toSeq)
   }
 }
