@@ -99,11 +99,13 @@ object TextAnalysis {
     (if (bestHits == 0) "und" else bestLang, math.min(1.0, bestHits.toDouble / toks))
   }
 
-  private val langIdUdf = udf((s: String) => detectLanguage(s))
-
-  /** `lang_id(text) -> struct<lang, confidence>`. */
+  /** `lang_id(text) -> struct<lang, confidence>` — a native codegen
+    * expression ([[graft.expr.LangId]]); NULL text yields NULL (SQL
+    * semantics; the old UDF returned ("und", 0.0)).
+    */
   def lang_id(text: Column): Column =
-    langIdUdf(text).cast("struct<lang:string,confidence:double>")
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expr.LangId(org.apache.spark.sql.GraftBridge.expression(text)))
 
   // -------------------------------------------------------- fingerprinting
 
@@ -128,12 +130,14 @@ object TextAnalysis {
     min
   }
 
-  private val fingerprintUdf = udf((s: String) => fingerprintKernel(s))
-
   /** `doc_fingerprint(text) -> long` — winnowing-style min-hash over
-    * character 16-grams.
+    * character 16-grams, as a native codegen expression
+    * ([[graft.expr.DocFingerprint]]); NULL text yields NULL (the old
+    * UDF returned 0).
     */
-  def doc_fingerprint(text: Column): Column = fingerprintUdf(text)
+  def doc_fingerprint(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expr.DocFingerprint(org.apache.spark.sql.GraftBridge.expression(text)))
 
   /** Top-m most frequent whitespace tokens across a corpus, via the
     * Misra-Gries heavy-hitters aggregate over the exploded token stream —

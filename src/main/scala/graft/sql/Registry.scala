@@ -131,7 +131,9 @@ object Registry {
       MgTopK(args(0), Cast(args(1), org.apache.spark.sql.types.IntegerType))
     },
     "kll_quantile" -> { args => KllQuantile(args(0), Cast(args(1), DoubleType)) },
-    "kll_rank" -> { args => KllRank(args(0), Cast(args(1), DoubleType)) })
+    "kll_rank" -> { args => KllRank(args(0), Cast(args(1), DoubleType)) },
+    "doc_fingerprint" -> { args => DocFingerprint(args.head) },
+    "lang_id" -> { args => LangId(args.head) })
 
   /** Register all sketch functions on an existing session, plus the
     * automatic bloom join pre-filter rule (via experimental optimizations

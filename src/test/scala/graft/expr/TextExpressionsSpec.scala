@@ -1,0 +1,68 @@
+package graft.expr
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.ops.TextAnalysis
+
+class TextExpressionsSpec extends SparkTestBase {
+
+  import SparkTestBase.spark.implicits._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog and the cat",
+    "der hund und die katze sind nicht in der stadt",
+    "short",
+    "",
+    "a longer document body with enough characters for sixteen-gram windows")
+
+  test("doc_fingerprint expression matches the String kernel") {
+    val rows = texts.toDF("t")
+      .select(col("t"), TextAnalysis.doc_fingerprint(col("t")).as("fp"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === TextAnalysis.fingerprintKernel(r.getString(0)))
+    }
+  }
+
+  test("lang_id expression matches detectLanguage and stays in codegen") {
+    // repartition first: otherwise ConvertToLocalRelation folds the whole
+    // projection into a LocalTableScan and there is no stage to inspect
+    val df = texts.toDF("t").repartition(2).select(
+      col("t"),
+      TextAnalysis.lang_id(col("t")).as("li"),
+      TextAnalysis.doc_fingerprint(col("t")).as("fp"))
+    df.collect().foreach { r =>
+      val (lang, conf) = TextAnalysis.detectLanguage(r.getString(0))
+      assert(r.getStruct(1).getString(0) === lang)
+      assert(math.abs(r.getStruct(1).getDouble(1) - conf) < 1e-12)
+    }
+    // both expressions sit inside a WholeStageCodegen span (no UDF break)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expected codegen stage in:\n$plan")
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"))
+  }
+
+  test("NULL text yields NULL (SQL semantics)") {
+    val r = Seq[String](null).toDF("t")
+      .select(TextAnalysis.doc_fingerprint(col("t")), TextAnalysis.lang_id(col("t")))
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("SQL-registered names") {
+    texts.toDF("t").createOrReplaceTempView("text_expr_t")
+    val rows = spark.sql(
+      """SELECT doc_fingerprint(t) AS fp, lang_id(t).lang AS lang
+        |FROM text_expr_t WHERE t <> ''""".stripMargin).collect()
+    assert(rows.length === 4)
+    assert(rows.forall(!_.isNullAt(0)))
+  }
+
+  test("type check rejects non-string input") {
+    val err = intercept[Exception] {
+      Seq(1L).toDF("x").select(TextAnalysis.doc_fingerprint(col("x"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("string"))
+  }
+}
