@@ -17,10 +17,13 @@ object TextKernels {
   /** Winnowing fingerprint over UTF-8 bytes — same semantics as
     * [[graft.ops.TextAnalysis.fingerprintKernel]] but fed the
     * UTF8String's bytes directly (no java.lang.String round-trip).
+    * The short-text guard is on CHARACTER count, exactly like the
+    * String kernel — a 10-char CJK document must hash whole, not
+    * window over its 30 bytes.
     */
   def fingerprint(s: UTF8String): Long = {
     val bytes = s.getBytes
-    if (bytes.length < 16) return Hashing.hashBytes(bytes)
+    if (s.numChars() < 16 || bytes.length < 16) return Hashing.hashBytes(bytes)
     var min = Long.MaxValue
     var i = 0
     val end = bytes.length - 16

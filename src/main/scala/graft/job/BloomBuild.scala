@@ -97,38 +97,6 @@ object BloomBuild {
     StructField("build_ms", LongType, nullable = false),
     StructField("keys_per_sec", DoubleType, nullable = false)))
 
-  /** Build per-partition filters for the given partition ids only,
-    * returning lineage rows (partition_id, filter, rows, build_ms,
-    * keys_per_sec). Uses `runJob` on an explicit partition subset so a
-    * resume never recomputes completed input partitions.
-    */
-  private def buildPartitions(
-      df: DataFrame,
-      keyCol: Column,
-      capacity: Long,
-      fpRate: Double,
-      partitionIds: Seq[Int]): Seq[Row] = {
-    val spark = df.sparkSession
-    val hashedRdd = df.select(abloom_key_hash(keyCol).as("h")).queryExecution.toRdd
-    val results = spark.sparkContext.runJob(
-      hashedRdd,
-      (ctx: org.apache.spark.TaskContext, it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
-        val t0 = System.nanoTime()
-        val f = Sbbf.empty(capacity, fpRate)
-        var n = 0L
-        while (it.hasNext) {
-          val row = it.next()
-          if (!row.isNullAt(0)) { f.insertHash(row.getLong(0)); n += 1 }
-        }
-        val ms = (System.nanoTime() - t0) / 1000000L
-        (ctx.partitionId(), f.toBytes, n, ms)
-      },
-      partitionIds)
-    results.toSeq.map { case (pid, bytes, n, ms) =>
-      Row(pid, bytes, n, ms, if (ms > 0) n * 1000.0 / ms else 0.0)
-    }
-  }
-
   /** Checkpointed partitioned build: writes one lineage row per input
     * partition to `checkpointDir` (parquet, appended as each batch of
     * partitions completes), then OR-merges all partition filters into the
@@ -146,7 +114,9 @@ object BloomBuild {
   /** Resume (or start) a checkpointed build: read completed partition ids
     * from the checkpoint, build only the missing ones, then merge all.
     * Byte-identical to a single-pass build for any interruption point
-    * (OR idempotence + partition determinism).
+    * (OR idempotence + partition determinism). A thin facade over the
+    * generalized [[SketchBuild.resume]] (which also guards against
+    * resuming over a re-partitioned input).
     */
   def resume(
       df: DataFrame,
@@ -154,37 +124,11 @@ object BloomBuild {
       capacity: Long,
       fpRate: Double,
       checkpointDir: String,
-      batchSize: Int = 64): Array[Byte] = {
-    val spark = df.sparkSession
-    val nParts = df.rdd.getNumPartitions
-    val done: Set[Int] =
-      if (checkpointExists(spark, checkpointDir))
-        spark.read.schema(checkpointSchema).parquet(checkpointDir)
-          .select("partition_id").collect().map(_.getInt(0)).toSet
-      else Set.empty
-    val todo = (0 until nParts).filterNot(done)
-
-    todo.grouped(batchSize).foreach { batch =>
-      val rows = buildPartitions(df, keyCol, capacity, fpRate, batch)
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), checkpointSchema)
-        .write.mode(SaveMode.Append).parquet(checkpointDir)
-    }
-
-    // parallel union of all checkpointed partition filters
-    spark.read.schema(checkpointSchema).parquet(checkpointDir)
-      .dropDuplicates("partition_id") // replayed partitions are harmless but dedup anyway
-      .agg(bloom_union_agg(col("filter")))
-      .head().getAs[Array[Byte]](0)
-  }
+      batchSize: Int = 64): Array[Byte] =
+    SketchBuild.resume(
+      df, keyCol, PartitionSketcher.bloom(capacity, fpRate), checkpointDir, batchSize)
 
   /** Per-partition lineage + metrics of a checkpointed build. */
   def lineage(spark: SparkSession, checkpointDir: String): DataFrame =
-    spark.read.schema(checkpointSchema).parquet(checkpointDir)
-
-  private def checkpointExists(spark: SparkSession, dir: String): Boolean = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(path) && fs.listStatus(path).nonEmpty
-  }
+    SketchBuild.lineage(spark, checkpointDir)
 }

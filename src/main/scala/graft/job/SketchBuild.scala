@@ -130,8 +130,17 @@ object SketchBuild {
       sketcher: PartitionSketcher,
       checkpointDir: String,
       batchSize: Int = 64): Array[Byte] = {
+    require(batchSize > 0, "batchSize must be positive")
     val spark = df.sparkSession
-    val nParts = df.rdd.getNumPartitions
+    // ONE physical plan: partition count and every runJob call use the
+    // same RDD object, so (a) the count can never disagree with the
+    // executed plan (AQE may size the projected plan differently than
+    // df.rdd's), and (b) Spark reuses the upstream shuffle map output
+    // across batches instead of re-running it per batch.
+    val projected = df.select(sketcher.project(valueCol).as("v"))
+      .queryExecution.toRdd
+    val nParts = projected.getNumPartitions
+    checkLayout(spark, checkpointDir, nParts)
     val done: Set[Int] =
       if (checkpointExists(spark, checkpointDir))
         lineage(spark, checkpointDir)
@@ -140,7 +149,7 @@ object SketchBuild {
     val todo = (0 until nParts).filterNot(done)
 
     todo.grouped(batchSize).foreach { batch =>
-      val rows = buildPartitions(df, valueCol, sketcher, batch)
+      val rows = buildPartitions(spark, projected, sketcher, batch)
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), checkpointSchema)
         .write.mode(SaveMode.Append).parquet(checkpointDir)
@@ -165,13 +174,10 @@ object SketchBuild {
     spark.read.schema(checkpointSchema).parquet(checkpointDir)
 
   private def buildPartitions(
-      df: DataFrame,
-      valueCol: Column,
+      spark: SparkSession,
+      projected: org.apache.spark.rdd.RDD[InternalRow],
       sketcher: PartitionSketcher,
       partitionIds: Seq[Int]): Seq[Row] = {
-    val spark = df.sparkSession
-    val projected = df.select(sketcher.project(valueCol).as("v"))
-      .queryExecution.toRdd
     val results = spark.sparkContext.runJob(
       projected,
       (ctx: org.apache.spark.TaskContext, it: Iterator[InternalRow]) => {
@@ -195,5 +201,30 @@ object SketchBuild {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(path) && fs.listStatus(path).nonEmpty
+  }
+
+  /** Partition-layout guard: lineage rows are only addressable by
+    * partition_id, so a resume against an input that partitions
+    * DIFFERENTLY (a compacted file, a changed maxPartitionBytes, a new
+    * shuffle parallelism) would silently merge mismatched partials —
+    * rows double-counted or missing with no error. The first run writes
+    * the partition count to a `_layout` sidecar; every resume validates
+    * against it and fails fast on mismatch.
+    */
+  private def checkLayout(spark: SparkSession, dir: String, nParts: Int): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir, "_layout")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) {
+      val in = fs.open(path)
+      val recorded = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      require(recorded.toInt == nParts,
+        s"checkpoint at $dir was built over $recorded input partitions but the " +
+          s"current input has $nParts — resuming would merge mismatched partials; " +
+          "restore the original partitioning or start a fresh checkpoint dir")
+    } else {
+      val out = fs.create(path, true)
+      try out.write(nParts.toString.getBytes("UTF-8")) finally out.close()
+    }
   }
 }

@@ -60,8 +60,12 @@ case class SketchPartialAggExec(
     groupingExpressions: Seq[NamedExpression],
     aggregateExpressions: Seq[AggregateExpression],
     flushThreshold: Int,
+    flushBytes: Long,
     child: SparkPlan)
   extends UnaryExecNode {
+
+  require(flushThreshold > 0, "spark.graft.sketchAgg.flushThreshold must be positive")
+  require(flushBytes > 0, "spark.graft.sketchAgg.flushBytes must be positive")
 
   // stable across calls: fresh exprIds per `output` call would make the
   // parent's references dangle
@@ -86,6 +90,7 @@ case class SketchPartialAggExec(
     val childOutput = child.output
     val outputSchema = output
     val threshold = flushThreshold
+    val maxBytes = flushBytes
 
     org.apache.spark.sql.GraftBridge.mapPartitionsInternal(child.execute()) { iter =>
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
@@ -95,6 +100,15 @@ case class SketchPartialAggExec(
       val nGroups = groupExprs.length
       val outProj = UnsafeProjection.create(outputSchema, outputSchema)
       val groupTypes = groupExprs.map(_.dataType)
+      // flush on BYTES too, not just group count: one fresh buffer's
+      // serialized size approximates the per-group cost (exact for the
+      // fixed-size filters, right order for the adaptive sketches), so a
+      // groupBy with bloom_agg(capacity=10M) flushes after a handful of
+      // groups instead of holding flushThreshold x 12 MB live
+      val perGroupBytes = funcs.map(f =>
+        f.serialize(f.createAggregationBuffer()).length.toLong.max(1L)).sum
+      val effectiveThreshold =
+        math.max(1L, math.min(threshold.toLong, maxBytes / perGroupBytes)).toInt
 
       new Iterator[InternalRow] {
         private val map = new java.util.LinkedHashMap[UnsafeRow, Array[Any]]()
@@ -107,7 +121,7 @@ case class SketchPartialAggExec(
         private def aggregateChunk(): Unit = {
           map.clear()
           while (iter.hasNext &&
-              !(map.size() >= threshold && { numFlushes += 1; true })) {
+              !(map.size() >= effectiveThreshold && { numFlushes += 1; true })) {
             val row = iter.next()
             val key = keyProj(row)
             var bufs = map.get(key)
@@ -270,7 +284,10 @@ case class SketchAggStrategy(session: SparkSession) extends SparkStrategy {
           session.conf.get("spark.graft.sketchAgg.enabled", "true").toBoolean =>
       val flushThreshold = session.conf
         .get("spark.graft.sketchAgg.flushThreshold", (1 << 16).toString).toInt
-      val partial = SketchPartialAggExec(grouping, aggs, flushThreshold, planLater(child))
+      val flushBytes = session.conf
+        .get("spark.graft.sketchAgg.flushBytes", (256L << 20).toString).toLong
+      val partial = SketchPartialAggExec(
+        grouping, aggs, flushThreshold, flushBytes, planLater(child))
       SketchFinalAggExec(grouping.map(_.toAttribute), aggs, results, partial) :: Nil
     case _ => Nil
   }

@@ -43,6 +43,18 @@ class TextExpressionsSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"))
   }
 
+  test("short multibyte text: character-count guard matches the String kernel") {
+    // 10 chars but 30 UTF-8 bytes: must hash whole, never window bytes
+    val cjk = Seq("文書の指紋計算テスト",
+      "café naïve résumé", "ü" * 15, "ü" * 16)
+    val rows = cjk.toDF("t").repartition(2)
+      .select(col("t"), TextAnalysis.doc_fingerprint(col("t")).as("fp")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === TextAnalysis.fingerprintKernel(r.getString(0)),
+        s"mismatch for '${r.getString(0)}'")
+    }
+  }
+
   test("NULL text yields NULL (SQL semantics)") {
     val r = Seq[String](null).toDF("t")
       .select(TextAnalysis.doc_fingerprint(col("t")), TextAnalysis.lang_id(col("t")))

@@ -112,6 +112,16 @@ class SketchBuildSpec extends SparkTestBase {
     assert(lo <= n / 2 && n / 2 <= hi, s"bounds ($lo,$hi) vs ${n / 2}")
   }
 
+  test("resume against a re-partitioned input fails fast (layout guard)") {
+    val dir = tmp()
+    SketchBuild.resume(longs, col("id"), PartitionSketcher.hll(), dir)
+    val e = intercept[IllegalArgumentException] {
+      SketchBuild.resume(
+        longs.repartition(13), col("id"), PartitionSketcher.hll(), dir)
+    }
+    assert(e.getMessage.contains("partitions"))
+  }
+
   test("null values are skipped and excluded from lineage row counts") {
     val df = spark.range(0L, 1000L, 1L, 4)
       .select(when(col("id") % 10 === 0, lit(null)).otherwise(col("id")).as("v"))

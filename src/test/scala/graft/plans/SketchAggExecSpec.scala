@@ -148,6 +148,31 @@ class SketchAggExecSpec extends SparkTestBase {
     rows.foreach(r => assert(math.abs(r.getLong(1) - 3000L) <= 3000 * 3 * 0.0082 + 1))
   }
 
+  test("byte budget flushes large-capacity buffers after a handful of groups") {
+    // 2 MB budget vs ~1.2 MB-per-group filters: the partial map must
+    // flush at ~1 group, not hold flushThreshold x 1.2 MB live; results
+    // still byte-identical to the built-in path
+    spark.conf.set("spark.graft.sketchAgg.flushBytes", (2L << 20).toString)
+    try {
+      def run() = groups.groupBy(col("g"))
+        .agg(bloom_agg(col("k"), 1000000, 0.01).as("b"))
+        .orderBy(col("g")).collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq))
+      val custom = run()
+      val builtin = withBuiltin(run())
+      assert(custom.toSeq === builtin.toSeq)
+    } finally spark.conf.unset("spark.graft.sketchAgg.flushBytes")
+  }
+
+  test("non-positive flush threshold fails fast instead of dropping data") {
+    spark.conf.set("spark.graft.sketchAgg.flushThreshold", "0")
+    try {
+      val e = intercept[Exception] {
+        groups.groupBy(col("g")).agg(hll_agg(col("k")).as("h")).collect()
+      }
+      assert(e.getMessage.contains("flushThreshold"))
+    } finally spark.conf.unset("spark.graft.sketchAgg.flushThreshold")
+  }
+
   test("disabled by conf: built-in plan returns") {
     withBuiltin {
       val df = groups.groupBy(col("g")).agg(hll_agg(col("k")).as("h"))
