@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.core.{CountMin, Hll, Kll, MisraGries, Sbbf, TDigest}
+import graft.core.{Cbf, CountMin, Hll, Kll, MisraGries, Sbbf, Sbf, TDigest}
 import graft.functions._
 
 /** A per-partition sketch kernel for [[SketchBuild]]: how to project the
@@ -79,6 +79,27 @@ object PartitionSketcher {
       b.asInstanceOf[Kll].add(row.getDouble(0))
     def toBytes(b: AnyRef): Array[Byte] = b.asInstanceOf[Kll].toBytes
     def unionAgg(c: Column): Column = kll_union_agg(c)
+  }
+
+  /** Insert-only counting-filter build (deletes happen at query time via
+    * `cbf_agg` with weights; a resumable BUILD is inserts). */
+  def cbf(capacity: Long, fpRate: Double): PartitionSketcher = new HashedKernel {
+    def newBuffer(): AnyRef = Cbf.empty(capacity, fpRate)
+    def update(b: AnyRef, row: InternalRow): Unit =
+      b.asInstanceOf[Cbf].insertHash(row.getLong(0))
+    def toBytes(b: AnyRef): Array[Byte] = b.asInstanceOf[Cbf].toBytes
+    def unionAgg(c: Column): Column = cbf_union_agg(c)
+  }
+
+  /** Scalable-filter build: partials grow stages independently; the
+    * union aggregate's eval compacts to the canonical ABSF form, so the
+    * canonical-merge-order guarantee carries the byte-determinism. */
+  def sbf(initialCapacity: Long, fp0: Double): PartitionSketcher = new HashedKernel {
+    def newBuffer(): AnyRef = Sbf.empty(initialCapacity, fp0)
+    def update(b: AnyRef, row: InternalRow): Unit =
+      b.asInstanceOf[Sbf].addHash(row.getLong(0))
+    def toBytes(b: AnyRef): Array[Byte] = b.asInstanceOf[Sbf].toBytes
+    def unionAgg(c: Column): Column = sbf_union_agg(c)
   }
 
   def misraGries(k: Int): PartitionSketcher = new PartitionSketcher {

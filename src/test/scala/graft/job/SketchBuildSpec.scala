@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
-import graft.core.{CountMin, Hll, Kll, MisraGries, Sbbf, TDigest}
+import graft.core.{Cbf, CountMin, Hll, Kll, MisraGries, Sbbf, Sbf, TDigest}
 
 /** The generalized checkpointed build must (a) resume from any partial
   * checkpoint to a byte-identical final sketch, (b) produce estimates
@@ -110,6 +110,23 @@ class SketchBuildSpec extends SparkTestBase {
     val mg = MisraGries.fromBytes(a)
     val (lo, hi) = mg.bounds("hot")
     assert(lo <= n / 2 && n / 2 <= hi, s"bounds ($lo,$hi) vs ${n / 2}")
+  }
+
+  test("cbf: resume byte-stable; zero FN and exact counts at low load") {
+    val sk = PartitionSketcher.cbf(n, 0.01)
+    resumeIsByteStable(sk, "id")
+    val cbf = Cbf.fromBytes(SketchBuild.resume(longs, col("id"), sk, tmp()))
+    (0L until 100L).foreach(k => assert(cbf.contains(k)))
+    assert(cbf.count(7L) >= 1L)
+  }
+
+  test("sbf: resume byte-stable; zero FN within compound bound") {
+    // initial capacity far below n forces stage growth in every partition
+    val sk = PartitionSketcher.sbf(1024, 0.001)
+    resumeIsByteStable(sk, "id")
+    val sbf = Sbf.fromBytes(SketchBuild.resume(longs, col("id"), sk, tmp()))
+    assert(sbf.stageCount > 1, "stages must have grown")
+    (0L until n by 97L).foreach(k => assert(sbf.contains(k), s"FN at $k"))
   }
 
   test("resume against a re-partitioned input fails fast (layout guard)") {
