@@ -66,4 +66,55 @@ object SketchPartition {
     withRangeBucket(df, valueCol, cuts)
       .repartition(buckets, col("bucket"))
   }
+
+  /** Write `df` as a bucket-directory-partitioned parquet table, rows
+    * sorted by `valueCol` within each bucket file. Returns the cut
+    * points — keep them (or recompute from the digest) to build pruning
+    * predicates with [[rangePredicate]].
+    *
+    * Layout rationale at 100 TB: directory partitioning on the bucket
+    * gives PARTITION pruning for range predicates (Spark never lists the
+    * non-matching directories), and the within-bucket sort gives
+    * parquet min/max row-group pruning inside each file. Balanced
+    * buckets (t-digest quantiles) keep every directory the same size —
+    * no hot partition regardless of value skew.
+    */
+  def writeRangePartitioned(
+      df: DataFrame,
+      valueCol: Column,
+      buckets: Int,
+      path: String,
+      bucketCol: String = "bucket",
+      compression: Double = 200.0): Array[Double] = {
+    val cuts = rangeCuts(df, valueCol, buckets, compression)
+    withRangeBucket(df, valueCol, cuts, bucketCol)
+      .repartition(buckets, col(bucketCol))
+      .sortWithinPartitions(valueCol)
+      .write.partitionBy(bucketCol).parquet(path)
+    cuts
+  }
+
+  /** Bucket index of `value` under `cuts` (driver-side mirror of the
+    * codegen'd bucket expression). */
+  def bucketOf(cuts: Array[Double], value: Double): Int = {
+    var b = 0
+    while (b < cuts.length && value > cuts(b)) b += 1
+    b
+  }
+
+  /** Pruning predicate for `lo <= valueCol <= hi` over a table written
+    * by [[writeRangePartitioned]]: the bucket-range conjunct prunes
+    * partitions (directories) at planning time; the value conjunct does
+    * the exact row filtering inside the surviving buckets.
+    */
+  def rangePredicate(
+      cuts: Array[Double],
+      valueCol: Column,
+      lo: Double,
+      hi: Double,
+      bucketCol: String = "bucket"): Column = {
+    require(lo <= hi, s"lo $lo > hi $hi")
+    col(bucketCol).between(bucketOf(cuts, lo), bucketOf(cuts, hi)) &&
+      valueCol.between(lo, hi)
+  }
 }

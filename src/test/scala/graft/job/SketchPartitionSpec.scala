@@ -39,6 +39,41 @@ class SketchPartitionSpec extends SparkTestBase {
     assert(rows.head._2 === 0 && rows.last._2 === 7)
   }
 
+  test("writeRangePartitioned: range predicate prunes partitions and matches plain filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rp").toString + "/t"
+    val df = (0 until 30000).map(i => ((i * 2654435761L) % 90000).toDouble).toDF("v")
+      .repartition(6)
+    val buckets = 8
+    val cuts = SketchPartition.writeRangePartitioned(df, col("v"), buckets, dir)
+    val table = spark.read.parquet(dir)
+    assert(table.count() === 30000)
+
+    // a narrow range inside one bucket's span
+    val (lo, hi) = (cuts(2) + 1.0, (cuts(3) - 1.0).max(cuts(2) + 2.0))
+    val pruned = table.filter(SketchPartition.rangePredicate(cuts, col("v"), lo, hi))
+    val expected = df.filter(col("v").between(lo, hi)).count()
+    assert(pruned.count() === expected)
+
+    // partition pruning is real: the pruned plan reads fewer distinct
+    // files than the full table has buckets
+    val filesRead = pruned.select(input_file_name()).distinct().count()
+    val bucketSpan = SketchPartition.bucketOf(cuts, hi) - SketchPartition.bucketOf(cuts, lo) + 1
+    assert(filesRead <= bucketSpan.toLong,
+      s"read $filesRead files for a $bucketSpan-bucket range")
+    // and the optimized plan carries the bucket conjunct as a partition filter
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("bucket"),
+      s"no partition filter in:\n$planStr")
+  }
+
+  test("bucketOf mirrors the codegen'd bucket column") {
+    val df = (0 until 5000).map(i => (i * 13 % 997).toDouble).toDF("v")
+    val cuts = SketchPartition.rangeCuts(df, col("v"), 8)
+    SketchPartition.withRangeBucket(df, col("v"), cuts).collect().foreach { r =>
+      assert(r.getInt(1) === SketchPartition.bucketOf(cuts, r.getDouble(0)))
+    }
+  }
+
   test("repartitionBalanced yields buckets-many partitions with ranges intact") {
     val df = (0 until 20000).map(i => ((i * 2654435761L) % 100000).toDouble).toDF("v")
     val parts = SketchPartition.repartitionBalanced(df, col("v"), 8)
