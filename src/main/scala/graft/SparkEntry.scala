@@ -532,6 +532,41 @@ object SparkEntry {
         .orderBy(col("day"))
     },
 
+    // Streaming windowed QUANTILES under the gate: events replayed as a
+    // file stream -> per-day t-digest (AvailableNow) -> the estimated
+    // median's EXACT rank among that day's values must sit within the
+    // t-digest interior rank error. Per-day row counts are the
+    // cross-engine oracle.
+    "streaming_windowed_quantiles" -> { (s, dir) =>
+      val events = table(s, dir, "events")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-swq").toString
+      events.write.parquet(s"$tmp/in")
+      val stream = s.readStream.schema(events.schema).parquet(s"$tmp/in")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val agg = graft.streaming.StreamingSketches.windowedQuantiles(
+        stream, "ts", "value", "1 day", "1 hour", quantiles = Seq(0.5))
+      val qname = "swq_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val est = s.table(qname).select(
+        col("window_start").cast("date").as("day"), col("q50"))
+      val perDay = events
+        .select(col("ts").cast("date").as("day"), col("value"))
+        .join(est, "day")
+        .groupBy(col("day"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          (sum(when(col("value") <= col("q50"), 1L).otherwise(0L)) /
+            count(lit(1))).as("rank"))
+      perDay.select(
+        col("day"), col("n_events"),
+        col("rank").between(0.47, 0.53).as("median_rank_ok"))
+        .orderBy(col("day"))
+    },
+
     // Streaming EXACT dedup under the gate: documents (+ planted exact
     // copies) replayed as a file stream, first arrival of each distinct
     // text kept via digest dropDuplicatesWithinWatermark. The surviving
@@ -883,6 +918,11 @@ object SparkEntry {
         |CAST(1 AS BOOLEAN) AS resume_byte_identical,
         |CAST(1 AS BOOLEAN) AS estimate_within_bound
         |FROM lineitem""".stripMargin,
+    "streaming_windowed_quantiles" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |count(*) AS n_events,
+        |CAST(1 AS BOOLEAN) AS median_rank_ok
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "streaming_dedup" ->
       """SELECT count(DISTINCT text) AS n_unique,
         |count(DISTINCT text) AS n_distinct_texts FROM documents""".stripMargin,

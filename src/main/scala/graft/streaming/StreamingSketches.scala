@@ -59,6 +59,35 @@ object StreamingSketches {
         col("window.end").as("window_end"),
         col("approx_distinct"))
 
+  /** Windowed quantiles via t-digest: per window, the serialized digest
+    * plus the requested quantile estimates. State per window is ONE
+    * digest (O(compression) centroids) — latency-percentile monitoring
+    * over any event rate at constant memory. The digest column lets a
+    * downstream batch job union windows (`tdigest_union_agg`) into
+    * daily/weekly rollups without touching raw events.
+    */
+  def windowedQuantiles(
+      events: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      quantiles: Seq[Double] = Seq(0.5, 0.95, 0.99),
+      compression: Double = 200.0): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q >= 0 && q <= 1),
+      "quantiles must be in [0, 1]")
+    val agg = events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(tdigest_agg(col(valueCol), compression).as("digest"))
+    val qCols = quantiles.map(q =>
+      tdigest_quantile(col("digest"), q).as(s"q${(q * 100).round}"))
+    agg.select(
+      col("window.start").as("window_start") +:
+        col("window.end").as("window_end") +:
+        col("digest") +: qCols: _*)
+  }
+
   /** EXACT streaming deduplication by content digest: keeps the first
     * arrival of each distinct `textCol` value, drops later duplicates.
     * Built on `dropDuplicatesWithinWatermark` over a sha-256 digest, so

@@ -85,6 +85,34 @@ class StreamingSpec extends SparkTestBase {
     assert(math.abs(est - 700) <= 3 * 0.0082 * 700 + 5)
   }
 
+  test("windowed t-digest quantiles over a stream within rank error") {
+    val input = MemoryStream[(Timestamp, Double)]
+    val q = StreamingSketches.windowedQuantiles(
+      input.toDF().toDF("ts", "v"), "ts", "v", "10 minutes", "0 seconds",
+      quantiles = Seq(0.5, 0.99))
+      .writeStream.format("memory").queryName("wq").outputMode("append").start()
+
+    // one window, values 0..3999 in scrambled order across two batches
+    input.addData((0 until 2000).map(i => (ts(i % 10), ((i * 2654435761L) % 4000).toDouble)): _*)
+    q.processAllAvailable()
+    input.addData((2000 until 4000).map(i => (ts(i % 10), ((i * 2654435761L) % 4000).toDouble)): _*)
+    q.processAllAvailable()
+    input.addData((ts(59), 0.0)) // advance watermark, close the window
+    q.processAllAvailable()
+    q.stop()
+
+    val row = spark.table("wq")
+      .filter(col("window_start") === Timestamp.valueOf("2026-01-01 10:00:00"))
+      .head
+    val med = row.getDouble(row.fieldIndex("q50"))
+    val p99 = row.getDouble(row.fieldIndex("q99"))
+    assert(math.abs(med - 2000.0) <= 100.0, s"median $med")
+    assert(math.abs(p99 - 3960.0) <= 100.0, s"p99 $p99")
+    // the serialized digest is union-able downstream
+    val dg = graft.core.TDigest.fromBytes(row.getAs[Array[Byte]](row.fieldIndex("digest")))
+    assert(dg.count > 0)
+  }
+
   test("firstSeen state survives query restart from checkpoint") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
     val input = MemoryStream[StreamingSketches.KeyedEvent]
