@@ -28,6 +28,15 @@ trait PartitionSketcher extends Serializable {
   def toBytes(buffer: AnyRef): Array[Byte]
   /** Declarative union aggregate over serialized partials. */
   def unionAgg(sketches: Column): Column
+  /** Pairwise serialized merge — the task-side kernel of
+    * [[SketchBuild.merge]]'s tree mode. Must be safe to apply in any
+    * tree shape (no per-node canonicalization that isn't confluent —
+    * see [[finalizeBytes]]). */
+  def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte]
+  /** Canonicalization applied ONCE to a tree merge's root (identity for
+    * most families; the scalable filter compacts here because stage
+    * compaction mid-tree is not confluent). */
+  def finalizeBytes(bytes: Array[Byte]): Array[Byte] = bytes
 }
 
 object PartitionSketcher {
@@ -44,6 +53,8 @@ object PartitionSketcher {
       b.asInstanceOf[Sbbf].insertHash(row.getLong(0))
     def toBytes(b: AnyRef): Array[Byte] = b.asInstanceOf[Sbbf].toBytes
     def unionAgg(c: Column): Column = bloom_union_agg(c)
+    def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      Sbbf.fromBytes(a).orInPlace(Sbbf.fromBytes(b)).toBytes
   }
 
   def hll(p: Int = Hll.DefaultP): PartitionSketcher = new HashedKernel {
@@ -52,6 +63,8 @@ object PartitionSketcher {
       b.asInstanceOf[Hll].addHash(row.getLong(0))
     def toBytes(b: AnyRef): Array[Byte] = b.asInstanceOf[Hll].toBytes
     def unionAgg(c: Column): Column = graft.functions.hll_union_agg(c)
+    def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      Hll.fromBytes(a).merge(Hll.fromBytes(b)).toBytes
   }
 
   def cms(eps: Double, delta: Double): PartitionSketcher = new HashedKernel {
@@ -60,6 +73,8 @@ object PartitionSketcher {
       b.asInstanceOf[CountMin].addHash(row.getLong(0))
     def toBytes(b: AnyRef): Array[Byte] = b.asInstanceOf[CountMin].toBytes
     def unionAgg(c: Column): Column = cms_union_agg(c)
+    def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      CountMin.fromBytes(a).merge(CountMin.fromBytes(b)).toBytes
   }
 
   def tdigest(compression: Double = TDigest.DefaultCompression): PartitionSketcher =
@@ -70,6 +85,8 @@ object PartitionSketcher {
         b.asInstanceOf[TDigest].add(row.getDouble(0))
       def toBytes(b: AnyRef): Array[Byte] = b.asInstanceOf[TDigest].toBytes
       def unionAgg(c: Column): Column = tdigest_union_agg(c)
+      def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+        TDigest.fromBytes(a).merge(TDigest.fromBytes(b)).toBytes
     }
 
   def kll(k: Int = Kll.DefaultK): PartitionSketcher = new PartitionSketcher {
@@ -79,6 +96,8 @@ object PartitionSketcher {
       b.asInstanceOf[Kll].add(row.getDouble(0))
     def toBytes(b: AnyRef): Array[Byte] = b.asInstanceOf[Kll].toBytes
     def unionAgg(c: Column): Column = kll_union_agg(c)
+    def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      Kll.fromBytes(a).merge(Kll.fromBytes(b)).toBytes
   }
 
   /** Insert-only counting-filter build (deletes happen at query time via
@@ -89,6 +108,8 @@ object PartitionSketcher {
       b.asInstanceOf[Cbf].insertHash(row.getLong(0))
     def toBytes(b: AnyRef): Array[Byte] = b.asInstanceOf[Cbf].toBytes
     def unionAgg(c: Column): Column = cbf_union_agg(c)
+    def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      Cbf.fromBytes(a).addInPlace(Cbf.fromBytes(b)).toBytes
   }
 
   /** Scalable-filter build: partials grow stages independently; the
@@ -100,6 +121,10 @@ object PartitionSketcher {
       b.asInstanceOf[Sbf].addHash(row.getLong(0))
     def toBytes(b: AnyRef): Array[Byte] = b.asInstanceOf[Sbf].toBytes
     def unionAgg(c: Column): Column = sbf_union_agg(c)
+    def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      Sbf.fromBytes(a).mergeInPlace(Sbf.fromBytes(b)).toBytes
+    override def finalizeBytes(bytes: Array[Byte]): Array[Byte] =
+      Sbf.fromBytes(bytes).compact().toBytes
   }
 
   def misraGries(k: Int): PartitionSketcher = new PartitionSketcher {
@@ -109,6 +134,8 @@ object PartitionSketcher {
       b.asInstanceOf[MisraGries].add(row.getUTF8String(0).toString)
     def toBytes(b: AnyRef): Array[Byte] = b.asInstanceOf[MisraGries].toBytes
     def unionAgg(c: Column): Column = mg_union_agg(c)
+    def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      MisraGries.fromBytes(a).merge(MisraGries.fromBytes(b)).toBytes
   }
 }
 
@@ -136,9 +163,8 @@ object PartitionSketcher {
   *
   * At 100 TB: the lineage table is O(partitions) rows of O(sketch)
   * bytes; `batchSize` bounds lost work per failure; the merge input is
-  * O(partitions × sketch), shuffled once to one task — for >100k
-  * partitions swap the final step for a two-level union (the
-  * [[BloomBuild.treeAgg]] shape) on the same checkpoint table.
+  * O(partitions × sketch) — use [[merge]]'s `groups` tree mode past
+  * ~10^4 partials so no single task folds them all.
   */
 object SketchBuild {
 
@@ -178,17 +204,61 @@ object SketchBuild {
     merge(spark, sketcher, checkpointDir)
   }
 
-  /** Canonical-order merge of every checkpointed partial. */
+  /** Canonical-order merge of every checkpointed partial.
+    *
+    * `groups <= 1` (default): one task folds all partials in ascending
+    * partition order — the canonical order every byte-determinism
+    * property is stated against. Fine up to ~10^4 partials.
+    *
+    * `groups > 1`: two-level tree for 10^5+ partials (a single task
+    * folding 100k x 100 KB partials is the scale bottleneck SCALE.md
+    * §1 names). Partials are split into `groups` CONTIGUOUS
+    * partition-id ranges (an explicit partitioner — never a sampling
+    * RangePartitioner, whose boundaries vary run to run); each range
+    * folds in ascending order in its own task, the driver folds the
+    * group results in range order, and [[PartitionSketcher.finalizeBytes]]
+    * canonicalizes once at the root. Deterministic for every family
+    * (fixed tree shape + fixed order); byte-EQUAL to the flat fold for
+    * the cell-wise merges (bloom/cbf/hll/cms) and for the SBF (stage
+    * concat is associative, compaction deferred to the root); t-digest
+    * and KLL tree bytes differ from flat (their merges are not
+    * byte-associative) but remain run-to-run deterministic with the
+    * same error bounds.
+    */
   def merge(
       spark: SparkSession,
       sketcher: PartitionSketcher,
-      checkpointDir: String): Array[Byte] =
-    lineage(spark, checkpointDir)
-      .dropDuplicates("partition_id")
-      .repartition(1)
-      .sortWithinPartitions("partition_id")
-      .agg(sketcher.unionAgg(col("filter")))
-      .head().getAs[Array[Byte]](0)
+      checkpointDir: String,
+      groups: Int = 1): Array[Byte] = {
+    if (groups <= 1)
+      lineage(spark, checkpointDir)
+        .dropDuplicates("partition_id")
+        .repartition(1)
+        .sortWithinPartitions("partition_id")
+        .agg(sketcher.unionAgg(col("filter")))
+        .head().getAs[Array[Byte]](0)
+    else {
+      val pairs = lineage(spark, checkpointDir)
+        .dropDuplicates("partition_id")
+        .select(col("partition_id"), col("filter"))
+        .rdd.map(r => (r.getInt(0), r.getAs[Array[Byte]](1)))
+      val nParts = pairs.keys.max() + 1
+      val partitioner = new org.apache.spark.Partitioner {
+        override def numPartitions: Int = groups
+        override def getPartition(key: Any): Int =
+          (key.asInstanceOf[Int].toLong * groups / nParts).toInt
+      }
+      val groupResults = pairs
+        .repartitionAndSortWithinPartitions(partitioner)
+        .mapPartitionsWithIndex { (g, it) =>
+          it.map(_._2).reduceOption(sketcher.mergeBytes)
+            .map(b => Iterator.single((g, b))).getOrElse(Iterator.empty)
+        }
+        .collect().sortBy(_._1).map(_._2)
+      require(groupResults.nonEmpty, s"no checkpointed partials under $checkpointDir")
+      sketcher.finalizeBytes(groupResults.reduce(sketcher.mergeBytes))
+    }
+  }
 
   /** Per-partition lineage + metrics of a checkpointed build. */
   def lineage(spark: SparkSession, checkpointDir: String): DataFrame =

@@ -129,6 +129,36 @@ class SketchBuildSpec extends SparkTestBase {
     (0L until n by 97L).foreach(k => assert(sbf.contains(k), s"FN at $k"))
   }
 
+  test("tree merge == flat merge for cell-wise families and SBF; deterministic for t-digest") {
+    def checkpoint(sk: PartitionSketcher): String = {
+      val dir = tmp()
+      SketchBuild.resume(longs, col("id"), sk, dir)
+      dir
+    }
+    // cell-wise merges: tree must be byte-EQUAL to the canonical flat fold
+    Seq(
+      PartitionSketcher.bloom(n, 0.01),
+      PartitionSketcher.hll(),
+      PartitionSketcher.cms(0.01, 0.01),
+      PartitionSketcher.cbf(n, 0.01),
+      PartitionSketcher.sbf(1024, 0.001)).foreach { sk =>
+      val dir = checkpoint(sk)
+      val flat = SketchBuild.merge(spark, sk, dir)
+      val tree = SketchBuild.merge(spark, sk, dir, groups = 3)
+      assert(java.util.Arrays.equals(flat, tree), s"tree != flat for $sk")
+    }
+    // order-sensitive merge: tree bytes are deterministic and the
+    // estimate stays within bound
+    val td = PartitionSketcher.tdigest()
+    val dir = checkpoint(td)
+    val t1 = SketchBuild.merge(spark, td, dir, groups = 3)
+    val t2 = SketchBuild.merge(spark, td, dir, groups = 3)
+    assert(java.util.Arrays.equals(t1, t2))
+    val dg = TDigest.fromBytes(t1)
+    assert(dg.count === n.toDouble)
+    assert(math.abs(dg.quantile(0.5) - n / 2.0) <= 0.02 * n)
+  }
+
   test("resume against a re-partitioned input fails fast (layout guard)") {
     val dir = tmp()
     SketchBuild.resume(longs, col("id"), PartitionSketcher.hll(), dir)

@@ -148,6 +148,31 @@ class SketchAggExecSpec extends SparkTestBase {
     rows.foreach(r => assert(math.abs(r.getLong(1) - 3000L) <= 3000 * 3 * 0.0082 + 1))
   }
 
+  test("multi-column string+long grouping keys match the built-in path") {
+    // variable-length group keys exercise UnsafeRow copy/equality in the
+    // partial map, plus grouping-expression (not attribute) keys
+    val df = spark.range(0L, 20000L, 1L, 5).select(
+      concat(lit("grp_"), (col("id") % 37).cast("string")).as("gs"),
+      (col("id") % 11).as("gl"),
+      col("id").as("k"))
+    def run() = df.groupBy(col("gs"), col("gl"))
+      .agg(hll_agg(col("k")).as("h"), bloom_agg(col("k"), 2000, 0.01).as("b"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Array[Byte]](2).toSeq, r.getAs[Array[Byte]](3).toSeq))
+      .sortBy(t => (t._1, t._2))
+    val custom = run()
+    assert(custom.length === 37 * 11)
+    val builtin = withBuiltin(run())
+    assert(custom.toSeq === builtin.toSeq)
+
+    // grouping EXPRESSION (alias of a computation) rather than attribute
+    val expr = df.groupBy((col("gl") * 2).as("g2"))
+      .agg(hll_agg(col("k")).as("h"))
+    assert(collectPhysical(expr).exists(_.isInstanceOf[SketchFinalAggExec]))
+    assert(expr.count() === 11)
+  }
+
   test("byte budget flushes large-capacity buffers after a handful of groups") {
     // 2 MB budget vs ~1.2 MB-per-group filters: the partial map must
     // flush at ~1 group, not hold flushThreshold x 1.2 MB live; results
