@@ -265,6 +265,49 @@ object Similarity {
       assignUdf(toDoubleArr(col(vecCol))).as("list"))
   }
 
+  /** Persist a complete IVF index: the inverted-list table range-
+    * partitioned and sorted by `list` under `path/lists` (row-group
+    * pruning for `list IN (probes)` queries, like [[writeIndex]]) and
+    * the coarse quantizer under `path/centroids`. Returns the centroids
+    * so the building session can query immediately.
+    *
+    * At scale this is the write-once/serve-many shape: the k-means pass
+    * runs once over the corpus; each query afterwards reads only its
+    * `nprobe` lists' row groups plus the (k x dim) centroid table.
+    */
+  def writeIvfIndex(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      path: String,
+      iters: Int = 5,
+      partitions: Int = 0): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    val centroids = kmeansCentroids(df, vecCol, idCol, k, iters)
+    val idx = ivfIndex(df, vecCol, idCol, centroids)
+    val p = if (partitions > 0) partitions
+      else math.max(1, df.rdd.getNumPartitions)
+    idx.repartitionByRange(p, col("list"))
+      .sortWithinPartitions("list")
+      .write.mode("overwrite").parquet(s"$path/lists")
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    centroids
+  }
+
+  /** Load a persisted IVF index: (inverted-list table, centroids). */
+  def readIvfIndex(
+      spark: SparkSession, path: String): (DataFrame, Array[Array[Double]]) = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("list")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    (spark.read.parquet(s"$path/lists"), centroids)
+  }
+
   /** ANN top-k via IVF: probe the `nprobe` lists nearest to the query,
     * exact cosine re-rank on their members. Same schema as
     * [[bruteForceTopK]].

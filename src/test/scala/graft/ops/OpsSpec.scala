@@ -242,6 +242,33 @@ class OpsSpec extends SparkTestBase {
     assert(indexed === direct)
   }
 
+  test("persisted IVF index: identical top-k to the in-session path, centroids round-trip") {
+    val r = new scala.util.Random(23)
+    val centers = Array.tabulate(4)(_ => Array.fill(12)(r.nextGaussian()))
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, centers(i % 4).map(x => x + r.nextGaussian() * 0.1).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val query = vecs(1)._2
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    val built = Similarity.writeIvfIndex(df, "embedding", "vec_id", k = 4, dir)
+    val (index, loaded) = Similarity.readIvfIndex(spark, dir)
+    assert(loaded.length === built.length)
+    built.zip(loaded).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    val direct = Similarity.ivfTopK(
+      Similarity.ivfIndex(df, "embedding", "vec_id", built),
+      "embedding", query, built, k = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val persisted = Similarity.ivfTopK(index, "embedding", query, loaded, k = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(persisted === direct)
+    // the probe predicate reaches the parquet scan of the lists table
+    val probePlan = index.filter(col("list").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("PushedFilters") && probePlan.contains("list"),
+      s"probe filter not pushed:\n$probePlan")
+  }
+
   test("simhash text kernel matches the token-sequence kernel exactly") {
     val texts = Seq(
       "The quick  brown\tfox",
