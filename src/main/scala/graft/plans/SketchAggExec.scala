@@ -189,7 +189,20 @@ case class SketchFinalAggExec(
     if (groupingAttributes.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(groupingAttributes) :: Nil
 
+  /** Sorted input turns finalization into a streaming run-merge: ONE
+    * group's buffers live at a time — O(sketch) memory per task
+    * regardless of group cardinality. The sort is over the PARTIAL rows
+    * (a few per group per map partition), not the raw input, so it is
+    * cheap where it matters; EnsureRequirements inserts it after the
+    * exchange.
+    */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(groupingAttributes.map(SortOrder(_, Ascending)))
+
   override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    groupingAttributes.map(SortOrder(_, Ascending))
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
@@ -210,49 +223,56 @@ case class SketchFinalAggExec(
       val resultProj = UnsafeProjection.create(
         resultExprs, groupAttrs ++ aggExprs.map(_.resultAttribute))
       val groupTypes = groupAttrs.map(_.dataType)
-
-      val map = new java.util.LinkedHashMap[UnsafeRow, Array[Any]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var bufs = map.get(key)
-        if (bufs == null) {
-          bufs = new Array[Any](funcs.length)
-          var i = 0
-          while (i < funcs.length) {
-            bufs(i) = funcs(i).deserialize(row.getBinary(nGroups + i)); i += 1
-          }
-          map.put(key.copy(), bufs)
-        } else {
-          var i = 0
-          while (i < funcs.length) {
-            bufs(i) = funcs(i).merge(
-              bufs(i), funcs(i).deserialize(row.getBinary(nGroups + i)))
-            i += 1
-          }
-        }
-      }
-      // empty global aggregate still yields the empty-sketch row (one
-      // task only: AllTuples distribution makes this the single partition)
-      if (map.isEmpty && nGroups == 0) {
-        map.put(UnsafeProjection.create(Array.empty[org.apache.spark.sql.types.DataType])
-          .apply(InternalRow.empty).copy(),
-          funcs.map(_.createAggregationBuffer(): Any))
-      }
-
       val inRow = new GenericInternalRow(nGroups + funcs.length)
-      val entries = map.entrySet().iterator()
+
       new Iterator[InternalRow] {
-        override def hasNext: Boolean = entries.hasNext
+        // the partition is empty but a GLOBAL aggregate must still emit
+        // the empty-sketch row (AllTuples -> this is the only partition)
+        private var pendingEmptyGlobal = nGroups == 0 && !iter.hasNext
+        private var lookahead: InternalRow = if (iter.hasNext) iter.next() else null
+
+        override def hasNext: Boolean = lookahead != null || pendingEmptyGlobal
+
         override def next(): InternalRow = {
-          val e = entries.next()
+          val bufs = new Array[Any](funcs.length)
+          var key: UnsafeRow = null
+          if (pendingEmptyGlobal) {
+            pendingEmptyGlobal = false
+            var i = 0
+            while (i < funcs.length) {
+              bufs(i) = funcs(i).createAggregationBuffer(); i += 1
+            }
+          } else {
+            if (lookahead == null) throw new NoSuchElementException
+            key = keyProj(lookahead).copy()
+            var i = 0
+            while (i < funcs.length) {
+              bufs(i) = funcs(i).deserialize(lookahead.getBinary(nGroups + i)); i += 1
+            }
+            lookahead = null
+            var runDone = false
+            while (!runDone && iter.hasNext) {
+              val row = iter.next()
+              if (keyProj(row) == key) {
+                var j = 0
+                while (j < funcs.length) {
+                  bufs(j) = funcs(j).merge(
+                    bufs(j), funcs(j).deserialize(row.getBinary(nGroups + j)))
+                  j += 1
+                }
+              } else {
+                lookahead = row // starts the next run
+                runDone = true
+              }
+            }
+          }
           var i = 0
           while (i < nGroups) {
-            inRow.update(i, e.getKey.get(i, groupTypes(i))); i += 1
+            inRow.update(i, key.get(i, groupTypes(i))); i += 1
           }
           i = 0
           while (i < funcs.length) {
-            inRow.update(nGroups + i, funcs(i).eval(e.getValue()(i))); i += 1
+            inRow.update(nGroups + i, funcs(i).eval(bufs(i))); i += 1
           }
           numOutputRows += 1
           resultProj(inRow)
