@@ -249,4 +249,18 @@ object functions {
     toCol(KllQuantile(toExpr(sketch), lit(q)))
   def kll_rank(sketch: Column, x: Column): Column =
     toCol(KllRank(toExpr(sketch), castDouble(x)))
+
+  // ------------------------------------------------------ dedup kernels
+
+  /** Sorted distinct XXH64 hashes of the word n-gram shingle set. */
+  def shingle_hashes(text: Column, n: Int): Column =
+    toCol(ShingleHashes(toExpr(text), n))
+  /** Kirsch-Mitzenmacher MinHash signature from a shingle-hash set. */
+  def minhash_signature(hashes: Column, k: Int): Column =
+    toCol(MinhashSignature(toExpr(hashes), k))
+  /** 64-bit SimHash over whitespace tokens. */
+  def simhash64(text: Column): Column = toCol(SimhashText(toExpr(text)))
+  /** Exact Jaccard of two sorted distinct long arrays (O(m+n)). */
+  def jaccard_sorted(a: Column, b: Column): Column =
+    toCol(JaccardSorted(toExpr(a), toExpr(b)))
 }

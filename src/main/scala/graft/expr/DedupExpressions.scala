@@ -1,0 +1,131 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Executor-side static kernels for the dedup expressions (referenced
+  * from generated Java). The String/Array kernels themselves live in
+  * [[graft.ops.Dedup]] and stay directly testable.
+  */
+object DedupKernels {
+
+  def shingleHashes(s: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(graft.ops.Dedup.shingleHashKernel(s.toString, n))
+
+  def minhashSig(hashes: ArrayData, k: Int): ArrayData =
+    new GenericArrayData(graft.ops.Dedup.minhashKernel(hashes.toLongArray(), k))
+
+  def simhash(s: UTF8String): Long =
+    graft.ops.Dedup.simhashTextKernel(s.toString)
+
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double =
+    graft.ops.Dedup.jaccardSortedKernel(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(a.toLongArray()),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(b.toLongArray()))
+}
+
+/** `shingle_hashes(text, n) -> array<long>`: sorted distinct XXH64
+  * hashes of the word n-gram shingle set — the document's dedup
+  * footprint. Native expression so the dedup pipeline's per-document
+  * pass stays inside whole-stage codegen (no encoder round-trip for
+  * the result array).
+  */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1 && n <= 64, "shingle size must be in [1, 64]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects STRING, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    DedupKernels.shingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.DedupKernels.shingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** `minhash_signature(hashes, k) -> array<long>`: Kirsch-Mitzenmacher
+  * MinHash signature (h1 + j*h2) from a shingle-hash set.
+  */
+case class MinhashSignature(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1 && k <= 4096, "signature size must be in [1, 4096]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature expects ARRAY<BIGINT>, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    DedupKernels.minhashSig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.DedupKernels.minhashSig($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** `simhash64(text) -> long`: 64-bit SimHash over whitespace tokens,
+  * single-pass tokenizer (see `Dedup.simhashTextKernel`).
+  */
+case class SimhashText(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects STRING, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    DedupKernels.simhash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.DedupKernels.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashText =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+/** `jaccard_sorted(a, b) -> double`: exact Jaccard similarity of two
+  * SORTED DISTINCT long arrays (O(m+n) merge).
+  */
+case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"jaccard_sorted expects two ARRAY<BIGINT>, got ${l.sql}, ${r.sql}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DedupKernels.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.DedupKernels.jaccardSorted($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSorted =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "jaccard_sorted"
+}

@@ -191,11 +191,10 @@ object Dedup {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
 
-    val hashesUdf = udf((t: String) => shingleHashKernel(t, shingleN))
-    val sigUdf = udf((hs: Seq[Long]) => minhashKernel(hs.toArray, k))
-
     val base = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-    val withSig = base.select(col("id"), sigUdf(hashesUdf(col("t"))).as("sig"))
+    val withSig = base.select(col("id"),
+      graft.functions.minhash_signature(
+        graft.functions.shingle_hashes(col("t"), shingleN), k).as("sig"))
 
     // band hash over the band's signature slice (builtin hash() is fine
     // for bucketing — candidate verification is exact anyway). ONLY
@@ -225,12 +224,13 @@ object Dedup {
     // exact Jaccard verification: join the (small) candidate-pair set back
     // to the hashed-shingle table — document content never rides the LSH
     // shuffle, and the verify join ships 8 bytes per distinct shingle
-    val jaccardUdf = udf((a: Seq[Long], b: Seq[Long]) => jaccardSortedKernel(a, b))
-    val withHashes = base.select(col("id"), hashesUdf(col("t")).as("hs"))
+    val withHashes = base.select(col("id"),
+      graft.functions.shingle_hashes(col("t"), shingleN).as("hs"))
     val shA = withHashes.select(col("id").as("id_a"), col("hs").as("hs_a"))
     val shB = withHashes.select(col("id").as("id_b"), col("hs").as("hs_b"))
     candidates.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("jaccard", jaccardUdf(col("hs_a"), col("hs_b")))
+      .withColumn("jaccard",
+        graft.functions.jaccard_sorted(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -284,9 +284,7 @@ object Dedup {
     simhashFold(acc)
   }
 
-  private val simhashUdf = udf((t: String) => simhashTextKernel(t))
-
-  def simhash(text: Column): Column = simhashUdf(text)
+  def simhash(text: Column): Column = graft.functions.simhash64(text)
 
   /** Near-duplicate pairs with Hamming(simhash) <= maxDist, found by
     * banding the 64-bit hash into (maxDist + 1) chunks — the pigeonhole

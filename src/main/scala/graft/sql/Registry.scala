@@ -133,7 +133,29 @@ object Registry {
     "kll_quantile" -> { args => KllQuantile(args(0), Cast(args(1), DoubleType)) },
     "kll_rank" -> { args => KllRank(args(0), Cast(args(1), DoubleType)) },
     "doc_fingerprint" -> { args => DocFingerprint(args.head) },
-    "lang_id" -> { args => LangId(args.head) })
+    "lang_id" -> { args => LangId(args.head) },
+    "shingle_hashes" -> { args =>
+      require(args.size == 2, "shingle_hashes(text, n)")
+      ShingleHashes(args(0), foldableInt(args(1), "n"))
+    },
+    "minhash_signature" -> { args =>
+      require(args.size == 2, "minhash_signature(hashes, k)")
+      MinhashSignature(args(0), foldableInt(args(1), "k"))
+    },
+    "simhash64" -> { args => SimhashText(args.head) },
+    "jaccard_sorted" -> { args =>
+      require(args.size == 2, "jaccard_sorted(a, b)")
+      JaccardSorted(args(0), args(1))
+    })
+
+  private def foldableInt(e: Expression, name: String): Int = {
+    require(e.foldable, s"$name must be a constant")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toInt
+      case other => throw new IllegalArgumentException(s"$name must be integral, got $other")
+    }
+  }
 
   /** Register all sketch functions on an existing session, plus the
     * automatic bloom join pre-filter rule (via experimental optimizations
