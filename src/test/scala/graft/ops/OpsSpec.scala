@@ -47,6 +47,12 @@ class OpsSpec extends SparkTestBase {
       val exact = sh(ta).intersect(sh(tb)).size.toDouble / sh(ta).union(sh(tb)).size
       assert(math.abs(j - exact) < 1e-6, s"pair ($a,$b)")
     }
+    // the candidate-pruned verify path (the large-corpus plan) returns
+    // the identical pair set
+    val pruned = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.7,
+      verifyOnlyCandidates = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned === pairs.toSet)
   }
 
   test("dedupMinhash one-call: keeps component-min representatives only") {
