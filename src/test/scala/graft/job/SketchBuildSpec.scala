@@ -169,6 +169,39 @@ class SketchBuildSpec extends SparkTestBase {
     assert(e.getMessage.contains("partitions"))
   }
 
+  test("real mid-run crash: job dies in batch 2, resume completes byte-identical") {
+    // a kernel that throws while building partition 4 — the resume run
+    // with batchSize=2 commits batches {0,1} and {2,3}, then CRASHES in
+    // batch {4,5}; a subsequent clean resume must skip the committed
+    // partitions and produce bytes identical to an undisturbed build
+    class CrashyHll extends PartitionSketcher {
+      private val inner = PartitionSketcher.hll()
+      def project(c: org.apache.spark.sql.Column) = inner.project(c)
+      def newBuffer(): AnyRef = inner.newBuffer()
+      def update(b: AnyRef, row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        val ctx = org.apache.spark.TaskContext.get()
+        if (ctx != null && ctx.partitionId() == 4)
+          throw new RuntimeException("injected failure")
+        inner.update(b, row)
+      }
+      def toBytes(b: AnyRef) = inner.toBytes(b)
+      def unionAgg(c: org.apache.spark.sql.Column) = inner.unionAgg(c)
+      def mergeBytes(a: Array[Byte], b: Array[Byte]) = inner.mergeBytes(a, b)
+    }
+    val clean = SketchBuild.resume(longs, col("id"), PartitionSketcher.hll(), tmp())
+    val dir = tmp()
+    val e = intercept[Exception] {
+      SketchBuild.resume(longs, col("id"), new CrashyHll, dir, batchSize = 2)
+    }
+    assert(e.getMessage != null)
+    val committed = SketchBuild.lineage(spark, dir)
+      .select("partition_id").collect().map(_.getInt(0)).toSet
+    assert(committed === Set(0, 1, 2, 3), s"committed $committed")
+    val resumed = SketchBuild.resume(longs, col("id"), PartitionSketcher.hll(), dir, batchSize = 2)
+    assert(java.util.Arrays.equals(resumed, clean),
+      "crash-resumed build must match the undisturbed build")
+  }
+
   test("null values are skipped and excluded from lineage row counts") {
     val df = spark.range(0L, 1000L, 1L, 4)
       .select(when(col("id") % 10 === 0, lit(null)).otherwise(col("id")).as("v"))

@@ -198,6 +198,40 @@ class SketchAggExecSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.sketchAgg.flushThreshold")
   }
 
+  test("randomized shapes: custom plan equals built-in across seeded configurations") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val nRows = 1000 + rnd.nextInt(9000)
+      val nGroups = 1 + rnd.nextInt(300)
+      val nullPct = rnd.nextInt(30)
+      val parts = 1 + rnd.nextInt(7)
+      val flush = 1 + rnd.nextInt(64)
+      val df = spark.range(0L, nRows, 1L, parts).select(
+        when(rand(trial) * 100 < nullPct, lit(null))
+          .otherwise(col("id") % nGroups).as("g"),
+        when(rand(trial + 100) * 100 < nullPct, lit(null))
+          .otherwise(col("id") * 7919L).as("k"))
+        .cache() // rand() is per-evaluation; freeze the data across both runs
+      df.count()
+      try {
+        spark.conf.set("spark.graft.sketchAgg.flushThreshold", flush.toString)
+        def run() = df.groupBy(col("g"))
+          .agg(hll_agg(col("k")).as("h"), cms_agg(col("k"), 0.01, 0.01).as("c"))
+          .collect()
+          .map(r => (Option(r.get(0)), r.getAs[Array[Byte]](1).toSeq,
+            r.getAs[Array[Byte]](2).toSeq))
+          .sortBy(_._1.toString)
+        val custom = run()
+        val builtin = withBuiltin(run())
+        assert(custom.toSeq === builtin.toSeq,
+          s"trial $trial: rows=$nRows groups=$nGroups nulls=$nullPct% parts=$parts flush=$flush")
+      } finally {
+        spark.conf.unset("spark.graft.sketchAgg.flushThreshold")
+        df.unpersist()
+      }
+    }
+  }
+
   test("disabled by conf: built-in plan returns") {
     withBuiltin {
       val df = groups.groupBy(col("g")).agg(hll_agg(col("k")).as("h"))
