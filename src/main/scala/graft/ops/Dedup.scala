@@ -578,4 +578,20 @@ object Dedup {
     val reps = clusterRepresentatives(pairs, df.select(col(idCol)), idCol)
     df.join(reps.filter(col(idCol) === col("representative")).select(col(idCol)), Seq(idCol))
   }
+
+  /** One-call SimHash dedup, symmetric with [[dedupMinhash]]: keep one
+    * representative (the min id) per connected component of
+    * Hamming-within-`maxDist` pairs. Same scale shape: banded candidate
+    * generation, pointer-jumping components, one semi-join back.
+    */
+  def dedupSimhash(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val pairs = simhashPairs(df.select(col(idCol), col(textCol)), textCol, idCol,
+      maxDist = maxDist).select(col("id_a"), col("id_b"))
+    val reps = clusterRepresentatives(pairs, df.select(col(idCol)), idCol)
+    df.join(reps.filter(col(idCol) === col("representative")).select(col(idCol)), Seq(idCol))
+  }
 }

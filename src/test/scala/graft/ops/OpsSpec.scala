@@ -72,6 +72,16 @@ class OpsSpec extends SparkTestBase {
     assert(deduped.count() === corpus.count() - 5 - 1)
   }
 
+  test("dedupSimhash one-call: exact duplicates collapse to the min-id representative") {
+    val deduped = Dedup.dedupSimhash(docs, "text", "doc_id", maxDist = 0)
+    val keptIds = deduped.select("doc_id").as[Long].collect().toSet
+    // the exact pair (2000, 2001) has identical simhash: 2001 dropped
+    assert(keptIds.contains(2000L) && !keptIds.contains(2001L))
+    assert(deduped.columns.toSeq === docs.columns.toSeq)
+    // at maxDist=0 only hash-identical docs collapse
+    assert(deduped.count() < docs.count())
+  }
+
   test("cluster representatives: transitive groups, singletons, convergence") {
     // chain 1-2, 2-3 (transitive), separate pair 10-11, singletons 20, 21
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
