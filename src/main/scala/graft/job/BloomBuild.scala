@@ -2,7 +2,7 @@ package graft.job
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
