@@ -16,8 +16,26 @@ object DedupKernels {
   def shingleHashes(s: UTF8String, n: Int): ArrayData =
     new GenericArrayData(graft.ops.Dedup.shingleHashKernel(s.toString, n))
 
+  /** `ArrayData.toLongArray` silently reads null slots as 0 — reject
+    * them loudly instead of treating null as shingle-hash 0. Called only
+    * when the input type admits nulls (`containsNull`), so the
+    * shingle_hashes-produced hot path never pays the scan. */
+  def requireNoNulls(a: ArrayData, fn: String): ArrayData = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(s"$fn: array element $i is NULL")
+      i += 1
+    }
+    a
+  }
+
   def minhashSig(hashes: ArrayData, k: Int): ArrayData =
     new GenericArrayData(graft.ops.Dedup.minhashKernel(hashes.toLongArray(), k))
+
+  def minhashSigChecked(hashes: ArrayData, k: Int): ArrayData =
+    minhashSig(requireNoNulls(hashes, "minhash_signature"), k)
 
   def simhash(s: UTF8String): Long =
     graft.ops.Dedup.simhashTextKernel(s.toString)
@@ -26,6 +44,10 @@ object DedupKernels {
     graft.ops.Dedup.jaccardSortedKernel(
       scala.collection.immutable.ArraySeq.unsafeWrapArray(a.toLongArray()),
       scala.collection.immutable.ArraySeq.unsafeWrapArray(b.toLongArray()))
+
+  def jaccardSortedChecked(a: ArrayData, b: ArrayData): Double =
+    jaccardSorted(requireNoNulls(a, "jaccard_sorted"),
+      requireNoNulls(b, "jaccard_sorted"))
 }
 
 /** `shingle_hashes(text, n) -> array<long>`: sorted distinct XXH64
@@ -69,11 +91,18 @@ case class MinhashSignature(child: Expression, k: Int) extends UnaryExpression {
       s"minhash_signature expects ARRAY<BIGINT>, got ${other.sql}")
   }
 
-  override protected def nullSafeEval(input: Any): Any =
-    DedupKernels.minhashSig(input.asInstanceOf[ArrayData], k)
+  private lazy val mayHaveNullElements =
+    child.dataType.asInstanceOf[ArrayType].containsNull
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expr.DedupKernels.minhashSig($c, $k)")
+  override protected def nullSafeEval(input: Any): Any =
+    if (mayHaveNullElements)
+      DedupKernels.minhashSigChecked(input.asInstanceOf[ArrayData], k)
+    else DedupKernels.minhashSig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (mayHaveNullElements) "minhashSigChecked" else "minhashSig"
+    defineCodeGen(ctx, ev, c => s"graft.expr.DedupKernels.$fn($c, $k)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
     copy(child = newChild)
@@ -118,11 +147,21 @@ case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpr
         s"jaccard_sorted expects two ARRAY<BIGINT>, got ${l.sql}, ${r.sql}")
     }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    DedupKernels.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  private lazy val mayHaveNullElements =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.DedupKernels.jaccardSorted($a, $b)")
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (mayHaveNullElements)
+      DedupKernels.jaccardSortedChecked(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else DedupKernels.jaccardSorted(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (mayHaveNullElements) "jaccardSortedChecked" else "jaccardSorted"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.DedupKernels.$fn($a, $b)")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaccardSorted =

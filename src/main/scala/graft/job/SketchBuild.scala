@@ -238,25 +238,33 @@ object SketchBuild {
         .agg(sketcher.unionAgg(col("filter")))
         .head().getAs[Array[Byte]](0)
     else {
+      // persisted: the partials are read ONCE from parquet (the max-pid
+      // action and the tree shuffle both hit the cache — at the 10^5-
+      // partial scale this mode exists for, a second full scan of
+      // O(partitions x sketch) bytes would double the merge's IO)
       val pairs = lineage(spark, checkpointDir)
         .dropDuplicates("partition_id")
         .select(col("partition_id"), col("filter"))
         .rdd.map(r => (r.getInt(0), r.getAs[Array[Byte]](1)))
-      val nParts = pairs.keys.max() + 1
-      val partitioner = new org.apache.spark.Partitioner {
-        override def numPartitions: Int = groups
-        override def getPartition(key: Any): Int =
-          (key.asInstanceOf[Int].toLong * groups / nParts).toInt
-      }
-      val groupResults = pairs
-        .repartitionAndSortWithinPartitions(partitioner)
-        .mapPartitionsWithIndex { (g, it) =>
-          it.map(_._2).reduceOption(sketcher.mergeBytes)
-            .map(b => Iterator.single((g, b))).getOrElse(Iterator.empty)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val maxPid = pairs.map(_._1).fold(-1)(math.max)
+        require(maxPid >= 0, s"no checkpointed partials under $checkpointDir")
+        val nParts = maxPid + 1
+        val partitioner = new org.apache.spark.Partitioner {
+          override def numPartitions: Int = groups
+          override def getPartition(key: Any): Int =
+            (key.asInstanceOf[Int].toLong * groups / nParts).toInt
         }
-        .collect().sortBy(_._1).map(_._2)
-      require(groupResults.nonEmpty, s"no checkpointed partials under $checkpointDir")
-      sketcher.finalizeBytes(groupResults.reduce(sketcher.mergeBytes))
+        val groupResults = pairs
+          .repartitionAndSortWithinPartitions(partitioner)
+          .mapPartitionsWithIndex { (g, it) =>
+            it.map(_._2).reduceOption(sketcher.mergeBytes)
+              .map(b => Iterator.single((g, b))).getOrElse(Iterator.empty)
+          }
+          .collect().sortBy(_._1).map(_._2)
+        sketcher.finalizeBytes(groupResults.reduce(sketcher.mergeBytes))
+      } finally pairs.unpersist(blocking = false)
     }
   }
 

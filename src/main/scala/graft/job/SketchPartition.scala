@@ -95,8 +95,11 @@ object SketchPartition {
   }
 
   /** Bucket index of `value` under `cuts` (driver-side mirror of the
-    * codegen'd bucket expression). */
+    * codegen'd bucket expression, including Spark SQL's NaN ordering:
+    * NaN compares greater than every value, so NaN rows land in the
+    * last bucket — Java's `NaN > c` is false and would say bucket 0). */
   def bucketOf(cuts: Array[Double], value: Double): Int = {
+    if (value.isNaN) return cuts.length
     var b = 0
     while (b < cuts.length && value > cuts(b)) b += 1
     b

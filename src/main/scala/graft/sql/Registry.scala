@@ -132,8 +132,14 @@ object Registry {
     },
     "kll_quantile" -> { args => KllQuantile(args(0), Cast(args(1), DoubleType)) },
     "kll_rank" -> { args => KllRank(args(0), Cast(args(1), DoubleType)) },
-    "doc_fingerprint" -> { args => DocFingerprint(args.head) },
-    "lang_id" -> { args => LangId(args.head) },
+    "doc_fingerprint" -> { args =>
+      require(args.size == 1, "doc_fingerprint(text)")
+      DocFingerprint(args.head)
+    },
+    "lang_id" -> { args =>
+      require(args.size == 1, "lang_id(text)")
+      LangId(args.head)
+    },
     "shingle_hashes" -> { args =>
       require(args.size == 2, "shingle_hashes(text, n)")
       ShingleHashes(args(0), foldableInt(args(1), "n"))
@@ -142,7 +148,10 @@ object Registry {
       require(args.size == 2, "minhash_signature(hashes, k)")
       MinhashSignature(args(0), foldableInt(args(1), "k"))
     },
-    "simhash64" -> { args => SimhashText(args.head) },
+    "simhash64" -> { args =>
+      require(args.size == 1, "simhash64(text)")
+      SimhashText(args.head)
+    },
     "jaccard_sorted" -> { args =>
       require(args.size == 2, "jaccard_sorted(a, b)")
       JaccardSorted(args(0), args(1))

@@ -76,12 +76,20 @@ object StreamingSketches {
       compression: Double = 200.0): DataFrame = {
     require(quantiles.nonEmpty && quantiles.forall(q => q >= 0 && q <= 1),
       "quantiles must be in [0, 1]")
+    // decimal-exact labels: q50, q99, q99_5 — (q*100).round would
+    // collapse 0.995 and 0.999 into one ambiguous "q100" column
+    def label(q: Double): String = "q" + java.math.BigDecimal.valueOf(q)
+      .multiply(new java.math.BigDecimal(100))
+      .stripTrailingZeros().toPlainString.replace('.', '_')
+    val labels = quantiles.map(label)
+    require(labels.distinct.size == labels.size,
+      s"duplicate quantile labels: ${labels.mkString(", ")}")
     val agg = events
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowDuration))
       .agg(tdigest_agg(col(valueCol), compression).as("digest"))
-    val qCols = quantiles.map(q =>
-      tdigest_quantile(col("digest"), q).as(s"q${(q * 100).round}"))
+    val qCols = quantiles.zip(labels).map { case (q, l) =>
+      tdigest_quantile(col("digest"), q).as(l) }
     agg.select(
       col("window.start").as("window_start") +:
         col("window.end").as("window_end") +:

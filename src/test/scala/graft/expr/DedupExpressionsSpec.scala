@@ -59,4 +59,19 @@ class DedupExpressionsSpec extends SparkTestBase {
         graft.functions.shingle_hashes(col("t"), 3)).head()
     assert(n.isNullAt(0) && n.isNullAt(1))
   }
+
+  test("null ARRAY ELEMENTS are rejected loudly, not read as hash 0") {
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT minhash_signature(array(1L, CAST(NULL AS BIGINT)), 8)").collect()
+    }
+    assert(e.getMessage.contains("NULL") || e.getCause != null &&
+      e.getCause.getMessage.contains("NULL"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(
+        "SELECT jaccard_sorted(array(CAST(NULL AS BIGINT)), array(0L))").collect()
+    }
+    assert(e2.getMessage.contains("NULL") || e2.getCause != null &&
+      e2.getCause.getMessage.contains("NULL"), e2.getMessage)
+  }
 }

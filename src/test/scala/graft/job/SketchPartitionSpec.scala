@@ -66,12 +66,18 @@ class SketchPartitionSpec extends SparkTestBase {
       s"no partition filter in:\n$planStr")
   }
 
-  test("bucketOf mirrors the codegen'd bucket column") {
+  test("bucketOf mirrors the codegen'd bucket column, including NaN ordering") {
     val df = (0 until 5000).map(i => (i * 13 % 997).toDouble).toDF("v")
     val cuts = SketchPartition.rangeCuts(df, col("v"), 8)
     SketchPartition.withRangeBucket(df, col("v"), cuts).collect().foreach { r =>
       assert(r.getInt(1) === SketchPartition.bucketOf(cuts, r.getDouble(0)))
     }
+    // Spark SQL orders NaN above every value; the driver mirror must agree
+    val nanRow = Seq(Double.NaN).toDF("v").repartition(1)
+    val sqlBucket = SketchPartition.withRangeBucket(nanRow, col("v"), cuts)
+      .head().getInt(1)
+    assert(SketchPartition.bucketOf(cuts, Double.NaN) === sqlBucket,
+      s"driver ${SketchPartition.bucketOf(cuts, Double.NaN)} vs SQL $sqlBucket")
   }
 
   test("repartitionBalanced yields buckets-many partitions with ranges intact") {
