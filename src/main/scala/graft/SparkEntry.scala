@@ -830,6 +830,55 @@ object SparkEntry {
           sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // The SQL surface end-to-end under the oracle gate: every step —
+    // grouped sketch builds (planned by SketchAggStrategy), union
+    // aggregates, estimates, probes — written as SQL text against
+    // registered function names, never the Scala API. Exact distincts
+    // and counts are the cross-engine oracle; sketch checks ride as
+    // Spark-verified booleans.
+    "sql_surface" -> { (s, dir) =>
+      graft.sql.Registry.register(s)
+      table(s, dir, "orders").createOrReplaceTempView("sqlsurf_orders")
+      // bloom_agg's capacity must be a constant: size it from the data
+      // (hardcoded capacities saturate at bigger sf — round-3 lesson)
+      val cap = s.sql(
+        """SELECT max(cnt) FROM (SELECT count(DISTINCT o_custkey) AS cnt
+          |FROM sqlsurf_orders GROUP BY o_orderpriority)""".stripMargin)
+        .head().getLong(0)
+      s.sql(
+        s"""WITH per_group AS (
+          |  SELECT o_orderpriority,
+          |         count(DISTINCT o_custkey) AS exact_distinct,
+          |         hll_estimate(hll_agg(o_custkey)) AS est,
+          |         bloom_agg(o_custkey, $cap, 0.01) AS bf,
+          |         tdigest_quantile(tdigest_agg(o_totalprice), 0.5) AS med
+          |  FROM sqlsurf_orders GROUP BY o_orderpriority
+          |),
+          |probe AS (
+          |  SELECT g.o_orderpriority,
+          |         count(*) AS n_rows,
+          |         sum(CASE WHEN bloom_contains(g.bf, o.o_custkey) THEN 1 ELSE 0 END) AS n_pass
+          |  FROM sqlsurf_orders o JOIN per_group g USING (o_orderpriority)
+          |  GROUP BY g.o_orderpriority
+          |),
+          |ranks AS (
+          |  SELECT g.o_orderpriority,
+          |         sum(CASE WHEN o.o_totalprice <= g.med THEN 1 ELSE 0 END) / count(*) AS med_rank
+          |  FROM sqlsurf_orders o JOIN per_group g USING (o_orderpriority)
+          |  GROUP BY g.o_orderpriority
+          |)
+          |SELECT g.o_orderpriority,
+          |       g.exact_distinct,
+          |       p.n_rows,
+          |       abs(g.est - g.exact_distinct) <= greatest(3 * 0.0082 * g.exact_distinct, 2.0)
+          |         AS hll_within_bound,
+          |       p.n_pass = p.n_rows AS bloom_zero_fn,
+          |       r.med_rank BETWEEN 0.47 AND 0.53 AS median_rank_ok
+          |FROM per_group g JOIN probe p USING (o_orderpriority)
+          |JOIN ranks r USING (o_orderpriority)
+          |ORDER BY g.o_orderpriority""".stripMargin)
     })
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1069,5 +1118,14 @@ object SparkEntry {
         |CAST(sum(round(l_extendedprice * 100)) AS BIGINT) AS sum_price_cents,
         |count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "sql_surface" ->
+      """SELECT o_orderpriority,
+        |count(DISTINCT o_custkey) AS exact_distinct,
+        |count(*) AS n_rows,
+        |CAST(1 AS BOOLEAN) AS hll_within_bound,
+        |CAST(1 AS BOOLEAN) AS bloom_zero_fn,
+        |CAST(1 AS BOOLEAN) AS median_rank_ok
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
 }
