@@ -198,6 +198,22 @@ class SketchAggExecSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.sketchAgg.flushThreshold")
   }
 
+  test("grouping sets (rollup) plan through the custom exec and match built-in") {
+    val df = spark.range(0L, 10000L, 1L, 4).select(
+      (col("id") % 5).as("a"), (col("id") % 3).as("b"), col("id").as("k"))
+    def run() = df.rollup(col("a"), col("b"))
+      .agg(hll_agg(col("k")).as("h"))
+      .collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), r.getAs[Array[Byte]](2).toSeq))
+      .sortBy(_.toString)
+    val custom = run()
+    assert(custom.length === 5 * 3 + 5 + 1)
+    assert(collectPhysical(df.rollup(col("a"), col("b")).agg(hll_agg(col("k"))))
+      .exists(_.isInstanceOf[SketchFinalAggExec]))
+    val builtin = withBuiltin(run())
+    assert(custom.toSeq === builtin.toSeq)
+  }
+
   test("randomized shapes: custom plan equals built-in across seeded configurations") {
     val rnd = new scala.util.Random(42)
     (1 to 5).foreach { trial =>
