@@ -60,4 +60,30 @@ class TypedSketchesSpec extends SparkTestBase {
       ds.select(TypedSketches.hllOfString[File](_.sha).toColumn).head()).estimate
     assert(math.abs(est - 3000).toDouble / 3000 <= 3 * 0.0082 + 0.01, s"est=$est")
   }
+
+  test("typed t-digest, KLL, and Misra-Gries aggregators within bounds") {
+    val ds = files.toDS()
+    val td = graft.core.TDigest.fromBytes(
+      ds.select(TypedSketches.tdigestOf[File](_.size.toDouble).toColumn).head())
+    assert(td.count === 3000.0)
+    assert(math.abs(td.quantile(0.5) - 1500.0) <= 60.0)
+
+    val kll = graft.core.Kll.fromBytes(
+      ds.select(TypedSketches.kllOf[File](_.size.toDouble).toColumn).head())
+    assert(kll.count === 3000L)
+    assert(math.abs(kll.rank(kll.quantile(0.5)) - 0.5) <= kll.epsilon + 1e-9)
+
+    // repo0..repo3 each appear 750x; k=8 > 4 distinct -> counts EXACT
+    val mg = graft.core.MisraGries.fromBytes(
+      ds.select(TypedSketches.misraGriesOf[File](_.repo, 8).toColumn).head())
+    (0 until 4).foreach { r =>
+      val (lo, hi) = mg.bounds(s"repo$r")
+      assert(lo === 750L && hi === 750L, s"repo$r ($lo,$hi)")
+    }
+    // null keys skipped
+    val withNull = (files.take(50) :+ File(null, "x", 0L)).toDS()
+    val mgN = graft.core.MisraGries.fromBytes(
+      withNull.select(TypedSketches.misraGriesOf[File](_.repo, 8).toColumn).head())
+    assert(mgN.itemCount === 50L)
+  }
 }
