@@ -44,6 +44,11 @@ class SketchAggExecSpec extends SparkTestBase {
     assert(plan.exists(_.isInstanceOf[SketchFinalAggExec]))
     assert(plan.exists(_.isInstanceOf[SketchPartialAggExec]))
     assert(!plan.exists(_.isInstanceOf[ObjectHashAggregateExec]))
+    // exactly ONE exchange: partials aggregate map-side, only serialized
+    // sketches cross the wire
+    val exchanges = plan.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(exchanges === 1, s"expected 1 exchange, got $exchanges")
   }
 
   test("grouped results byte-identical to the built-in path (hll + bloom + cms)") {
