@@ -847,14 +847,26 @@ object SparkEntry {
         """SELECT max(cnt) FROM (SELECT count(DISTINCT o_custkey) AS cnt
           |FROM sqlsurf_orders GROUP BY o_orderpriority)""".stripMargin)
         .head().getLong(0)
+      // the sketch builds live in their OWN all-sketch aggregate so
+      // SketchAggStrategy plans it (mixed builtin+sketch aggregates make
+      // the strategy bail to ObjectHashAggregate — the exact distinct
+      // joins in from a separate scan); SketchAggExecSpec pins the
+      // GraftSketchAgg plan shape of this exact query
       s.sql(
-        s"""WITH per_group AS (
+        s"""WITH sketches AS (
           |  SELECT o_orderpriority,
-          |         count(DISTINCT o_custkey) AS exact_distinct,
           |         hll_estimate(hll_agg(o_custkey)) AS est,
           |         bloom_agg(o_custkey, $cap, 0.01) AS bf,
           |         tdigest_quantile(tdigest_agg(o_totalprice), 0.5) AS med
           |  FROM sqlsurf_orders GROUP BY o_orderpriority
+          |),
+          |exacts AS (
+          |  SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_distinct
+          |  FROM sqlsurf_orders GROUP BY o_orderpriority
+          |),
+          |per_group AS (
+          |  SELECT s.o_orderpriority, e.exact_distinct, s.est, s.bf, s.med
+          |  FROM sketches s JOIN exacts e USING (o_orderpriority)
           |),
           |probe AS (
           |  SELECT g.o_orderpriority,

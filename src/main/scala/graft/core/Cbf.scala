@@ -159,12 +159,24 @@ final class Cbf private[core] (
     * (>= 2^31 cumulative weight) its value is a clamp, not a sum: counts
     * become approximate-but-positive and may differ slightly by merge
     * order — the deliberate trade against silent wraparound, which would
-    * flip the cell negative and produce false negatives. Returns this.
+    * flip the cell negative and produce false negatives.
+    *
+    * The positive rail is ABSORBING across merges: a pinned
+    * (Int.MaxValue) cell in EITHER input pins the result. Without this,
+    * merging a pinned cell into a locally NEGATIVE cell would compute
+    * MaxValue + negative and un-pin it — violating the documented
+    * invariant `cell >= min(true sum, Int.MaxValue)` when one partition
+    * drove the cell past the rail while another went net-negative
+    * (cross-filter sticky-rail property test pins this). Returns this.
     */
   def addInPlace(other: Cbf): Cbf = {
     requireCompatible(other)
     var i = 0
-    while (i < cells.length) { satAdd(i, other.cells(i)); i += 1 }
+    while (i < cells.length) {
+      if (other.cells(i) == Int.MaxValue) cells(i) = Int.MaxValue
+      else satAdd(i, other.cells(i))
+      i += 1
+    }
     this
   }
 

@@ -54,8 +54,33 @@ object SketchPartition {
     df.withColumn(bucketCol, bucket)
   }
 
+  /** Shuffle `df` so partition i holds EXACTLY the rows whose `bucketCol`
+    * value is i — an explicit IDENTITY partitioner over the bucket ids,
+    * never `repartition(n, col)`'s murmur3 hashing (hash collisions put
+    * several buckets in one partition and leave others empty, defeating
+    * the balance the cuts bought). InternalRow path: no Row-codec round
+    * trip; rows are copied before the shuffle buffer (UnsafeRow reuse).
+    */
+  def partitionByBucket(df: DataFrame, buckets: Int, bucketCol: String = "bucket"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val idx = schema.fieldIndex(bucketCol)
+    val partitioner = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = buckets
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }
+    val partitioned = df.queryExecution.toRdd
+      .mapPartitions(_.map(r => (r.getInt(idx), r.copy())))
+      .partitionBy(partitioner)
+      .mapPartitions(_.map(_._2), preservesPartitioning = true)
+    org.apache.spark.sql.GraftBridge.internalCreateDataFrame(spark, partitioned, schema)
+  }
+
   /** One-call: compute cuts and repartition into `buckets` balanced
     * range partitions (rows of bucket i all precede bucket i+1's range).
+    * Partition i IS bucket i (identity partitioner — see
+    * [[partitionByBucket]]), so partition sizes inherit the t-digest
+    * balance guarantee directly.
     */
   def repartitionBalanced(
       df: DataFrame,
@@ -63,8 +88,7 @@ object SketchPartition {
       buckets: Int,
       compression: Double = 200.0): DataFrame = {
     val cuts = rangeCuts(df, valueCol, buckets, compression)
-    withRangeBucket(df, valueCol, cuts)
-      .repartition(buckets, col("bucket"))
+    partitionByBucket(withRangeBucket(df, valueCol, cuts), buckets)
   }
 
   /** Write `df` as a bucket-directory-partitioned parquet table, rows
@@ -87,8 +111,7 @@ object SketchPartition {
       bucketCol: String = "bucket",
       compression: Double = 200.0): Array[Double] = {
     val cuts = rangeCuts(df, valueCol, buckets, compression)
-    withRangeBucket(df, valueCol, cuts, bucketCol)
-      .repartition(buckets, col(bucketCol))
+    partitionByBucket(withRangeBucket(df, valueCol, cuts, bucketCol), buckets, bucketCol)
       .sortWithinPartitions(valueCol)
       .write.partitionBy(bucketCol).parquet(path)
     cuts

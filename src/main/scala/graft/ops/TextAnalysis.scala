@@ -114,7 +114,10 @@ object TextAnalysis {
     * small appends/prepends elsewhere in the document, deterministic.
     */
   def fingerprintKernel(text: String): Long = {
-    if (text == null || text.length < 16) {
+    // short-text guard counts CODE POINTS, matching TextKernels.fingerprint's
+    // UTF8String.numChars — a String.length (UTF-16 unit) guard diverges on
+    // supplementary-plane text (>= 16 UTF-16 units but < 16 code points)
+    if (text == null || text.codePointCount(0, text.length) < 16) {
       return if (text == null) 0L else Hashing.hashString(text)
     }
     val bytes = text.getBytes("UTF-8")

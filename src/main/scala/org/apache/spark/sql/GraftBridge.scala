@@ -28,4 +28,15 @@ object GraftBridge {
       rdd: org.apache.spark.rdd.RDD[T])(
       f: Iterator[T] => Iterator[U]): org.apache.spark.rdd.RDD[U] =
     rdd.mapPartitionsInternal(f, preservesPartitioning = true)
+
+  /** `SparkSession.internalCreateDataFrame` is `private[sql]`; operators
+    * that reshape an InternalRow RDD (e.g. an explicit identity
+    * partitioner) need it to come back to a DataFrame without a
+    * Row-codec round trip.
+    */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }

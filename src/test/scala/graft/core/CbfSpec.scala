@@ -50,6 +50,34 @@ class CbfSpec extends AnyFunSuite {
     assert(a.contains(7L))
   }
 
+  test("positive rail is absorbing ACROSS filters: pinned cell in either input pins the merge") {
+    // one partition drives the cell past the rail, another goes net
+    // NEGATIVE on the same key — distributed cbf_agg_weighted can emit
+    // exactly these partials. The true sum exceeds Int.MaxValue, so the
+    // invariant cell >= min(true sum, Int.MaxValue) requires the merged
+    // cell to stay pinned, whichever side the merge is called on.
+    def pinned(): Cbf = {
+      val f = Cbf.empty(100, 0.01)
+      f.add(11L, Int.MaxValue); f.add(11L, Int.MaxValue) // pinned at the rail
+      f
+    }
+    def negative(): Cbf = {
+      val f = Cbf.empty(100, 0.01)
+      f.add(11L, -100000)
+      f
+    }
+    val ab = pinned().addInPlace(negative()) // pinned receiver (sticky satAdd)
+    val ba = negative().addInPlace(pinned()) // pinned in OTHER (absorbing rule)
+    assert(ab.contains(11L) && ab.count(11L) === Int.MaxValue.toLong)
+    assert(ba.contains(11L) && ba.count(11L) === Int.MaxValue.toLong,
+      "merging a pinned partial into a negative cell must not un-pin it")
+    assert(ab === ba, "merge with pinned cells commutes")
+    // and the pin survives a further merge chain in either order
+    val chain1 = ab.copy().addInPlace(negative())
+    val chain2 = negative().addInPlace(ab)
+    assert(chain1 === chain2 && chain1.count(11L) === Int.MaxValue.toLong)
+  }
+
   test("deleted-key FPR stays near the SBBF target") {
     val f = Cbf.empty(20000, 0.01)
     (0L until 20000L).foreach(k => f.add(k, 1))

@@ -55,6 +55,27 @@ class TextExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("astral (supplementary-plane) text: both kernels guard on code points") {
+    // U+1D54F is one code point, TWO UTF-16 units, FOUR UTF-8 bytes: a
+    // UTF-16-length guard would window these while numChars hashes whole
+    val astral = Seq(
+      "𝕏" * 10, // 10 code points, 20 UTF-16 units, 40 bytes
+      "𝕏" * 15, // 15 code points — still under the window size
+      "𝕏" * 16, // exactly at the window size: must window
+      "𝕏" * 20,
+      ("𝕏" * 8) + "plain tail text here")
+    val rows = astral.toDF("t").repartition(2)
+      .select(col("t"), TextAnalysis.doc_fingerprint(col("t")).as("fp")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === TextAnalysis.fingerprintKernel(r.getString(0)),
+        s"kernel divergence for ${r.getString(0).codePointCount(0, r.getString(0).length)} code points")
+    }
+    // the <16-code-point cases hash the WHOLE text (no windowing): equal
+    // to the direct whole-string hash
+    assert(TextAnalysis.fingerprintKernel("𝕏" * 10) ===
+      graft.core.Hashing.hashString("𝕏" * 10))
+  }
+
   test("NULL text yields NULL (SQL semantics)") {
     val r = Seq[String](null).toDF("t")
       .select(TextAnalysis.doc_fingerprint(col("t")), TextAnalysis.lang_id(col("t")))

@@ -94,4 +94,58 @@ class SketchPartitionSpec extends SparkTestBase {
       case _ =>
     }
   }
+
+  test("repartitionBalanced: partition i IS bucket i, and PARTITION sizes are balanced") {
+    // the feature's stated purpose: hash-on-bucket (murmur3) collides
+    // bucket ids into shared partitions and leaves others empty — the
+    // identity partitioner must place every bucket in its own partition
+    val buckets = 16
+    val df = (0 until 48000).map(i => math.exp((i % 9973).toDouble / 1200.0)).toDF("v")
+      .repartition(8)
+    val parts = SketchPartition.repartitionBalanced(df, col("v"), buckets)
+    assert(parts.rdd.getNumPartitions === buckets)
+    val perPartition = parts.rdd
+      .mapPartitionsWithIndex { (p, it) =>
+        var n = 0L
+        val bucketIds = scala.collection.mutable.Set[Int]()
+        it.foreach { r => n += 1; bucketIds += r.getInt(1) }
+        Iterator.single((p, n, bucketIds.toSet))
+      }
+      .collect().sortBy(_._1)
+    // identity: partition p contains only bucket p (empty partitions allowed
+    // in principle, but balance forbids them below)
+    perPartition.foreach { case (p, _, ids) =>
+      assert(ids.subsetOf(Set(p)), s"partition $p holds buckets $ids")
+    }
+    // PARTITION-size balance (not just bucket-size balance upstream)
+    val ideal = 48000.0 / buckets
+    perPartition.foreach { case (p, n, _) =>
+      assert(math.abs(n - ideal) <= 0.25 * ideal,
+        s"partition $p has $n rows vs ideal $ideal")
+    }
+  }
+
+  test("writeRangePartitioned write tasks inherit the identity partitioning (one bucket per task)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rpb").toString + "/t"
+    val buckets = 8
+    val df = (0 until 16000).map(i => ((i * 40503L) % 65536).toDouble).toDF("v")
+      .repartition(4)
+    SketchPartition.writeRangePartitioned(df, col("v"), buckets, dir)
+    val table = spark.read.parquet(dir)
+    assert(table.count() === 16000)
+    // identity partitioning means each bucket directory was written by
+    // exactly one task -> one file per bucket directory
+    val byBucket = table.withColumn("f", input_file_name())
+      .groupBy(col("bucket"))
+      .agg(countDistinct(col("f")).as("files"), count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0).toString.toInt, r.getLong(1), r.getLong(2)))
+    assert(byBucket.length === buckets)
+    byBucket.foreach { case (b, files, _) =>
+      assert(files === 1L, s"bucket $b written by $files tasks")
+    }
+    val ideal = 16000.0 / buckets
+    byBucket.foreach { case (b, _, n) =>
+      assert(math.abs(n - ideal) <= 0.25 * ideal, s"bucket $b has $n rows")
+    }
+  }
 }

@@ -253,6 +253,17 @@ class SketchAggExecSpec extends SparkTestBase {
     }
   }
 
+  test("sql_surface harness query's sketch CTE is planned by SketchAggStrategy") {
+    // the harness query splits its exact count(DISTINCT) into a separate
+    // scan precisely so the all-sketch aggregate plans through the custom
+    // exec end-to-end via SQL — pin that shape here
+    val df = graft.SparkEntry.queries("sql_surface")(spark, "/root/testdata/sf0.001")
+    val plan = collectPhysical(df)
+    assert(plan.exists(_.isInstanceOf[SketchFinalAggExec]),
+      "sql_surface's sketch aggregate no longer plans through SketchAggStrategy")
+    assert(plan.exists(_.isInstanceOf[SketchPartialAggExec]))
+  }
+
   test("disabled by conf: built-in plan returns") {
     withBuiltin {
       val df = groups.groupBy(col("g")).agg(hll_agg(col("k")).as("h"))
