@@ -263,4 +263,18 @@ object functions {
   /** Exact Jaccard of two sorted distinct long arrays (O(m+n)). */
   def jaccard_sorted(a: Column, b: Column): Column =
     toCol(JaccardSorted(toExpr(a), toExpr(b)))
+
+  // ------------------------------------------------------ vector kernels
+
+  /** `nPlanes`-bit random-hyperplane LSH signature of an ARRAY<DOUBLE>. */
+  def lsh_signature(vec: Column, nPlanes: Int): Column =
+    toCol(LshSignature(toExpr(vec), nPlanes))
+  /** One independent `bits`-bit signature per LSH table. */
+  def lsh_table_signatures(vec: Column, tables: Int, bits: Int): Column =
+    toCol(LshTableSignatures(toExpr(vec), tables, bits))
+  /** Index of the nearest centroid by squared L2 (IVF assignment). */
+  def vec_nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    toCol(NearestCentroid(toExpr(vec), centroids))
+  /** The abloom 64-bit finalizer mix over a BIGINT column. */
+  def mix64(x: Column): Column = toCol(Mix64(toExpr(x)))
 }

@@ -34,6 +34,21 @@ object SparkEntry {
     df.select(abloom_key_hash(col(key)).as("__kh"))
       .agg(bloom_agg_hashed(col("__kh"), cap, fp)).head().getAs[Array[Byte]](0)
 
+  /** Above this size, a literal filter costs a measured 14-30x per-task
+    * deserialize+parse tax (CLAUDE.md round-1 lesson) — broadcast instead.
+    */
+  private[graft] val FilterLitMaxBytes: Int = 1 << 20
+
+  /** Size-gated membership probe: ship the serialized filter as a plan
+    * literal below [[FilterLitMaxBytes]] (cheap, no broadcast round),
+    * as a torrent broadcast above it (bytes ship once per executor, not
+    * inside every task binary). Filters here are sized from data counts,
+    * so at sf >= 10 the probes cross the line automatically.
+    */
+  private[graft] def probeFilter(s: SparkSession, bytes: Array[Byte], key: Column): Column =
+    if (bytes.length <= FilterLitMaxBytes) bloom_contains(lit(bytes), key)
+    else bloom_contains(s.sparkContext.broadcast(bytes), key)
+
   /** Deterministic CLUSTERED vectors derived from the embeddings table
     * (label-seeded center + the real embedding as noise) — the workload
     * shape ANN indexes exist for; the raw table is uniform random, the
@@ -42,13 +57,14 @@ object SparkEntry {
     * Fully distributed: a column expression, no driver collect.
     */
   private def clusteredEmbeddings(s: SparkSession, dir: String): DataFrame = {
-    val clusterUdf = udf((e: Seq[Float], l: Int) =>
-      e.zipWithIndex.map { case (x, d) =>
-        val h = graft.core.Hashing.mix64((l.toLong << 32) ^ d.toLong)
-        h.toDouble / Long.MaxValue.toDouble + 0.3 * x
-      })
+    // (label-seeded center + 0.3 x noise) per dimension, fully codegen:
+    // mix64 is a native expression, the per-dim loop a builtin transform
+    val clustered = transform(col("embedding"), (x, d) =>
+      mix64(shiftleft(col("label").cast("long"), 32).bitwiseXOR(d.cast("long")))
+        .cast("double") / lit(Long.MaxValue.toDouble) +
+        lit(0.3) * x.cast("double"))
     table(s, dir, "embeddings")
-      .select(col("vec_id"), clusterUdf(col("embedding"), col("label")).as("embedding"))
+      .select(col("vec_id"), clustered.as("embedding"))
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -69,7 +85,7 @@ object SparkEntry {
       val filter = buildFilter(orders, "o_orderkey", orders.count().max(1), 0.01)
       val lineitem = table(s, dir, "lineitem")
       lineitem
-        .filter(bloom_contains(lit(filter), col("l_orderkey")))
+        .filter(probeFilter(s, filter, col("l_orderkey")))
         .join(orders.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_semi")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
@@ -122,7 +138,7 @@ object SparkEntry {
       val orders = table(s, dir, "orders")
       val filter = buildFilter(orders, "o_custkey", orders.count().max(1), 0.01)
       orders
-        .filter(bloom_contains(lit(filter), col("o_custkey")))
+        .filter(probeFilter(s, filter, col("o_custkey")))
         .agg(count(lit(1)).as("n_pass"))
     },
 
@@ -155,7 +171,7 @@ object SparkEntry {
         .head().getAs[Array[Byte]](0)
       val lineitem = table(s, dir, "lineitem")
       lineitem
-        .filter(bloom_contains(lit(merged), col("l_orderkey")))
+        .filter(probeFilter(s, merged, col("l_orderkey")))
         .join(orders.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_semi")
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("sum_qty"))
     },
@@ -176,7 +192,7 @@ object SparkEntry {
       val members = orders.select(col("o_orderkey").as("k"))
         .withColumn("is_member", lit(true))
       val r = probes.unionByName(members)
-        .select(col("is_member"), bloom_contains(lit(filter), col("k")).as("hit"))
+        .select(col("is_member"), probeFilter(s, filter, col("k")).as("hit"))
         .agg(
           sum(when(!col("is_member") && col("hit"), 1).otherwise(0)).as("fp"),
           sum(when(col("is_member") && !col("hit"), 1).otherwise(0)).as("fn"))
@@ -451,7 +467,7 @@ object SparkEntry {
       val lineage = graft.job.BloomBuild.lineage(s, ckpt)
       val nParts = lineage.count()
       val rowsBuilt = lineage.agg(sum(col("rows"))).head().getLong(0)
-      val fn = keys.filter(!bloom_contains(lit(filterBytes), col("key"))).count()
+      val fn = keys.filter(!probeFilter(s, filterBytes, col("key"))).count()
       val digestStats = keys.agg(
         countDistinct(col("key")).as("d"), min(col("key")), max(col("key"))).head()
       // per-row invariant: sha256 is a pure function of (repo, path, commit)

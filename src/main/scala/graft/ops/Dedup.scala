@@ -419,11 +419,12 @@ object Dedup {
 
     // one signature per table from independent deterministic hyperplanes;
     // plane components derive on the fly from mix64(table, plane, dim) so
-    // no driver-side dimension probe or plane broadcast is needed
-    val sigsUdf = udf((v: Seq[Double]) =>
-      Array.tabulate(tables)(t => Similarity.tableSignature(v, t, bits)))
-    val banded = base
-      .select(col("id"), posexplode(sigsUdf(col("v"))))
+    // no driver-side dimension probe or plane broadcast is needed. The
+    // signature kernel is a native codegen expression — no Seq[Double]
+    // encoder round-trip per row (see graft.expr.LshTableSignatures).
+    val banded = df
+      .select(col(idCol).cast("long").as("id"), posexplode(
+        graft.functions.lsh_table_signatures(col(vecCol), tables, bits)))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "sig")
 

@@ -40,7 +40,7 @@ object Similarity {
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
 
-  private def planeVector(p: Int, dim: Int): Array[Double] = {
+  private[graft] def planeVector(p: Int, dim: Int): Array[Double] = {
     var arr = planeCache.get(p)
     if (arr == null || arr.length < dim) {
       arr = Array.tabulate(dim)(d => planeComponent(p, d))
@@ -110,13 +110,12 @@ object Similarity {
     * <= 24 keeps bucket count (2^n) manageable; at larger corpora raise
     * it and add multiprobe.
     */
-  def lshBuckets(df: DataFrame, vecCol: String, idCol: String, nPlanes: Int): DataFrame = {
-    val sigUdf = udf((v: Seq[Double]) => signatureKernel(v, nPlanes))
+  def lshBuckets(df: DataFrame, vecCol: String, idCol: String, nPlanes: Int): DataFrame =
     df.select(
       col(idCol).cast("long").as("id"),
       col(vecCol),
-      sigUdf(toDoubleArr(col(vecCol))).as("bucket"))
-  }
+      // float or double arrays probe directly (no cast transform)
+      graft.functions.lsh_signature(col(vecCol), nPlanes).as("bucket"))
 
   /** Probe buckets for a query: the query's own bucket plus all one-bit
     * flips (multiprobe).
@@ -205,20 +204,17 @@ object Similarity {
       iters: Int = 5): Array[Array[Double]] = {
     val base = df.select(col(idCol).cast("long").as("id"),
       toDoubleArr(col(vecCol)).as("v"))
-    val mixUdf = udf((id: Long) => Hashing.mix64(id))
     var centroids: Array[Array[Double]] = base
-      .withColumn("m", mixUdf(col("id")))
+      .withColumn("m", graft.functions.mix64(col("id")))
       .orderBy(col("m"), col("id")).limit(k)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
 
     for (_ <- 1 to iters) {
-      val cents = centroids
-      val assignUdf = udf((v: Seq[Double]) => nearestCentroid(v, cents)._1)
       // element-wise mean per cluster via posexplode + groupBy — shuffles
       // only (cluster, dim, partial sums), never whole vectors
       val newCents = base
-        .withColumn("c", assignUdf(col("v")))
+        .withColumn("c", graft.functions.vec_nearest_centroid(col("v"), centroids))
         .select(col("c"), posexplode(col("v")))
         .groupBy(col("c"), col("pos"))
         .agg(avg(col("col")).as("m"), count(lit(1)).as("n"))
@@ -257,13 +253,11 @@ object Similarity {
       df: DataFrame,
       vecCol: String,
       idCol: String,
-      centroids: Array[Array[Double]]): DataFrame = {
-    val assignUdf = udf((v: Seq[Double]) => nearestCentroid(v, centroids)._1)
+      centroids: Array[Array[Double]]): DataFrame =
     df.select(
       col(idCol).cast("long").as("id"),
       col(vecCol),
-      assignUdf(toDoubleArr(col(vecCol))).as("list"))
-  }
+      graft.functions.vec_nearest_centroid(col(vecCol), centroids).as("list"))
 
   /** Persist a complete IVF index: the inverted-list table range-
     * partitioned and sorted by `list` under `path/lists` (row-group

@@ -155,6 +155,19 @@ object Registry {
     "jaccard_sorted" -> { args =>
       require(args.size == 2, "jaccard_sorted(a, b)")
       JaccardSorted(args(0), args(1))
+    },
+    "lsh_signature" -> { args =>
+      require(args.size == 2, "lsh_signature(vec, n_planes)")
+      LshSignature(args(0), foldableInt(args(1), "n_planes"))
+    },
+    "lsh_table_signatures" -> { args =>
+      require(args.size == 3, "lsh_table_signatures(vec, tables, bits)")
+      LshTableSignatures(args(0),
+        foldableInt(args(1), "tables"), foldableInt(args(2), "bits"))
+    },
+    "mix64" -> { args =>
+      require(args.size == 1, "mix64(x)")
+      Mix64(Cast(args.head, org.apache.spark.sql.types.LongType))
     })
 
   private def foldableInt(e: Expression, name: String): Int = {

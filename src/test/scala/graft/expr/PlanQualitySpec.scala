@@ -34,6 +34,20 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!formatted.contains("CartesianProduct"))
   }
 
+  test("probeFilter is size-gated: literal below 1 MB, broadcast above") {
+    import org.apache.spark.sql.GraftBridge
+    val small = new Array[Byte](1024)
+    val big = new Array[Byte](graft.SparkEntry.FilterLitMaxBytes + 1)
+    val smallExpr = GraftBridge.expression(
+      graft.SparkEntry.probeFilter(spark, small, col("k")))
+    val bigExpr = GraftBridge.expression(
+      graft.SparkEntry.probeFilter(spark, big, col("k")))
+    assert(smallExpr.isInstanceOf[BloomMightContain],
+      s"small filter should ship as a literal, got $smallExpr")
+    assert(bigExpr.isInstanceOf[BloomBroadcastContain],
+      s"large filter must ship as a broadcast, got $bigExpr")
+  }
+
   test("dedup LSH pipelines contain no cartesian product") {
     for (q <- Seq("dedup_minhash", "dedup_simhash", "embedding_pairs")) {
       val plan = planOf(q)
