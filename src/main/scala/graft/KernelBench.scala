@@ -6,11 +6,14 @@ import graft.core.{Hashing, Sbbf}
   * (same workload shape as the reference's single-threaded C bench:
   * long keys, capacity = n, 1% FPR, serializable-mode hashing).
   *
-  * Run without Spark:
+  * Run without a SparkSession (the MG path needs the spark-unsafe
+  * classes for UTF8String, so glob the whole Spark jars directory onto
+  * the classpath next to target/scala-2.13/classes):
   * {{{
-  *   java -cp /opt/spark/jars/scala-library-2.13.17.jar:target/scala-2.13/classes \
-  *     graft.KernelBench [reps]
+  *   java -cp "/opt/spark/jars/STAR:target/scala-2.13/classes" graft.KernelBench [reps]
   * }}}
+  * (STAR = the shell classpath wildcard; a literal one would close this
+  * comment.)
   *
   * Prints one JSON line with M keys/s for add (per-key and batched
   * paths) and lookup at 1M and 10M keys — best of `reps` (single-core
@@ -82,7 +85,33 @@ object KernelBench {
         s"add_${tag}_mkeys_s" -> m / addSec,
         s"add_batched_${tag}_mkeys_s" -> m / addBatchSec,
         s"lookup_${tag}_mkeys_s" -> m / lookupSec)
+    } ++ Seq("mg_add_2m_mkeys_s" -> mgAddThroughput(reps))
+
+  /** Misra–Gries update throughput (M keys/s): 2M UTF8String keys over a
+    * 10k-key zipf-ish stream into a k=256 summary — the UTF8String-native
+    * hot path ([[graft.core.MisraGries.add]]), which hashes borrowed
+    * bytes with no per-row String allocation.
+    */
+  private[graft] def mgAddThroughput(reps: Int): Double = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val n = 2000000
+    val distinct = 10000
+    val pool = Array.tabulate(distinct)(i => UTF8String.fromString(s"token_$i"))
+    val keys = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      // skewed stream: low ids repeat heavily (heavy-hitter workload shape)
+      val u = Hashing.mix64(i.toLong) >>> 1
+      keys(i) = pool(((u % distinct) * (u % 7 + 1) / 7 % distinct).toInt)
+      i += 1
     }
+    val sec = bestOf(reps) {
+      val mg = graft.core.MisraGries.empty(256)
+      var j = 0
+      while (j < n) { mg.add(keys(j)); j += 1 }
+    }
+    n / 1e6 / sec
+  }
 
   def main(args: Array[String]): Unit = {
     val reps = if (args.nonEmpty) args(0).toInt else 5

@@ -2,6 +2,8 @@ package graft.core
 
 import scala.collection.mutable
 
+import org.apache.spark.unsafe.types.UTF8String
+
 /** Misra–Gries frequent-items summary ("heavy hitters") over string keys
   * — the deterministic counterpart of the count-min sketch for token /
   * URL / key frequency analysis in training-data pipelines.
@@ -36,22 +38,34 @@ final class MisraGries private[core] (
     val k: Int,
     private[core] var n: Long,
     private[core] var err: Long,
-    private[core] val counters: mutable.HashMap[String, Long]) extends Serializable {
+    private[core] val counters: mutable.HashMap[UTF8String, Long]) extends Serializable {
 
   def itemCount: Long = n
   def decrementedWeight: Long = err
   def trackedKeys: Int = counters.size
 
   /** Add one occurrence of `key`. */
-  def add(key: String): Unit = add(key, 1L)
+  def add(key: String): Unit = add(UTF8String.fromString(key), 1L)
 
   /** Add `weight` occurrences (weight > 0). */
-  def add(key: String, weight: Long): Unit = {
+  def add(key: String, weight: Long): Unit =
+    add(UTF8String.fromString(key), weight)
+
+  /** UTF8String-native update — THE hot path. The distributed update
+    * (aggregate expressions, [[graft.job.SketchBuild]]) hands in the
+    * row's borrowed UTF8String: lookups hash/compare the borrowed bytes
+    * with NO allocation (the round-3 path allocated one java.lang.String
+    * per row), and only a key's FIRST insertion copies it (`copy()`, not
+    * `clone()` — clone's getBytes fast path can SHARE the backing array
+    * when the string spans it exactly, and the borrowed value may point
+    * into a reused row buffer).
+    */
+  def add(key: UTF8String, weight: Long): Unit = {
     require(weight > 0, "weight must be positive")
     n += weight
     counters.get(key) match {
       case Some(c) => counters.update(key, c + weight)
-      case None if counters.size < k => counters.update(key, weight)
+      case None if counters.size < k => counters.update(key.copy(), weight)
       case None =>
         // decrement round(s): remove min(weight, current minimum) from
         // every counter; repeat until the new key fits or its weight is
@@ -60,14 +74,14 @@ final class MisraGries private[core] (
         var w = weight
         while (w > 0) {
           if (counters.size < k) {
-            counters.update(key, w)
+            counters.update(key.copy(), w)
             w = 0
           } else {
             val minC = counters.valuesIterator.min
             val step = math.min(w, minC)
             err += step
             w -= step
-            val dead = mutable.ArrayBuffer.empty[String]
+            val dead = mutable.ArrayBuffer.empty[UTF8String]
             counters.mapValuesInPlace((_, c) => c - step)
             counters.foreach { case (kk, c) => if (c <= 0) dead += kk }
             dead.foreach(counters.remove)
@@ -76,17 +90,22 @@ final class MisraGries private[core] (
     }
   }
 
+  def add(key: UTF8String): Unit = add(key, 1L)
+
   /** Lower/upper bound on the true count of `key`:
     * `[counter, counter + err]` (counter 0 for untracked keys).
     */
   def bounds(key: String): (Long, Long) = {
-    val c = counters.getOrElse(key, 0L)
+    val c = counters.getOrElse(UTF8String.fromString(key), 0L)
     (c, c + err)
   }
 
-  /** Entries sorted by (counter DESC, key ASC): (key, lower, upper). */
+  /** Entries sorted by (counter DESC, key ASC): (key, lower, upper).
+    * Sorting is by java.lang.String (UTF-16) order — the wire-format
+    * order, unchanged from the String-keyed implementation. */
   def topK(m: Int): Seq[(String, Long, Long)] =
-    counters.toSeq.sortBy { case (key, c) => (-c, key) }.take(m)
+    counters.toSeq.map { case (key, c) => (key.toString, c) }
+      .sortBy { case (key, c) => (-c, key) }.take(m)
       .map { case (key, c) => (key, c, c + err) }
 
   /** Merge (PODS-2012): key-wise sum, then reduce to k entries by
@@ -97,6 +116,7 @@ final class MisraGries private[core] (
     n += other.n
     err += other.err
     other.counters.foreach { case (key, c) =>
+      // keys held by a summary are owned (copied at insert) — safe to share
       counters.update(key, counters.getOrElse(key, 0L) + c)
     }
     if (counters.size > k) {
@@ -104,7 +124,7 @@ final class MisraGries private[core] (
       java.util.Arrays.sort(sorted)
       val cut = sorted(sorted.length - k - 1) // (k+1)-th largest
       err += cut
-      val dead = mutable.ArrayBuffer.empty[String]
+      val dead = mutable.ArrayBuffer.empty[UTF8String]
       counters.mapValuesInPlace((_, c) => c - cut)
       counters.foreach { case (kk, c) => if (c <= 0) dead += kk }
       dead.foreach(counters.remove)
@@ -117,7 +137,10 @@ final class MisraGries private[core] (
   // ------------------------------------------------------------------ wire
 
   def toBytes: Array[Byte] = {
-    val entries = counters.toSeq.sortBy { case (key, c) => (-c, key) }
+    // sort on java.lang.String (UTF-16 order): keeps the wire bytes
+    // identical to the String-keyed implementation for any key set
+    val entries = counters.toSeq.map { case (key, c) => (key.toString, c) }
+      .sortBy { case (key, c) => (-c, key) }
     val keyBytes = entries.map { case (key, c) =>
       (key.getBytes(java.nio.charset.StandardCharsets.UTF_8), c)
     }
@@ -176,7 +199,7 @@ object MisraGries {
     if (n < 0 || err < 0) fail("Invalid data: negative counts")
     val cnt = readBE32(data, 25)
     if (cnt < 0 || cnt > k) fail("Invalid data: entry count out of range")
-    val counters = mutable.HashMap.empty[String, Long]
+    val counters = mutable.HashMap.empty[UTF8String, Long]
     var off = HeaderSize
     var i = 0
     while (i < cnt) {
@@ -184,7 +207,7 @@ object MisraGries {
       val len = readBE32(data, off)
       off += 4
       if (len < 0 || off + len + 8 > data.length) fail("Invalid data: truncated entry")
-      val key = new String(data, off, len, java.nio.charset.StandardCharsets.UTF_8)
+      val key = UTF8String.fromBytes(java.util.Arrays.copyOfRange(data, off, off + len))
       off += len
       val c = Sbbf.readBE64(data, off)
       off += 8

@@ -49,7 +49,9 @@ case class MgAgg(
 
   override def update(buffer: MisraGries, input: InternalRow): MisraGries = {
     val v = child.eval(input)
-    if (v != null) buffer.add(v.asInstanceOf[UTF8String].toString)
+    // UTF8String-native: no per-row String allocation (the summary
+    // clones only a key's first insertion)
+    if (v != null) buffer.add(v.asInstanceOf[UTF8String])
     buffer
   }
 

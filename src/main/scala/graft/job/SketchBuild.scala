@@ -131,7 +131,7 @@ object PartitionSketcher {
     def project(valueCol: Column): Column = valueCol.cast(StringType)
     def newBuffer(): AnyRef = MisraGries.empty(k)
     def update(b: AnyRef, row: InternalRow): Unit =
-      b.asInstanceOf[MisraGries].add(row.getUTF8String(0).toString)
+      b.asInstanceOf[MisraGries].add(row.getUTF8String(0)) // no String alloc
     def toBytes(b: AnyRef): Array[Byte] = b.asInstanceOf[MisraGries].toBytes
     def unionAgg(c: Column): Column = mg_union_agg(c)
     def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =

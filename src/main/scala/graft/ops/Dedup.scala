@@ -177,16 +177,20 @@ object Dedup {
     * @param droppedBuckets optional accumulator incremented once per LSH
     *        bucket discarded for exceeding `maxBucket` (skew cap). Read it
     *        only after an action on the result.
-    * @param verifyOnlyCandidates when true, the exact-verify side first
-    *        semi-joins the corpus to the candidate-id set, so the verify
-    *        shingle pass and hash-array shuffle cover ONLY candidate
-    *        documents. Costs a persist of the (small) candidate-pair
-    *        table and two extra stages — a clear win on large corpora at
-    *        low duplicate rates (the verify side shrinks from the corpus
-    *        to the candidates), measurable overhead on small ones
-    *        (~0.6 s at 5k docs), hence opt-in. The persisted pair table
-    *        is released by Spark's cache eviction; long-lived sessions
-    *        processing many corpora can `spark.catalog.clearCache()`.
+    * @param verifyOnlyCandidates Some(true)/Some(false) force the verify
+    *        mode; None (the default) picks it with a COST HEURISTIC.
+    *        Pruned mode semi-joins the corpus to the candidate-id set
+    *        first, so the verify shingle pass and hash-array shuffle
+    *        cover ONLY candidate documents — the 100 TB-friendly shape
+    *        at low duplicate rates, where the verify side shrinks from
+    *        the corpus to the candidates; at high duplicate rates the
+    *        semi-join is pure overhead. AUTO persists and counts the
+    *        (small, bucket-capped) candidate-pair table, then prunes iff
+    *        the candidate-id upper bound (2 x pairs) is under half the
+    *        corpus row count — note auto therefore runs the LSH stage
+    *        eagerly at call time. The persisted pair table is released
+    *        by Spark's cache eviction; long-lived sessions processing
+    *        many corpora can `spark.catalog.clearCache()`.
     */
   def minhashPairs(
       df: DataFrame,
@@ -198,7 +202,24 @@ object Dedup {
       threshold: Double = 0.8,
       maxBucket: Int = 1000,
       droppedBuckets: Option[LongAccumulator] = None,
-      verifyOnlyCandidates: Boolean = false): DataFrame = {
+      verifyOnlyCandidates: Option[Boolean] = None): DataFrame =
+    minhashPairsWithMode(df, textCol, idCol, shingleN, k, bands, threshold,
+      maxBucket, droppedBuckets, verifyOnlyCandidates)._1
+
+  /** [[minhashPairs]] plus the resolved verify mode (true = candidate-
+    * pruned verify) — exposed for tests of the auto heuristic.
+    */
+  private[ops] def minhashPairsWithMode(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int,
+      k: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucket: Int,
+      droppedBuckets: Option[LongAccumulator],
+      verifyOnlyCandidates: Option[Boolean]): (DataFrame, Boolean) = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
 
@@ -235,18 +256,29 @@ object Dedup {
     // consumed twice (candidate-id set + verify join) — persist it
     // (small, bounded by the bucket cap; lineage kept so lost blocks
     // recompute safely) or the whole LSH pipeline would re-run
-    val candidates =
-      if (verifyOnlyCandidates)
-        candidatesPlain.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else candidatesPlain
+    def persisted() =
+      candidatesPlain.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (candidates, pruneVerify) = verifyOnlyCandidates match {
+      case Some(false) => (candidatesPlain, false)
+      case Some(true) => (persisted(), true)
+      case None =>
+        // auto: candidate ids <= 2 x pairs; prune when that bound sits
+        // under half the corpus — the regime where the pruned shingle
+        // pass + shuffle beat a corpus-wide one. Counting the persisted
+        // pair table runs the LSH stage once, eagerly; both later
+        // consumers hit the cache.
+        val cands = persisted()
+        val nPairs = cands.count()
+        (cands, 2 * nPairs < base.count() / 2)
+    }
 
     // exact Jaccard verification: join the candidate-pair set back to the
     // hashed-shingle table — document content never rides the LSH
     // shuffle, and the verify join ships 8 bytes per distinct shingle.
-    // With verifyOnlyCandidates the shingle pass and the hash-array
-    // shuffle cover only candidate documents (semi-join first).
+    // With a pruned verify the shingle pass and the hash-array shuffle
+    // cover only candidate documents (semi-join first).
     val verifyBase =
-      if (verifyOnlyCandidates) {
+      if (pruneVerify) {
         val candIds = candidates.select(col("id_a").as("id"))
           .union(candidates.select(col("id_b").as("id")))
           .distinct()
@@ -256,11 +288,12 @@ object Dedup {
       .select(col("id"), graft.functions.shingle_hashes(col("t"), shingleN).as("hs"))
     val shA = withHashes.select(col("id").as("id_a"), col("hs").as("hs_a"))
     val shB = withHashes.select(col("id").as("id_b"), col("hs").as("hs_b"))
-    candidates.join(shA, "id_a").join(shB, "id_b")
+    (candidates.join(shA, "id_a").join(shB, "id_b")
       .withColumn("jaccard",
         graft.functions.jaccard_sorted(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")),
+      pruneVerify)
   }
 
   /** 64-bit SimHash over whitespace tokens. */
@@ -513,22 +546,28 @@ object Dedup {
       .localCheckpoint(true)
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("rep"))
       .localCheckpoint(true)
+    // the DataFrame whose localCheckpoint currently backs `labels` —
+    // unpersist must target the checkpointed plan itself, not a
+    // projection of it
+    var labelsCkpt = labels
     var changed = 1L
     var iter = 0
+    val spark = pairs.sparkSession
     while (changed > 0 && iter < maxIters) {
       // min over (own label, labels of every neighbor) — expressed as a
       // left join against the per-node neighbor minimum rather than a
       // union (a union whose right side embeds `labels` carries the same
       // attribute ids on both children, which trips Catalyst's Union
       // constraint rewrite); checkpointed so the pointer-jump self-join
-      // below reads a materialized table
+      // below reads a materialized table. `prev` (the incoming label)
+      // rides along so convergence is decided inside this round's jobs.
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "v"), "v")
         .groupBy(col("u")).agg(min(col("rep")).as("__nrep"))
         .withColumnRenamed("u", "id")
       val propagated = labels
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("rep").as("prev"),
           least(col("rep"), coalesce(col("__nrep"), col("rep"))).as("rep"))
         .localCheckpoint(true)
       // POINTER JUMPING: rep := min(rep, rep(rep)). Edge propagation
@@ -539,18 +578,31 @@ object Dedup {
       // an id in `labels`, so the self-join is total; the fixpoint is
       // unchanged (at convergence rep(u) <= rep of every neighbor AND
       // rep(rep(u)) == rep(u), which forces rep == component minimum).
-      val next = propagated.alias("l")
+      //
+      // Convergence detection is FOLDED INTO this checkpoint job via an
+      // accumulator (a per-row flag UDF evaluated as the rows
+      // materialize) instead of a separate count() job joining next
+      // against labels — one fewer Spark job per round. Accumulators in
+      // transformations are at-least-once: a replayed task can only
+      // OVERCOUNT, i.e. force one extra (no-op) round, never terminate
+      // early with partially-propagated labels.
+      val acc = spark.sparkContext.longAccumulator("graft.cluster.changed")
+      val bump = udf((c: Boolean) => { if (c) acc.add(1L); c })
+      val next3 = propagated.alias("l")
         .join(propagated.select(col("id").as("__rid"), col("rep").as("__rrep"))
           .alias("r"), col("l.rep") === col("__rid"), "left")
         .select(col("l.id").as("id"),
-          least(col("l.rep"), coalesce(col("__rrep"), col("l.rep"))).as("rep"))
+          least(col("l.rep"), coalesce(col("__rrep"), col("l.rep"))).as("rep"),
+          col("l.prev").as("prev"))
+        .select(col("id"), col("rep"),
+          bump(col("rep") =!= col("prev")).as("__chg"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("rep", "prev"), "id")
-        .filter(col("rep") =!= col("prev")).count()
-      // superseded checkpoints: only `next` stays live into the next round
+      changed = acc.value
+      // superseded checkpoints: only next3 stays live into the next round
       propagated.unpersist()
-      labels.unpersist()
-      labels = next
+      labelsCkpt.unpersist()
+      labelsCkpt = next3
+      labels = next3.select(col("id"), col("rep"))
       iter += 1
     }
     // partially-propagated labels would silently split a duplicate group

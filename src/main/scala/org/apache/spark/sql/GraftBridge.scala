@@ -39,4 +39,9 @@ object GraftBridge {
       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
+  /** Drain the listener bus (`private[spark]`) — lets tests assert on
+    * listener-observed job counts deterministically. */
+  def waitListenerBusEmpty(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -129,4 +129,26 @@ class MisraGriesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       MisraGries.empty(4).merge(MisraGries.empty(8)))
   }
+
+  test("UTF8String path: equals the String path; borrowed buffers are cloned on insert") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val keys = (0 until 5000).map(i => s"k${i % 37}")
+    val viaString = MisraGries.empty(16)
+    keys.foreach(viaString.add)
+    val viaUtf8 = MisraGries.empty(16)
+    keys.foreach(k => viaUtf8.add(UTF8String.fromString(k)))
+    assert(viaString.toBytes.toSeq === viaUtf8.toBytes.toSeq)
+
+    // the distributed update hands in BORROWED UTF8Strings (pointers into
+    // a reused row buffer) — the summary must clone at first insertion or
+    // later buffer writes would corrupt tracked keys
+    val buf = "alpha".getBytes("UTF-8")
+    val borrowed = UTF8String.fromBytes(buf)
+    val mg = MisraGries.empty(8)
+    mg.add(borrowed)
+    buf(0) = 'z'; buf(1) = 'z' // simulate the row buffer being reused
+    assert(mg.bounds("alpha")._1 === 1L, "tracked key must be an owned copy")
+    assert(mg.bounds("zzpha")._1 === 0L)
+    assert(mg.topK(8).map(_._1) === Seq("alpha"))
+  }
 }

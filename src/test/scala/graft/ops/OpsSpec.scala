@@ -50,9 +50,75 @@ class OpsSpec extends SparkTestBase {
     // the candidate-pruned verify path (the large-corpus plan) returns
     // the identical pair set
     val pruned = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.7,
-      verifyOnlyCandidates = true)
+      verifyOnlyCandidates = Some(true))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(pruned === pairs.toSet)
+  }
+
+  test("clusterRepresentatives: convergence is accumulator-folded, no extra count job per round") {
+    // a 2-round convergence case: one edge + singletons (round 1 changes
+    // a label, round 2 observes no change and stops). The convergence
+    // decision must ride the round's own checkpoint jobs — the old
+    // implementation ran a separate join+count() action per round, which
+    // adds a clearly visible extra job block per round.
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val ids = (0L to 5L).toDF("id")
+    val callSites = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        callSites.add(Option(j.properties)
+          .map(_.getProperty("callSite.short", "")).getOrElse(""))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val reps = try {
+      val r = Dedup.clusterRepresentatives(pairs, ids, "id")
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark)
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(reps === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+    // every in-loop action is a localCheckpoint materialization; the old
+    // implementation's separate convergence action showed up here as
+    // "count at Dedup.scala:NNN" once per round
+    import scala.jdk.CollectionConverters._
+    val countJobs = callSites.asScala.filter(_.startsWith("count at Dedup"))
+    assert(countJobs.isEmpty,
+      s"convergence detection regressed to separate count() jobs: $countJobs")
+  }
+
+  test("minhashPairs auto verify mode: prunes at low dup rates, not at high") {
+    def run(df: org.apache.spark.sql.DataFrame): (Set[(Long, Long)], Boolean) = {
+      val (pairsDf, pruned) = Dedup.minhashPairsWithMode(
+        df, "text", "doc_id", 3, 128, 32, 0.7, 1000, None, None)
+      (pairsDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet, pruned)
+    }
+    // low duplicate rate: 200 pairwise-dissimilar docs (every token is
+    // doc-specific, so LSH surfaces only the planted candidates), 4
+    // planted dups -> prune engages
+    def words(i: Int): String =
+      (0 until 12).map(j => "w" + graft.core.Hashing.mix64(i * 131L + j).toHexString).mkString(" ")
+    val distinct = (0 until 200).map(i => (i.toLong, s"doc $i ${words(i)}"))
+    val planted = (0 until 4).map(i => (1000L + i, s"doc $i ${words(i)} extra"))
+    val low = (distinct ++ planted).toDF("doc_id", "text").repartition(3)
+    val (lowPairs, lowPruned) = run(low)
+    assert(lowPruned, "auto should prune at a low duplicate rate")
+    assert(lowPairs === (0 until 4).map(i => (i.toLong, 1000L + i)).toSet)
+    // high duplicate rate: every doc has 3 copies -> prune stays off
+    val high = (0 until 60).flatMap(i => (0 until 3).map(c =>
+      (i.toLong * 10 + c, s"shared content block $i lorem ipsum dolor sit amet consectetur")))
+      .toDF("doc_id", "text").repartition(3)
+    val (highPairs, highPruned) = run(high)
+    assert(!highPruned, "auto should not prune at a high duplicate rate")
+    assert(highPairs.size === 60 * 3) // 3 pairs per triple
+    // forcing either mode returns the identical pair sets
+    assert(Dedup.minhashPairs(high, "text", "doc_id", threshold = 0.7,
+      verifyOnlyCandidates = Some(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === highPairs)
+    assert(Dedup.minhashPairs(low, "text", "doc_id", threshold = 0.7,
+      verifyOnlyCandidates = Some(false))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === lowPairs)
   }
 
   test("dedupMinhash one-call: keeps component-min representatives only") {
