@@ -152,6 +152,56 @@ object Bench {
       }
     } finally s.stop()
 
+    // -------- part 1b: grouped sketch aggregation at HIGH cardinality —
+    // the regime SketchAggExec exists for (200k groups, far past
+    // ObjectHashAggregate's 128-group sort fallback). A/B vs the builtin
+    // operator on the same data, interleaved, min of `reps`; also records
+    // the partial-map flush count (the bounded-memory evidence).
+    val sketchAggJson = {
+      val s3 = session(cpus)
+      graft.sql.Registry.register(s3)
+      try {
+        val rows = 8000000L
+        val nGroups = 200000
+        def aggDf() = s3.range(0L, rows, 1L, cpus)
+          .select((col("id") % nGroups).as("g"), col("id").as("k"))
+          .groupBy(col("g"))
+          .agg(bloom_agg(col("k"), 64, 0.01).as("f"))
+        var flushes = 0L
+        def runOnce(custom: Boolean): Double = {
+          s3.conf.set("spark.graft.sketchAgg.enabled", custom.toString)
+          val df = aggDf()
+          // execute the aggregate's OWN query execution (df.count() plans
+          // a separate execution whose metrics are not df's)
+          val (cnt, sec) = time(df.queryExecution.toRdd.count())
+          require(cnt == nGroups, s"grouped agg returned $cnt groups")
+          if (custom) {
+            def find(p: org.apache.spark.sql.execution.SparkPlan):
+                Option[graft.plans.SketchPartialAggExec] = p match {
+              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                find(a.executedPlan)
+              case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => find(q.plan)
+              case x: graft.plans.SketchPartialAggExec => Some(x)
+              case other => other.children.view.flatMap(find).headOption
+            }
+            find(df.queryExecution.executedPlan)
+              .foreach(p => flushes = p.metrics("numFlushes").value)
+          }
+          sec
+        }
+        runOnce(custom = true); runOnce(custom = false) // warm both plans
+        var customSecs = Vector.empty[Double]
+        var builtinSecs = Vector.empty[Double]
+        (1 to math.max(2, reps - 1)).foreach { _ =>
+          customSecs :+= runOnce(custom = true)
+          builtinSecs :+= runOnce(custom = false)
+        }
+        s"""{"rows":$rows,"groups":$nGroups,"custom_sec":${"%.3f".format(customSecs.min)},""" +
+          s""""builtin_sec":${"%.3f".format(builtinSecs.min)},"partial_flushes":$flushes,""" +
+          s""""flush_threshold":${s3.conf.get("spark.graft.sketchAgg.flushThreshold", "65536")}}"""
+      } finally s3.stop()
+    }
+
     // -------- part 2: north-rule scaling protocol (interleaved medians)
     val levels = (Seq(2, 8, 32).filter(_ <= cpus) :+ cpus).distinct.sorted
 
@@ -243,6 +293,6 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fails,""" +
         s""""query_passes":${passTotals.map(t => "%.3f".format(t)).mkString("[", ",", "]")},""" +
-        s""""sf":"$sfDir","bloom_build":$bloom}""")
+        s""""sf":"$sfDir","sketch_agg_highcard":$sketchAggJson,"bloom_build":$bloom}""")
   }
 }

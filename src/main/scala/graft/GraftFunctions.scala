@@ -277,4 +277,17 @@ object functions {
     toCol(NearestCentroid(toExpr(vec), centroids))
   /** The abloom 64-bit finalizer mix over a BIGINT column. */
   def mix64(x: Column): Column = toCol(Mix64(toExpr(x)))
+
+  // ------------------------------------------------------- media kernels
+
+  /** REAL container-header parse (PNG/JPEG/WAV) -> struct<format, width,
+    * height, channels, duration_ms>; NULL for unknown payloads.
+    */
+  def media_meta(payload: Column): Column = toCol(MediaMetaExpr(toExpr(payload)))
+
+  /** Deterministic synthesis of real PNG/JPEG/WAV payloads per row. */
+  def media_encode(kind: Column, variant: Column, width: Column,
+      height: Column, durationMs: Column): Column =
+    toCol(MediaEncode(toExpr(kind), toExpr(variant), toExpr(width),
+      toExpr(height), toExpr(durationMs)))
 }

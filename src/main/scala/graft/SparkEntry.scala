@@ -613,6 +613,48 @@ object SparkEntry {
         countDistinct(col("text")).as("n_distinct_texts"))
     },
 
+    // Streaming FIRST-SEEN under the gate: per-entity Bloom state
+    // (mapGroupsWithState — constant memory per entity regardless of key
+    // cardinality) over events replayed as a file stream with planted
+    // replays. Exact cross-engine oracle: total event count and distinct
+    // (entity, key) pairs; the Bloom contract rides as bounds — isNew
+    // count can undershoot distinct only by false positives (<= a
+    // generous fp budget) and NEVER overshoot (a duplicate can never
+    // probe "new"), and each entity's running seenCount must equal its
+    // event count.
+    "streaming_first_seen" -> { (s, dir) =>
+      import s.implicits._
+      val events = table(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("event_id"))
+      val aug = events.unionByName(events.filter(col("event_id") % 5 === 0))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sfs").toString
+      aug.write.parquet(s"$tmp/in")
+      val total = aug.count()
+      val nDistinct = aug.select(col("event_type"), col("user_id")).distinct().count()
+      val stream = s.readStream.schema(aug.schema).parquet(s"$tmp/in")
+        .select(col("event_type").as("entity"), col("user_id").cast("string").as("key"))
+        .as[graft.streaming.StreamingSketches.KeyedEvent]
+      val out = graft.streaming.StreamingSketches.firstSeen(
+        stream, capacity = total.max(16L), fpRate = 0.0001)
+      val qname = "sfs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.toDF().writeStream.format("memory").queryName(qname)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val t = s.table(qname)
+      val nOut = t.count()
+      val nNew = t.filter(col("isNew")).count()
+      val fpBudget = math.max(10L, nDistinct / 100)
+      val seenOk = t.groupBy(col("entity"))
+        .agg(max(col("seenCount")).as("mx"), count(lit(1)).as("c"))
+        .filter(col("mx") =!= col("c")).count() == 0
+      Seq((total, nDistinct,
+        nOut == total && nNew <= nDistinct && nDistinct - nNew <= fpBudget,
+        seenOk))
+        .toDF("n_events", "n_distinct_pairs", "first_seen_bound_ok", "seen_counts_ok")
+    },
+
     // North-rule skew handling: per-group sketches via two-phase salted
     // aggregation (bit-identical to unsalted; exact distincts oracle-
     // verified, estimates within the published bound).
@@ -820,18 +862,27 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // Multimodal plumbing: binary payload + deterministic header-decode;
-    // the fake decode is length-derived so DuckDB verifies it exactly.
+    // Multimodal decode with REAL header parsing: per doc a spec-valid
+    // PNG (even ids) / JPEG marker stream (odd ids) / PCM WAV is
+    // synthesized with id-derived dimensions, and media_meta recovers
+    // the numbers by PARSING the bytes (PNG IHDR, JPEG SOF walk, WAV
+    // RIFF chunks). The oracle recomputes the same numbers from the id
+    // formulas — encoder or parser drift breaks the hash. Video payloads
+    // are the declared fake: media_meta must return NULL for them
+    // (counted, never silently decoded).
     "multimodal_decode" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
-      val media = graft.ops.Multimodal.attachMedia(docs, "doc_id", "text")
-      media.withColumn("meta",
-          graft.ops.Multimodal.decode_meta(col("payload"), col("kind")))
+      val media = graft.ops.Multimodal.attachRealMedia(docs, "doc_id")
+      media.withColumn("meta", media_meta(col("payload")))
         .groupBy(col("kind"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("meta.width")).cast("long").as("sum_width"),
-          sum(col("meta.height")).cast("long").as("sum_height"))
+          sum(coalesce(col("meta.width"), lit(0))).cast("long").as("sum_width"),
+          sum(coalesce(col("meta.height"), lit(0))).cast("long").as("sum_height"),
+          sum(coalesce(col("meta.duration_ms"), lit(0L))).cast("long").as("sum_duration_ms"),
+          sum(when(col("meta").isNull, 1L).otherwise(0L)).as("n_unparsed"),
+          sort_array(collect_set(col("meta.format"))).as("formats"))
+        .withColumn("formats", concat_ws(",", col("formats")))
         .orderBy(col("kind"))
     },
 
@@ -1003,6 +1054,16 @@ object SparkEntry {
     "streaming_dedup" ->
       """SELECT count(DISTINCT text) AS n_unique,
         |count(DISTINCT text) AS n_distinct_texts FROM documents""".stripMargin,
+    "streaming_first_seen" ->
+      """WITH aug AS (
+        |  SELECT event_type, user_id FROM events
+        |  UNION ALL
+        |  SELECT event_type, user_id FROM events WHERE event_id % 5 = 0)
+        |SELECT (SELECT count(*) FROM aug) AS n_events,
+        |(SELECT count(*) FROM (SELECT DISTINCT event_type, user_id FROM aug))
+        |  AS n_distinct_pairs,
+        |CAST(1 AS BOOLEAN) AS first_seen_bound_ok,
+        |CAST(1 AS BOOLEAN) AS seen_counts_ok""".stripMargin,
     "salted_group_sketch" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_distinct,
         |CAST(1 AS BOOLEAN) AS within_bound
@@ -1134,12 +1195,21 @@ object SparkEntry {
         |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.95
         |ORDER BY id_a, id_b""".stripMargin,
+    // mirrors the id-derived dimension formulas the payloads were
+    // ENCODED with; the Spark side recovers them by parsing real
+    // PNG/JPEG/WAV headers, so encoder or parser drift breaks the hash
     "multimodal_decode" ->
-      """SELECT (ARRAY['image','audio','video'])[(doc_id % 3) + 1] AS kind,
-        |count(*) AS n,
-        |CAST(sum(32 + octet_length(encode(text)) % 608) AS BIGINT) AS sum_width,
-        |CAST(sum(32 + (octet_length(encode(text)) * 7) % 448) AS BIGINT) AS sum_height
-        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (ARRAY['image','audio','video'])[(doc_id % 3) + 1] AS kind
+        |  FROM documents)
+        |SELECT kind, count(*) AS n,
+        |CAST(sum(CASE WHEN kind='image' THEN 32 + (doc_id*7919) % 608 ELSE 0 END) AS BIGINT) AS sum_width,
+        |CAST(sum(CASE WHEN kind='image' THEN 32 + (doc_id*4241) % 448 ELSE 0 END) AS BIGINT) AS sum_height,
+        |CAST(sum(CASE WHEN kind='audio' THEN 1000 + (doc_id*31) % 60000 ELSE 0 END) AS BIGINT) AS sum_duration_ms,
+        |CAST(sum(CASE WHEN kind='video' THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed,
+        |CASE kind WHEN 'image' THEN 'jpeg,png' WHEN 'audio' THEN 'wav' ELSE '' END AS formats
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

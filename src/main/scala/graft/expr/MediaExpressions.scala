@@ -1,0 +1,132 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.MediaCodecs
+
+/** Executor-side kernels for the media expressions. */
+object MediaKernels {
+
+  /** Null (not an exception) for unknown/corrupt containers: a 100 TB
+    * scan must survive bad blobs; count the nulls to observe them. */
+  def decodeMeta(payload: Array[Byte]): InternalRow =
+    MediaCodecs.decodeMeta(payload) match {
+      case Some(m) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(m.format), m.width, m.height,
+            m.channels, m.durationMs))
+      case None => null
+    }
+
+  /** Deterministic synthesis of a REAL container payload per row:
+    * image -> spec-valid PNG (even variant) or JPEG marker stream (odd),
+    * audio -> spec-valid 16-bit PCM WAV at 8 kHz whose duration is
+    * exactly `durationMs`, anything else -> an opaque tagged blob (the
+    * declared video fake — no pure-JVM MP4-class encoder offline).
+    */
+  def encode(kind: UTF8String, variant: Long, width: Int, height: Int,
+      durationMs: Long): Array[Byte] =
+    kind.toString match {
+      case "image" =>
+        if ((variant & 1L) == 0L) MediaCodecs.encodePng(width, height)
+        else MediaCodecs.encodeJpegHeader(width, height)
+      case "audio" =>
+        // 8 samples per ms at 8 kHz -> duration reproduces exactly
+        MediaCodecs.encodeWav(1, 8000, (durationMs * 8L).toInt)
+      case _ =>
+        val tag = s"GRAFTRAW:$variant:$width:$height:$durationMs"
+        tag.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+}
+
+/** `media_meta(payload) -> struct<format, width, height, channels,
+  * duration_ms>`: REAL container-header parse (PNG IHDR, JPEG SOF marker
+  * walk, WAV RIFF chunks); NULL for unknown/corrupt payloads.
+  */
+case class MediaMetaExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = MediaMetaExpr.schema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"media_meta expects BINARY, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaKernels.decodeMeta(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val row = ctx.freshName("mediaMeta")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.InternalRow $row =
+        graft.expr.MediaKernels.decodeMeta($c);
+      if ($row == null) { ${ev.isNull} = true; } else { ${ev.value} = $row; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MediaMetaExpr =
+    copy(child = newChild)
+  override def prettyName: String = "media_meta"
+}
+
+object MediaMetaExpr {
+  val schema: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+}
+
+/** `media_encode(kind, variant, width, height, duration_ms) -> binary`:
+  * deterministic synthesis of REAL container payloads (see
+  * [[MediaKernels.encode]]). Synthesis-side only (test/fixture data —
+  * production payloads come from blob storage), so interpreted eval
+  * (CodegenFallback) is fine; it is still a native expression, not a
+  * ScalaUDF encoder round-trip.
+  */
+case class MediaEncode(
+    kind: Expression,
+    variant: Expression,
+    widthExpr: Expression,
+    heightExpr: Expression,
+    durationMs: Expression)
+  extends Expression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(kind, variant, widthExpr, heightExpr, durationMs)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val expected = Seq(StringType, LongType, IntegerType, IntegerType, LongType)
+    val actual = children.map(_.dataType)
+    if (actual == expected) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"media_encode expects (STRING, BIGINT, INT, INT, BIGINT), got " +
+        actual.map(_.sql).mkString(", "))
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val k = kind.eval(input)
+    val v = variant.eval(input)
+    val w = widthExpr.eval(input)
+    val h = heightExpr.eval(input)
+    val d = durationMs.eval(input)
+    if (k == null || v == null || w == null || h == null || d == null) null
+    else MediaKernels.encode(k.asInstanceOf[UTF8String], v.asInstanceOf[Long],
+      w.asInstanceOf[Int], h.asInstanceOf[Int], d.asInstanceOf[Long])
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MediaEncode =
+    MediaEncode(newChildren(0), newChildren(1), newChildren(2),
+      newChildren(3), newChildren(4))
+  override def prettyName: String = "media_encode"
+}

@@ -9,13 +9,21 @@ import graft.core.Hashing
   * video as opaque `binary` columns with typed metadata, plus decode /
   * feature-extract / resize / frame-sample operators.
   *
-  * The image/audio codec libraries are not available in this container,
-  * so the DECODE KERNELS ARE DETERMINISTIC FAKES (clearly marked below) —
-  * what is real and tested is the Spark-side contract a production decode
-  * would plug into: the schema, the binary column handling, the
-  * batch-shaped mapPartitions execution (the Scala equivalent of a Pandas
-  * UDF over mapInPandas: one kernel invocation per batch, not per row),
-  * and the partitioning behavior.
+  * Decode status by modality:
+  *  - image: REAL — [[attachRealMedia]] synthesizes spec-valid PNGs and
+  *    JPEG marker streams, and `graft.functions.media_meta` parses their
+  *    actual headers (PNG IHDR / JPEG SOF walk, [[MediaCodecs]]); no
+  *    codec library needed for dimensions.
+  *  - audio: REAL — valid 16-bit PCM WAV synthesis + RIFF chunk parse
+  *    (channels, duration from data size / byte rate).
+  *  - video: STILL A DECLARED FAKE ([[decode_meta]] derives numbers from
+  *    payload length) — MP4-class container parsing is out of scope
+  *    offline; `media_meta` returns NULL for such payloads so the
+  *    fallback is explicit, never silent.
+  * The rest of the surface is the Spark-side contract a production
+  * decoder plugs into: the schema, binary column handling, batch-shaped
+  * mapPartitions execution (the Scala equivalent of a Pandas UDF over
+  * mapInPandas: one kernel invocation per batch), and partitioning.
   */
 object Multimodal {
 
@@ -50,9 +58,43 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload"),
       lit("synthetic").as("source"))
 
+  /** Deterministic per-id media dimensions (pure arithmetic — the DuckDB
+    * oracle mirrors these formulas exactly): images get a width/height,
+    * audio a duration, video neither (its payload is the declared fake).
+    */
+  private def dims(id: Column, kind: Column): (Column, Column, Column) = (
+    when(kind === "image", (lit(32) + pmod(id * 7919L, lit(608))).cast("int"))
+      .otherwise(lit(0)),
+    when(kind === "image", (lit(32) + pmod(id * 4241L, lit(448))).cast("int"))
+      .otherwise(lit(0)),
+    when(kind === "audio", (lit(1000) + pmod(id * 31L, lit(60000))).cast("long"))
+      .otherwise(lit(0L)))
+
+  /** Attach REAL media payloads to a documents-like table: per row a
+    * spec-valid PNG (even ids) or JPEG marker stream (odd ids) with
+    * id-derived dimensions for `image` rows, a valid PCM WAV with an
+    * id-derived duration for `audio` rows, and an opaque tagged blob for
+    * `video` rows (the declared fake). `media_meta` must recover the
+    * id-derived numbers by PARSING the bytes — the cross-engine oracle
+    * recomputes the same numbers from the id formulas.
+    */
+  def attachRealMedia(df: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(id, lit(3)) + 1).cast("int"))
+    val (w, h, d) = dims(id, kind)
+    df.select(
+      id.as("media_id"),
+      kind.as("kind"),
+      graft.functions.media_encode(kind, id, w, h, d).as("payload"),
+      lit("synthetic").as("source"))
+  }
+
   /** FAKE DECODE (deterministic, SQL-expressible so the oracle can verify
     * the plumbing exactly): "header parse" derives dimensions from payload
-    * length. A real pipeline swaps in an actual codec here — same schema.
+    * length. Kept for the VIDEO modality (no pure-JVM container parser
+    * offline) and as the schema template; image/audio use the REAL
+    * `graft.functions.media_meta` parse.
     */
   def decode_meta(payload: Column, kind: Column): Column = {
     val len = octet_length(payload)

@@ -168,6 +168,16 @@ object Registry {
     "mix64" -> { args =>
       require(args.size == 1, "mix64(x)")
       Mix64(Cast(args.head, org.apache.spark.sql.types.LongType))
+    },
+    "media_meta" -> { args =>
+      require(args.size == 1, "media_meta(payload)")
+      MediaMetaExpr(args.head)
+    },
+    "media_encode" -> { args =>
+      require(args.size == 5, "media_encode(kind, variant, width, height, duration_ms)")
+      import org.apache.spark.sql.types.{IntegerType, LongType}
+      MediaEncode(args(0), Cast(args(1), LongType), Cast(args(2), IntegerType),
+        Cast(args(3), IntegerType), Cast(args(4), LongType))
     })
 
   private def foldableInt(e: Expression, name: String): Int = {

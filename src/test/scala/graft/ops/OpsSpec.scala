@@ -486,6 +486,40 @@ class OpsSpec extends SparkTestBase {
     assert(viaSpark === a)
   }
 
+  test("multimodal REAL decode: attachRealMedia payloads parse back to the id-derived meta") {
+    val media = Multimodal.attachRealMedia(docs, "doc_id")
+    assert(media.schema.fieldNames.toSeq === Seq("media_id", "kind", "payload", "source"))
+    val rows = media
+      .withColumn("meta", graft.functions.media_meta(col("payload")))
+      .selectExpr("media_id", "kind", "meta.format", "meta.width", "meta.height",
+        "meta.channels", "meta.duration_ms", "meta IS NULL AS unparsed")
+      .collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      r.getString(1) match {
+        case "image" =>
+          assert(!r.getBoolean(7))
+          assert(r.getString(2) === (if (id % 2 == 0) "png" else "jpeg"))
+          assert(r.getInt(3) === 32 + (id * 7919 % 608).toInt, s"width id=$id")
+          assert(r.getInt(4) === 32 + (id * 4241 % 448).toInt, s"height id=$id")
+          assert(r.getLong(6) === 0L)
+        case "audio" =>
+          assert(!r.getBoolean(7))
+          assert(r.getString(2) === "wav" && r.getInt(5) === 1)
+          assert(r.getLong(6) === 1000 + id * 31 % 60000, s"duration id=$id")
+        case "video" =>
+          assert(r.getBoolean(7), "video payloads are the declared fake -> NULL meta")
+      }
+    }
+    // SQL names round-trip too
+    media.createOrReplaceTempView("mm_real")
+    val viaSql = spark.sql(
+      """SELECT count(*) FROM mm_real
+        |WHERE kind <> 'video' AND media_meta(payload) IS NULL""".stripMargin)
+      .head().getLong(0)
+    assert(viaSql === 0L)
+  }
+
   test("multimodal: fake decode plumbing, batch features, frame sampling") {
     val media = Multimodal.attachMedia(docs, "doc_id", "text")
     assert(media.schema.fieldNames.toSeq ===

@@ -253,6 +253,37 @@ class SketchAggExecSpec extends SparkTestBase {
     }
   }
 
+  test("high-cardinality stress: 100k groups, flushes engage, bytes match built-in") {
+    // the cardinality the operator exists for — far past
+    // ObjectHashAggregate's 128-group sort fallback. Bounded-memory
+    // partial maps MUST flush (metric-asserted) and the final result
+    // must equal the built-in plan byte for byte.
+    val rows = 400000L
+    val nGroups = 100000
+    val df = spark.range(0L, rows, 1L, 4).select(
+      (col("id") % nGroups).as("g"), col("id").as("k"))
+    spark.conf.set("spark.graft.sketchAgg.flushThreshold", "8192")
+    try {
+      def run() = df.groupBy(col("g"))
+        .agg(bloom_agg(col("k"), 16, 0.02).as("f"))
+        .collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq))
+        .sortBy(_._1)
+      val customDf = df.groupBy(col("g")).agg(bloom_agg(col("k"), 16, 0.02).as("f"))
+      val custom = customDf.collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).sortBy(_._1)
+      // flushes actually happened (each 100k-row partition vs an 8192-group map)
+      val partial = collectPhysical(customDf)
+        .collectFirst { case p: SketchPartialAggExec => p }
+      assert(partial.isDefined, "custom partial operator missing from the plan")
+      val flushes = partial.get.metrics("numFlushes").value
+      assert(flushes > 0, s"expected partial-map flushes at 100k groups, got $flushes")
+      val builtin = withBuiltin(run())
+      assert(custom.length === nGroups)
+      assert(custom.toSeq === builtin.toSeq, "high-cardinality custom != builtin")
+    } finally spark.conf.unset("spark.graft.sketchAgg.flushThreshold")
+  }
+
   test("sql_surface harness query's sketch CTE is planned by SketchAggStrategy") {
     // the harness query splits its exact count(DISTINCT) into a separate
     // scan precisely so the all-sketch aggregate plans through the custom
