@@ -168,14 +168,19 @@ object Bench {
           .groupBy(col("g"))
           .agg(bloom_agg(col("k"), 64, 0.01).as("f"))
         var flushes = 0L
-        def runOnce(custom: Boolean): Double = {
+        def runOnce(custom: Boolean, flushThreshold: Option[Int]): Double = {
           s3.conf.set("spark.graft.sketchAgg.enabled", custom.toString)
+          flushThreshold match {
+            case Some(t) => s3.conf.set("spark.graft.sketchAgg.flushThreshold", t.toString)
+            case None => s3.conf.unset("spark.graft.sketchAgg.flushThreshold")
+          }
           val df = aggDf()
           // execute the aggregate's OWN query execution (df.count() plans
-          // a separate execution whose metrics are not df's)
+          // a separate execution whose metrics are not df's — and lets
+          // Catalyst prune the sketch column away entirely)
           val (cnt, sec) = time(df.queryExecution.toRdd.count())
           require(cnt == nGroups, s"grouped agg returned $cnt groups")
-          if (custom) {
+          if (custom && flushThreshold.isDefined) {
             def find(p: org.apache.spark.sql.execution.SparkPlan):
                 Option[graft.plans.SketchPartialAggExec] = p match {
               case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -189,16 +194,25 @@ object Bench {
           }
           sec
         }
-        runOnce(custom = true); runOnce(custom = false) // warm both plans
-        var customSecs = Vector.empty[Double]
-        var builtinSecs = Vector.empty[Double]
+        // three variants, interleaved, min of >= 2: custom under the
+        // default conf (byte budget governs — the whole 200k-group map
+        // fits, no flush), custom FORCED to flush (65536-group rail — the
+        // bounded-memory mode, fragmenting partials on purpose), builtin
+        // ObjectHashAggregate (sort-based fallback past 128 groups)
+        runOnce(custom = true, None); runOnce(custom = false, None) // warm
+        var cDefault = Vector.empty[Double]
+        var cFlush = Vector.empty[Double]
+        var bSecs = Vector.empty[Double]
         (1 to math.max(2, reps - 1)).foreach { _ =>
-          customSecs :+= runOnce(custom = true)
-          builtinSecs :+= runOnce(custom = false)
+          cDefault :+= runOnce(custom = true, None)
+          cFlush :+= runOnce(custom = true, Some(1 << 16))
+          bSecs :+= runOnce(custom = false, None)
         }
-        s"""{"rows":$rows,"groups":$nGroups,"custom_sec":${"%.3f".format(customSecs.min)},""" +
-          s""""builtin_sec":${"%.3f".format(builtinSecs.min)},"partial_flushes":$flushes,""" +
-          s""""flush_threshold":${s3.conf.get("spark.graft.sketchAgg.flushThreshold", "65536")}}"""
+        s3.conf.unset("spark.graft.sketchAgg.flushThreshold")
+        s"""{"rows":$rows,"groups":$nGroups,"custom_sec":${"%.3f".format(cDefault.min)},""" +
+          s""""custom_flush_mode_sec":${"%.3f".format(cFlush.min)},""" +
+          s""""builtin_sec":${"%.3f".format(bSecs.min)},""" +
+          s""""flush_mode_partial_flushes":$flushes,"flush_mode_threshold":${1 << 16}}"""
       } finally s3.stop()
     }
 

@@ -863,13 +863,12 @@ object SparkEntry {
     },
 
     // Multimodal decode with REAL header parsing: per doc a spec-valid
-    // PNG (even ids) / JPEG marker stream (odd ids) / PCM WAV is
-    // synthesized with id-derived dimensions, and media_meta recovers
-    // the numbers by PARSING the bytes (PNG IHDR, JPEG SOF walk, WAV
-    // RIFF chunks). The oracle recomputes the same numbers from the id
-    // formulas — encoder or parser drift breaks the hash. Video payloads
-    // are the declared fake: media_meta must return NULL for them
-    // (counted, never silently decoded).
+    // PNG (even ids) / JPEG marker stream (odd ids) / PCM WAV / MP4
+    // ftyp+moov header is synthesized with id-derived dimensions, and
+    // media_meta recovers the numbers by PARSING the bytes (PNG IHDR,
+    // JPEG SOF walk, WAV RIFF chunks, MP4 box walk). The oracle
+    // recomputes the same numbers from the id formulas — encoder or
+    // parser drift breaks the hash; n_unparsed must be zero.
     "multimodal_decode" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
       val media = graft.ops.Multimodal.attachRealMedia(docs, "doc_id")
@@ -1197,18 +1196,18 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     // mirrors the id-derived dimension formulas the payloads were
     // ENCODED with; the Spark side recovers them by parsing real
-    // PNG/JPEG/WAV headers, so encoder or parser drift breaks the hash
+    // PNG/JPEG/WAV/MP4 headers, so encoder or parser drift breaks the hash
     "multimodal_decode" ->
       """WITH m AS (
         |  SELECT doc_id,
         |    (ARRAY['image','audio','video'])[(doc_id % 3) + 1] AS kind
         |  FROM documents)
         |SELECT kind, count(*) AS n,
-        |CAST(sum(CASE WHEN kind='image' THEN 32 + (doc_id*7919) % 608 ELSE 0 END) AS BIGINT) AS sum_width,
-        |CAST(sum(CASE WHEN kind='image' THEN 32 + (doc_id*4241) % 448 ELSE 0 END) AS BIGINT) AS sum_height,
-        |CAST(sum(CASE WHEN kind='audio' THEN 1000 + (doc_id*31) % 60000 ELSE 0 END) AS BIGINT) AS sum_duration_ms,
-        |CAST(sum(CASE WHEN kind='video' THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed,
-        |CASE kind WHEN 'image' THEN 'jpeg,png' WHEN 'audio' THEN 'wav' ELSE '' END AS formats
+        |CAST(sum(CASE WHEN kind <> 'audio' THEN 32 + (doc_id*7919) % 608 ELSE 0 END) AS BIGINT) AS sum_width,
+        |CAST(sum(CASE WHEN kind <> 'audio' THEN 32 + (doc_id*4241) % 448 ELSE 0 END) AS BIGINT) AS sum_height,
+        |CAST(sum(CASE WHEN kind <> 'image' THEN 1000 + (doc_id*31) % 60000 ELSE 0 END) AS BIGINT) AS sum_duration_ms,
+        |CAST(0 AS BIGINT) AS n_unparsed,
+        |CASE kind WHEN 'image' THEN 'jpeg,png' WHEN 'audio' THEN 'wav' ELSE 'mp4' END AS formats
         |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -313,14 +313,29 @@ object Sbbf {
   /** Bisection inverse of [[sbbfFpr]] over [0.5, 300], tol 1e-6
     * (`sbbf_bits_for_fpr`, `_abloom.c:97-109`).
     */
+  // bitsForFpr is ~28 bisection steps x a 500-term exp/pow series —
+  // ~0.3 ms. A GROUPED sketch build calls Sbbf.empty once per group
+  // (millions of times at high cardinality): without memoization the
+  // sizing math dominated the whole aggregation (measured ~70 s of the
+  // 8M-buffer bench). Keyed on the fp-rate bits; values are pure
+  // functions of the key, so the benign put race is idempotent; bounded
+  // by the distinct fp rates a job uses (cap as a safety rail).
+  private val bitsForFprCache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Double]()
+
   def bitsForFpr(targetFpr: Double): Double = {
+    val key = java.lang.Long.valueOf(java.lang.Double.doubleToRawLongBits(targetFpr))
+    val cached = bitsForFprCache.get(key)
+    if (cached != null) return cached.doubleValue()
     var lo = 0.5
     var hi = 300.0
     while (hi - lo > 1e-6) {
       val mid = (lo + hi) / 2.0
       if (sbbfFpr(mid) > targetFpr) lo = mid else hi = mid
     }
-    (lo + hi) / 2.0
+    val bits = (lo + hi) / 2.0
+    if (bitsForFprCache.size < 4096) bitsForFprCache.put(key, bits)
+    bits
   }
 
   /** `ceil(capacity * bits/key / 512)` with the reference's double-space

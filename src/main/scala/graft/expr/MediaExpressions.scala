@@ -26,8 +26,9 @@ object MediaKernels {
   /** Deterministic synthesis of a REAL container payload per row:
     * image -> spec-valid PNG (even variant) or JPEG marker stream (odd),
     * audio -> spec-valid 16-bit PCM WAV at 8 kHz whose duration is
-    * exactly `durationMs`, anything else -> an opaque tagged blob (the
-    * declared video fake — no pure-JVM MP4-class encoder offline).
+    * exactly `durationMs`, video -> ISO BMFF (MP4) ftyp+moov header with
+    * mvhd duration and tkhd presentation size, anything else -> an
+    * opaque tagged blob that [[decodeMeta]] reports as unparseable.
     */
   def encode(kind: UTF8String, variant: Long, width: Int, height: Int,
       durationMs: Long): Array[Byte] =
@@ -38,6 +39,8 @@ object MediaKernels {
       case "audio" =>
         // 8 samples per ms at 8 kHz -> duration reproduces exactly
         MediaCodecs.encodeWav(1, 8000, (durationMs * 8L).toInt)
+      case "video" =>
+        MediaCodecs.encodeMp4Header(width, height, durationMs)
       case _ =>
         val tag = s"GRAFTRAW:$variant:$width:$height:$durationMs"
         tag.getBytes(java.nio.charset.StandardCharsets.UTF_8)

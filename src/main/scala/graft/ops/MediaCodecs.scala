@@ -258,6 +258,150 @@ object MediaCodecs {
     else Some(MediaMeta("wav", 0, 0, channels, dataSize * 1000L / byteRate))
   }
 
+  // ------------------------------------------------------------------ MP4
+
+  /** ISO BMFF (MP4) header: `ftyp` + `moov(mvhd + trak(tkhd))` with the
+    * given presentation size and duration (movie timescale 1000, so
+    * mvhd duration IS milliseconds; tkhd width/height are 16.16 fixed
+    * point). Header-only like [[encodeJpegHeader]] — no `mdat`, so this
+    * is a valid BOX STRUCTURE for header parsing, not playable media
+    * (honest label; sample tables + codec payloads are out of scope).
+    */
+  def encodeMp4Header(width: Int, height: Int, durationMs: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 65535 && height <= 65535,
+      "MP4 dimensions must be in [1, 65535]")
+    require(durationMs >= 0 && durationMs <= Int.MaxValue, "duration out of range")
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val size = 8 + payload.map(_.length).sum
+      val out = new ByteArrayOutputStream(size)
+      out.write(be32(size))
+      out.write(typ.getBytes(StandardCharsets.US_ASCII))
+      payload.foreach(out.write)
+      out.toByteArray
+    }
+    val unityMatrix: Array[Byte] = {
+      val m = new ByteArrayOutputStream(36)
+      // 0x00010000, 0, 0 / 0, 0x00010000, 0 / 0, 0, 0x40000000
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(v => m.write(be32(v)))
+      m.toByteArray
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes(StandardCharsets.US_ASCII), be32(0x200),
+      "isom".getBytes(StandardCharsets.US_ASCII),
+      "mp41".getBytes(StandardCharsets.US_ASCII))
+    val mvhd = {
+      val b = new ByteArrayOutputStream(100)
+      b.write(be32(0)) // version 0 + flags
+      b.write(be32(0)); b.write(be32(0)) // creation, modification
+      b.write(be32(1000)) // timescale: 1 unit = 1 ms
+      b.write(be32(durationMs.toInt))
+      b.write(be32(0x00010000)) // rate 1.0
+      b.write(0x01); b.write(0x00) // volume 1.0
+      b.write(new Array[Byte](10)) // reserved
+      b.write(unityMatrix)
+      b.write(new Array[Byte](24)) // pre_defined
+      b.write(be32(2)) // next_track_ID
+      box("mvhd", b.toByteArray)
+    }
+    val tkhd = {
+      val b = new ByteArrayOutputStream(84)
+      b.write(be32(0x000007)) // version 0, flags: enabled|in_movie|in_preview
+      b.write(be32(0)); b.write(be32(0)) // creation, modification
+      b.write(be32(1)) // track_ID
+      b.write(be32(0)) // reserved
+      b.write(be32(durationMs.toInt))
+      b.write(new Array[Byte](8)) // reserved
+      b.write(0); b.write(0) // layer
+      b.write(0); b.write(0) // alternate_group
+      b.write(0); b.write(0) // volume (video track: 0)
+      b.write(0); b.write(0) // reserved
+      b.write(unityMatrix)
+      b.write(be32(width << 16)) // 16.16 fixed point
+      b.write(be32(height << 16))
+      box("tkhd", b.toByteArray)
+    }
+    val moov = box("moov", mvhd, box("trak", tkhd))
+    val out = new ByteArrayOutputStream(ftyp.length + moov.length)
+    out.write(ftyp); out.write(moov)
+    out.toByteArray
+  }
+
+  private def isMp4(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  /** Walk boxes in [from, to) calling f(type, payloadFrom, payloadTo);
+    * returns false on a malformed size. 64-bit largesize and
+    * size==0 (to end of enclosing box) are handled.
+    */
+  private def walkBoxes(b: Array[Byte], from: Int, to: Int)(
+      f: (String, Int, Int) => Boolean): Boolean = {
+    var i = from
+    while (i + 8 <= to) {
+      val size32 = readBe32(b, i).toLong & 0xffffffffL
+      val typ = new String(b, i + 4, 4, StandardCharsets.US_ASCII)
+      var payloadStart = i + 8
+      val boxEnd: Long =
+        if (size32 == 0) to.toLong
+        else if (size32 == 1) {
+          if (i + 16 > to) return false
+          val large = (readBe32(b, i + 8).toLong << 32) |
+            (readBe32(b, i + 12).toLong & 0xffffffffL)
+          payloadStart = i + 16
+          i + large
+        } else i + size32
+      if (boxEnd < payloadStart || boxEnd > to) return false
+      if (!f(typ, payloadStart, boxEnd.toInt)) return false
+      i = boxEnd.toInt
+    }
+    true
+  }
+
+  /** mvhd -> duration (duration/timescale), tkhd -> presentation size. */
+  private def parseMp4(b: Array[Byte]): Option[MediaMeta] = {
+    var durationMs = -1L
+    var width = 0
+    var height = 0
+    val ok = walkBoxes(b, 0, b.length) { (typ, from, to) =>
+      if (typ == "moov") {
+        walkBoxes(b, from, to) { (t2, f2, t2end) =>
+          if (t2 == "mvhd") {
+            if (t2end - f2 < 20) return None
+            val version = b(f2) & 0xff
+            if (version == 0) {
+              val timescale = readBe32(b, f2 + 12)
+              val duration = readBe32(b, f2 + 16).toLong & 0xffffffffL
+              if (timescale > 0) durationMs = duration * 1000L / timescale
+            } else if (version == 1) {
+              if (t2end - f2 < 28) return None
+              val timescale = readBe32(b, f2 + 20)
+              val duration = (readBe32(b, f2 + 24).toLong << 32) |
+                (readBe32(b, f2 + 28).toLong & 0xffffffffL)
+              if (timescale > 0) durationMs = duration * 1000L / timescale
+            }
+          } else if (t2 == "trak") {
+            walkBoxes(b, f2, t2end) { (t3, f3, t3end) =>
+              if (t3 == "tkhd" && width == 0) {
+                val version = b(f3) & 0xff
+                // width/height are the LAST 8 payload bytes (16.16 fixed)
+                if (t3end - f3 >= (if (version == 0) 84 else 96)) {
+                  val w = readBe32(b, t3end - 8) >>> 16
+                  val h = readBe32(b, t3end - 4) >>> 16
+                  if (w > 0 && h > 0) { width = w; height = h }
+                }
+              }
+              true
+            }
+          }
+          true
+        }
+      }
+      true
+    }
+    if (!ok || durationMs < 0) None
+    else Some(MediaMeta("mp4", width, height, 0, durationMs))
+  }
+
   // ------------------------------------------------------------- dispatch
 
   /** Parse any supported container's header; None for unknown/corrupt
@@ -266,9 +410,10 @@ object MediaCodecs {
     * while staying observable via the null count).
     */
   def decodeMeta(payload: Array[Byte]): Option[MediaMeta] =
-    if (payload == null || payload.length < 4) None
+    if (payload == null || payload.length < 12) None
     else if (isPng(payload)) parsePng(payload)
     else if (isJpeg(payload)) parseJpeg(payload)
     else if (isWav(payload)) parseWav(payload)
+    else if (isMp4(payload)) parseMp4(payload)
     else None
 }

@@ -16,14 +16,20 @@ import graft.core.Hashing
   *    codec library needed for dimensions.
   *  - audio: REAL — valid 16-bit PCM WAV synthesis + RIFF chunk parse
   *    (channels, duration from data size / byte rate).
-  *  - video: STILL A DECLARED FAKE ([[decode_meta]] derives numbers from
-  *    payload length) — MP4-class container parsing is out of scope
-  *    offline; `media_meta` returns NULL for such payloads so the
-  *    fallback is explicit, never silent.
-  * The rest of the surface is the Spark-side contract a production
-  * decoder plugs into: the schema, binary column handling, batch-shaped
-  * mapPartitions execution (the Scala equivalent of a Pandas UDF over
-  * mapInPandas: one kernel invocation per batch), and partitioning.
+  *  - video: REAL header parse — ISO BMFF box walk (ftyp check, moov ->
+  *    mvhd duration/timescale, trak -> tkhd 16.16 presentation size);
+  *    synthesis is ftyp+moov header-only (no mdat — sample tables and
+  *    codec payloads need an encoder, honestly out of scope). For
+  *    unknown payloads `media_meta` returns NULL so any fallback is
+  *    explicit, never silent.
+  * What remains fake and declared as such: [[extractFeatures]]' model
+  * kernel (no inference runtime offline) and the legacy length-derived
+  * [[decode_meta]] (kept as the schema template / for payloads that are
+  * not real containers). The rest of the surface is the Spark-side
+  * contract a production decoder plugs into: the schema, binary column
+  * handling, batch-shaped mapPartitions execution (the Scala equivalent
+  * of a Pandas UDF over mapInPandas: one kernel invocation per batch),
+  * and partitioning.
   */
 object Multimodal {
 
@@ -59,24 +65,25 @@ object Multimodal {
       lit("synthetic").as("source"))
 
   /** Deterministic per-id media dimensions (pure arithmetic — the DuckDB
-    * oracle mirrors these formulas exactly): images get a width/height,
-    * audio a duration, video neither (its payload is the declared fake).
+    * oracle mirrors these formulas exactly): image and video get a
+    * width/height, audio and video a duration.
     */
   private def dims(id: Column, kind: Column): (Column, Column, Column) = (
-    when(kind === "image", (lit(32) + pmod(id * 7919L, lit(608))).cast("int"))
+    when(kind =!= "audio", (lit(32) + pmod(id * 7919L, lit(608))).cast("int"))
       .otherwise(lit(0)),
-    when(kind === "image", (lit(32) + pmod(id * 4241L, lit(448))).cast("int"))
+    when(kind =!= "audio", (lit(32) + pmod(id * 4241L, lit(448))).cast("int"))
       .otherwise(lit(0)),
-    when(kind === "audio", (lit(1000) + pmod(id * 31L, lit(60000))).cast("long"))
+    when(kind =!= "image", (lit(1000) + pmod(id * 31L, lit(60000))).cast("long"))
       .otherwise(lit(0L)))
 
   /** Attach REAL media payloads to a documents-like table: per row a
     * spec-valid PNG (even ids) or JPEG marker stream (odd ids) with
     * id-derived dimensions for `image` rows, a valid PCM WAV with an
-    * id-derived duration for `audio` rows, and an opaque tagged blob for
-    * `video` rows (the declared fake). `media_meta` must recover the
-    * id-derived numbers by PARSING the bytes — the cross-engine oracle
-    * recomputes the same numbers from the id formulas.
+    * id-derived duration for `audio` rows, and an MP4 ftyp+moov header
+    * (mvhd duration + tkhd size) for `video` rows. `media_meta` must
+    * recover the id-derived numbers by PARSING the bytes — the
+    * cross-engine oracle recomputes the same numbers from the id
+    * formulas.
     */
   def attachRealMedia(df: DataFrame, idCol: String): DataFrame = {
     val id = col(idCol).cast("long")
@@ -92,9 +99,9 @@ object Multimodal {
 
   /** FAKE DECODE (deterministic, SQL-expressible so the oracle can verify
     * the plumbing exactly): "header parse" derives dimensions from payload
-    * length. Kept for the VIDEO modality (no pure-JVM container parser
-    * offline) and as the schema template; image/audio use the REAL
-    * `graft.functions.media_meta` parse.
+    * length. Kept as the schema template and the fallback for payloads
+    * that are NOT real containers (e.g. [[attachMedia]]'s text blobs);
+    * real containers use `graft.functions.media_meta`.
     */
   def decode_meta(payload: Column, kind: Column): Column = {
     val len = octet_length(payload)
@@ -146,14 +153,18 @@ object Multimodal {
     }
   }
 
-  /** FAKE FRAME SAMPLER for video rows: one row per sampled frame at a
-    * fixed stride over the (fake) duration — the explode-shaped operator a
-    * real ffmpeg-backed sampler would implement.
+  /** Frame sampler for video rows: one row per sampled frame at a fixed
+    * stride over the clip duration — the explode-shaped operator a real
+    * ffmpeg-backed sampler would implement. Duration comes from the REAL
+    * container parse (`media_meta`, MP4 mvhd) when the payload is a
+    * known container, falling back to the declared length-derived fake
+    * for opaque blobs.
     */
   def sampleFrames(df: DataFrame, everyMs: Long): DataFrame = {
-    val meta = decode_meta(col("payload"), col("kind"))
+    val real = graft.functions.media_meta(col("payload")).getField("duration_ms")
+    val fake = decode_meta(col("payload"), col("kind")).getField("duration_ms")
     df.filter(col("kind") === "video")
-      .withColumn("duration_ms", meta.getField("duration_ms"))
+      .withColumn("duration_ms", coalesce(real, fake))
       .select(
         col("media_id"),
         explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))).as("frame_ts_ms"))

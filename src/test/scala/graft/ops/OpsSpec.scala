@@ -508,14 +508,17 @@ class OpsSpec extends SparkTestBase {
           assert(r.getString(2) === "wav" && r.getInt(5) === 1)
           assert(r.getLong(6) === 1000 + id * 31 % 60000, s"duration id=$id")
         case "video" =>
-          assert(r.getBoolean(7), "video payloads are the declared fake -> NULL meta")
+          assert(!r.getBoolean(7))
+          assert(r.getString(2) === "mp4")
+          assert(r.getInt(3) === 32 + (id * 7919 % 608).toInt, s"mp4 width id=$id")
+          assert(r.getInt(4) === 32 + (id * 4241 % 448).toInt, s"mp4 height id=$id")
+          assert(r.getLong(6) === 1000 + id * 31 % 60000, s"mp4 duration id=$id")
       }
     }
     // SQL names round-trip too
     media.createOrReplaceTempView("mm_real")
     val viaSql = spark.sql(
-      """SELECT count(*) FROM mm_real
-        |WHERE kind <> 'video' AND media_meta(payload) IS NULL""".stripMargin)
+      "SELECT count(*) FROM mm_real WHERE media_meta(payload) IS NULL")
       .head().getLong(0)
     assert(viaSql === 0L)
   }
