@@ -37,7 +37,11 @@ object MediaKernels {
         if ((variant & 1L) == 0L) MediaCodecs.encodePng(width, height)
         else MediaCodecs.encodeJpegHeader(width, height)
       case "audio" =>
-        // 8 samples per ms at 8 kHz -> duration reproduces exactly
+        // 8 samples per ms at 8 kHz -> duration reproduces exactly;
+        // reject durations whose sample count would wrap Int (a wrapped
+        // value silently encodes a valid-but-wrong WAV)
+        require(durationMs >= 0 && durationMs <= Int.MaxValue / 8L,
+          s"audio duration_ms out of range: $durationMs")
         MediaCodecs.encodeWav(1, 8000, (durationMs * 8L).toInt)
       case "video" =>
         MediaCodecs.encodeMp4Header(width, height, durationMs)

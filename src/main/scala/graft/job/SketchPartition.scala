@@ -62,12 +62,23 @@ object SketchPartition {
     * trip; rows are copied before the shuffle buffer (UnsafeRow reuse).
     */
   def partitionByBucket(df: DataFrame, buckets: Int, bucketCol: String = "bucket"): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
     val spark = df.sparkSession
     val schema = df.schema
     val idx = schema.fieldIndex(bucketCol)
+    require(schema(idx).dataType == org.apache.spark.sql.types.IntegerType,
+      s"$bucketCol must be INT, got ${schema(idx).dataType.sql}")
     val partitioner = new org.apache.spark.Partitioner {
       override def numPartitions: Int = buckets
-      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      override def getPartition(key: Any): Int = {
+        val b = key.asInstanceOf[Int]
+        // fail with a precondition message, not deep in the shuffle writer
+        if (b < 0 || b >= buckets)
+          throw new IllegalArgumentException(
+            s"bucket value $b outside [0, ${buckets - 1}] — buckets must " +
+              "cover the bucket column's range")
+        b
+      }
     }
     val partitioned = df.queryExecution.toRdd
       .mapPartitions(_.map(r => (r.getInt(idx), r.copy())))

@@ -265,11 +265,17 @@ object Dedup {
         // auto: candidate ids <= 2 x pairs; prune when that bound sits
         // under half the corpus — the regime where the pruned shingle
         // pass + shuffle beat a corpus-wide one. Counting the persisted
-        // pair table runs the LSH stage once, eagerly; both later
-        // consumers hit the cache.
+        // pair table runs the LSH stage once, eagerly; when pruning, both
+        // later consumers hit the cache. When NOT pruning the result has
+        // a single consumer — release the cache immediately (lazily; the
+        // one consumption recomputes through the normal lineage) so
+        // repeated auto calls do not accumulate session-lifetime cache
+        // entries.
         val cands = persisted()
         val nPairs = cands.count()
-        (cands, 2 * nPairs < base.count() / 2)
+        val prune = 2 * nPairs < base.count() / 2
+        if (!prune) cands.unpersist(blocking = false)
+        (cands, prune)
     }
 
     // exact Jaccard verification: join the candidate-pair set back to the

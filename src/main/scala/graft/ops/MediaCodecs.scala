@@ -20,10 +20,13 @@ import java.util.zip.{CRC32, Deflater}
   *    chunk-walking parser computing duration from data size / byte
   *    rate.
   *
-  * Video remains the one declared fake elsewhere ([[Multimodal]]):
-  * container parsers for MP4-class formats are out of scope offline,
-  * and [[decodeMeta]] returns None for unknown payloads so callers can
-  * fall back loudly or by policy.
+  *  - MP4 (ISO BMFF): ftyp+moov(mvhd+trak(tkhd)) header synthesis and a
+  *    box-walk parser (duration from mvhd/timescale, presentation size
+  *    from tkhd 16.16 fixed point). Header-only like JPEG — sample
+  *    tables/codec payloads need an encoder, honestly out of scope.
+  *
+  * [[decodeMeta]] returns None for unknown/corrupt payloads so callers
+  * can fall back loudly or by policy — never an exception.
   */
 object MediaCodecs {
 
@@ -236,23 +239,26 @@ object MediaCodecs {
     b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
-  /** RIFF chunk walk: fmt -> channels/byte rate, data -> duration. */
+  /** RIFF chunk walk: fmt -> channels/byte rate, data -> duration.
+    * Cursor arithmetic in Long: a crafted chunk size near 2^31 must make
+    * the walk stop (None), never wrap the cursor negative and crash.
+    */
   private def parseWav(b: Array[Byte]): Option[MediaMeta] = {
     var channels = 0
     var byteRate = 0
     var dataSize = -1L
-    var i = 12
+    var i = 12L
     while (i + 8 <= b.length) {
-      val id = new String(b, i, 4, StandardCharsets.US_ASCII)
-      val size = readLe32(b, i + 4).toLong & 0xffffffffL
+      val at = i.toInt
+      val id = new String(b, at, 4, StandardCharsets.US_ASCII)
+      val size = readLe32(b, at + 4).toLong & 0xffffffffL
       if (id == "fmt " && i + 8 + 16 <= b.length) {
-        channels = readLe16(b, i + 10)
-        byteRate = readLe32(b, i + 16)
+        channels = readLe16(b, at + 10)
+        byteRate = readLe32(b, at + 16)
       } else if (id == "data") {
-        dataSize = math.min(size, (b.length - i - 8).toLong)
+        dataSize = math.min(size, b.length.toLong - i - 8)
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
-      if (size > Int.MaxValue - 16) return None
+      i += 8L + size + (size & 1L) // chunks are word-aligned
     }
     if (channels <= 0 || byteRate <= 0 || dataSize < 0) None
     else Some(MediaMeta("wav", 0, 0, channels, dataSize * 1000L / byteRate))
@@ -373,7 +379,9 @@ object MediaCodecs {
               val duration = readBe32(b, f2 + 16).toLong & 0xffffffffL
               if (timescale > 0) durationMs = duration * 1000L / timescale
             } else if (version == 1) {
-              if (t2end - f2 < 28) return None
+              // v1 layout: 4 ver/flags + 8 + 8 times + 4 timescale +
+              // 8 duration = 32 payload bytes minimum
+              if (t2end - f2 < 32) return None
               val timescale = readBe32(b, f2 + 20)
               val duration = (readBe32(b, f2 + 24).toLong << 32) |
                 (readBe32(b, f2 + 28).toLong & 0xffffffffL)

@@ -127,12 +127,36 @@ case class SketchPartialAggExec(
           java.util.Map.Entry[UnsafeRow, Array[Any]]] = _
         private val outRow = new GenericInternalRow(nGroups + funcs.length)
 
-        /** Consume input until the map hits the flush threshold or the
-          * input is exhausted; then drain the map. */
+        // GROWABLE sketches (MG, t-digest, SBF, KLL) serialize near-empty
+        // at creation, so the empty-buffer estimate behind
+        // effectiveThreshold can under-count live bytes by orders of
+        // magnitude. Every SampleEvery rows, re-estimate the map's
+        // footprint from ONE entry's current serialized size (the
+        // LinkedHashMap's head = oldest entry, the one updated longest)
+        // and flush if the byte budget is genuinely exceeded. One
+        // serialize per 8192 rows is noise; the guard is what keeps the
+        // "bounded memory" contract true for adaptive sketch families.
+        private val SampleEvery = 8192
+        private var rowsSinceSample = 0
+
+        private def liveBytesExceeded(): Boolean = {
+          rowsSinceSample = 0
+          val head = map.entrySet().iterator().next()
+          var perGroup = 128L
+          var i = 0
+          while (i < funcs.length) {
+            perGroup += funcs(i).serialize(head.getValue()(i)).length; i += 1
+          }
+          perGroup * map.size() > maxBytes
+        }
+
+        /** Consume input until the map hits the flush threshold (group
+          * rail, empty-buffer byte estimate, or sampled live-byte check)
+          * or the input is exhausted; then drain the map. */
         private def aggregateChunk(): Unit = {
           map.clear()
-          while (iter.hasNext &&
-              !(map.size() >= effectiveThreshold && { numFlushes += 1; true })) {
+          var flush = false
+          while (iter.hasNext && !flush) {
             val row = iter.next()
             val key = keyProj(row)
             var bufs = map.get(key)
@@ -147,6 +171,12 @@ case class SketchPartialAggExec(
             var i = 0
             while (i < funcs.length) {
               bufs(i) = funcs(i).update(bufs(i), row); i += 1
+            }
+            rowsSinceSample += 1
+            if (map.size() >= effectiveThreshold ||
+                (rowsSinceSample >= SampleEvery && liveBytesExceeded())) {
+              numFlushes += 1
+              flush = true
             }
           }
           drain = map.entrySet().iterator()

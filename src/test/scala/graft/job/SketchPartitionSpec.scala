@@ -148,4 +148,21 @@ class SketchPartitionSpec extends SparkTestBase {
       assert(math.abs(n - ideal) <= 0.25 * ideal, s"bucket $b has $n rows")
     }
   }
+
+  test("partitionByBucket validates its preconditions loudly") {
+    val df = Seq((1.0, 0), (2.0, 9)).toDF("v", "bucket")
+    // out-of-range bucket value -> clear precondition error, not a crash
+    // deep in the shuffle writer
+    val err = intercept[org.apache.spark.SparkException] {
+      SketchPartition.partitionByBucket(df, buckets = 4).rdd.count()
+    }
+    assert(err.getMessage.contains("bucket value") ||
+      Option(err.getCause).exists(_.getMessage.contains("bucket value")))
+    // non-INT bucket column rejected at construction
+    val typed = Seq((1.0, 3L)).toDF("v", "bucket")
+    val e2 = intercept[IllegalArgumentException] {
+      SketchPartition.partitionByBucket(typed, buckets = 4)
+    }
+    assert(e2.getMessage.contains("INT"))
+  }
 }

@@ -102,5 +102,32 @@ class MediaCodecsSpec extends AnyFunSuite {
     // a JPEG whose scan starts before any SOF: None (not a crash)
     val noSof = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xda.toByte, 0, 4, 0, 0)
     assert(MediaCodecs.decodeMeta(noSof) === None)
+    // crafted WAV chunk size near 2^31: the chunk walk must stop cleanly,
+    // never wrap its cursor negative (was a StringIndexOutOfBounds crash)
+    val overflowWav = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("RIFF".getBytes("US-ASCII")); b.write(Array[Byte](36, 0, 0, 0))
+      b.write("WAVE".getBytes("US-ASCII"))
+      b.write("junk".getBytes("US-ASCII"))
+      val sz = 2147483628 // <= Int.MaxValue - 16, wraps 8 + size.toInt
+      b.write(Array[Byte]((sz & 0xff).toByte, ((sz >> 8) & 0xff).toByte,
+        ((sz >> 16) & 0xff).toByte, ((sz >> 24) & 0xff).toByte))
+      b.write(new Array[Byte](16))
+      b.toByteArray
+    }
+    assert(MediaCodecs.decodeMeta(overflowWav) === None)
+  }
+
+  test("media_encode rejects audio durations whose sample count would wrap") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val err = intercept[IllegalArgumentException] {
+      graft.expr.MediaKernels.encode(
+        UTF8String.fromString("audio"), 1L, 0, 0, (Int.MaxValue / 8L) + 1L)
+    }
+    assert(err.getMessage.contains("duration_ms"))
+    // the boundary value still encodes and round-trips
+    val ok = graft.expr.MediaKernels.encode(
+      UTF8String.fromString("audio"), 1L, 0, 0, 1000L)
+    assert(MediaCodecs.decodeMeta(ok).get.durationMs === 1000L)
   }
 }

@@ -284,6 +284,39 @@ class SketchAggExecSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.sketchAgg.flushThreshold")
   }
 
+  test("GROWABLE sketch buffers trip the sampled live-byte flush, not just the empty-buffer estimate") {
+    // Misra-Gries serializes ~29 B empty but grows to ~1-2 KB once its k
+    // counters fill — an empty-buffer byte estimate alone would let a
+    // wide-group map blow the budget silently. flushBytes is set so the
+    // EMPTY estimate admits all 1000 groups while the GROWN buffers
+    // exceed it: flushes must still fire (live sampling), and results
+    // must match the built-in plan.
+    // 59 is coprime to the 1000-group modulus, so every group sees all 59
+    // distinct values (the MG genuinely grows to ~1.2 KB serialized) while
+    // staying UNDER k=64 — at <= k distinct keys MG counts are exact and
+    // order-independent, so flushed partials must still merge to bytes
+    // identical to the built-in plan
+    val df = spark.range(0L, 120000L, 1L, 3).select(
+      (col("id") % 1000).as("g"),
+      concat(lit("value_"), (col("id") % 59).cast("string")).as("v"))
+    spark.conf.set("spark.graft.sketchAgg.flushBytes", (400L << 10).toString)
+    try {
+      def run() = df.groupBy(col("g")).agg(mg_agg(col("v"), 64).as("m"))
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).sortBy(_._1)
+      val customDf = df.groupBy(col("g")).agg(mg_agg(col("v"), 64).as("m"))
+      val custom = customDf.collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).sortBy(_._1)
+      val partial = collectPhysical(customDf)
+        .collectFirst { case p: SketchPartialAggExec => p }
+      assert(partial.isDefined)
+      assert(partial.get.metrics("numFlushes").value > 0,
+        "grown MG buffers exceeded the byte budget but no flush fired")
+      val builtin = withBuiltin(run())
+      assert(custom.length === 1000)
+      assert(custom.toSeq === builtin.toSeq)
+    } finally spark.conf.unset("spark.graft.sketchAgg.flushBytes")
+  }
+
   test("sql_surface harness query's sketch CTE is planned by SketchAggStrategy") {
     // the harness query splits its exact count(DISTINCT) into a separate
     // scan precisely so the all-sketch aggregate plans through the custom
