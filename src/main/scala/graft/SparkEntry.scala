@@ -613,6 +613,58 @@ object SparkEntry {
         countDistinct(col("text")).as("n_distinct_texts"))
     },
 
+    // Corpus vocabulary head via the Misra-Gries aggregate under the
+    // gate: k is sized ABOVE the corpus vocabulary, so the summary never
+    // decrements and the counters are EXACT — DuckDB recomputes the full
+    // per-token counts independently. Tie-break (count DESC, token ASC)
+    // is total, so the top-20 cut is deterministic on both engines.
+    "text_top_tokens" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val vocab = docs
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+        .filter(length(col("t")) > 0).distinct().count()
+      val top = graft.ops.TextAnalysis.topTokens(
+        docs, "text", k = (vocab + 16).toInt, m = 20)
+      top.select(col("token"), col("count_lb").as("cnt"),
+          (col("count_lb") === col("count_ub")).as("exact"))
+        .orderBy(col("cnt").desc, col("token"))
+    },
+
+    // Streaming windowed Bloom filters under the gate: per-day filters
+    // built by the stream, then a BATCH pass probes every event against
+    // its own day's filter — zero FN makes the per-day pass-count
+    // exactly count(*), the cross-engine oracle. (The filter rides as a
+    // per-row column from the join; the probe expression's identity
+    // cache parses each day's blob once per thread.)
+    "streaming_windowed_bloom" -> { (s, dir) =>
+      val events = table(s, dir, "events")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-swb").toString
+      events.write.parquet(s"$tmp/in")
+      // capacity must cover the biggest day at ANY scale factor
+      val perDayMax = events.groupBy(col("ts").cast("date")).count()
+        .agg(max(col("count"))).head().getLong(0)
+      val stream = s.readStream.schema(events.schema).parquet(s"$tmp/in")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val agg = graft.streaming.StreamingSketches.windowedBloom(
+        stream, "ts", "user_id", "1 day", "1 hour", perDayMax.max(16L), 0.01)
+      val qname = "swb_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val filters = s.table(qname)
+        .select(col("window_start").cast("date").as("day"), col("filter"))
+      events.select(col("ts").cast("date").as("day"), col("user_id"))
+        .join(filters, "day")
+        .withColumn("hit", bloom_contains(col("filter"), col("user_id")))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("hit"), 0L).otherwise(1L)).as("fn"))
+        .select(col("day"), col("n_events"), (col("fn") === 0L).as("zero_fn"))
+        .orderBy(col("day"))
+    },
+
     // Streaming FIRST-SEEN under the gate: per-entity Bloom state
     // (mapGroupsWithState — constant memory per entity regardless of key
     // cardinality) over events replayed as a file stream with planted
@@ -1053,6 +1105,16 @@ object SparkEntry {
     "streaming_dedup" ->
       """SELECT count(DISTINCT text) AS n_unique,
         |count(DISTINCT text) AS n_distinct_texts FROM documents""".stripMargin,
+    "text_top_tokens" ->
+      """SELECT tok AS token, count(*) AS cnt, CAST(1 AS BOOLEAN) AS exact
+        |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |      FROM documents)
+        |WHERE tok <> ''
+        |GROUP BY tok ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    "streaming_windowed_bloom" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |count(*) AS n_events, CAST(1 AS BOOLEAN) AS zero_fn
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "streaming_first_seen" ->
       """WITH aug AS (
         |  SELECT event_type, user_id FROM events
