@@ -613,6 +613,80 @@ object SparkEntry {
         countDistinct(col("text")).as("n_distinct_texts"))
     },
 
+    // The UNION AGGREGATES under the gate: per-priority partial sketches
+    // union-aggregated to a global sketch must agree with the direct
+    // global build — exactly for the cell-wise/max merges (HLL register
+    // max, CMS cell add, MG at k >= distinct), within the documented
+    // rank tolerance for t-digest (its merge is not byte-associative).
+    // The exact distinct count is the cross-engine anchor.
+    "sketch_union_rollup" -> { (s, dir) =>
+      val orders = table(s, dir, "orders")
+      val perGroup = orders.groupBy(col("o_orderpriority")).agg(
+        hll_agg(col("o_custkey")).as("h"),
+        cms_agg(col("o_orderpriority"), 0.001, 0.01).as("c"),
+        tdigest_agg(col("o_totalprice"), 200.0).as("t"),
+        mg_agg(col("o_orderpriority"), 64).as("m"))
+      val unioned = perGroup.agg(
+        graft.functions.hll_union_agg(col("h")).as("h"),
+        cms_union_agg(col("c")).as("c"),
+        tdigest_union_agg(col("t")).as("t"),
+        mg_union_agg(col("m")).as("m")).head()
+      val direct = orders.agg(
+        hll_agg(col("o_custkey")).as("h"),
+        cms_agg(col("o_orderpriority"), 0.001, 0.01).as("c"),
+        tdigest_agg(col("o_totalprice"), 200.0).as("t"),
+        mg_agg(col("o_orderpriority"), 64).as("m")).head()
+      val exact = orders.agg(countDistinct(col("o_custkey"))).head().getLong(0)
+      val hllEqual = java.util.Arrays.equals(
+        unioned.getAs[Array[Byte]](0), direct.getAs[Array[Byte]](0))
+      // CMS cell-wise add is exact: the unioned sketch must return the
+      // same count for every priority as the direct build
+      val prios = orders.select(col("o_orderpriority")).distinct()
+        .collect().map(_.getString(0))
+      import s.implicits._
+      val cmsRows = Seq((unioned.getAs[Array[Byte]](1), direct.getAs[Array[Byte]](1)))
+        .toDF("u", "d")
+      val cmsEqual = prios.forall { p =>
+        val r = cmsRows.select(
+          cms_query(col("u"), lit(p)), cms_query(col("d"), lit(p))).head()
+        r.getLong(0) == r.getLong(1)
+      }
+      // MG at k=64 >= 5 distinct priorities: exact, so wire bytes equal
+      val mgEqual = java.util.Arrays.equals(
+        unioned.getAs[Array[Byte]](3), direct.getAs[Array[Byte]](3))
+      // t-digest: union's median rank within the interior tolerance
+      val med = Seq(unioned.getAs[Array[Byte]](2)).toDF("t")
+        .select(tdigest_quantile(col("t"), 0.5)).head().getDouble(0)
+      val n = orders.count()
+      val medRank = orders.filter(col("o_totalprice") <= med).count().toDouble / n
+      Seq((exact, hllEqual, cmsEqual, mgEqual, medRank >= 0.47 && medRank <= 0.53))
+        .toDF("exact_distinct", "hll_union_equals_direct", "cms_union_equals_direct",
+          "mg_union_equals_direct", "tdigest_union_median_ok")
+    },
+
+    // HLL set algebra under the gate, the sibling of bloom_set_algebra:
+    // |A ∩ B| via inclusion-exclusion of three HLL estimates over two
+    // overlapping key ranges; exact overlap is the cross-engine anchor.
+    "hll_set_algebra" -> { (s, dir) =>
+      val orders = table(s, dir, "orders")
+      val hi = orders.filter(col("o_totalprice") > 200000)
+      val lo = orders.filter(col("o_totalprice") < 400000)
+      val a = hi.agg(hll_agg(col("o_orderkey"))).head().getAs[Array[Byte]](0)
+      val b = lo.agg(hll_agg(col("o_orderkey"))).head().getAs[Array[Byte]](0)
+      val nA = hi.count()
+      val nB = lo.count()
+      val overlap = orders.filter(
+        col("o_totalprice") > 200000 && col("o_totalprice") < 400000).count()
+      import s.implicits._
+      val est = Seq((a, b)).toDF("a", "b")
+        .select(hll_intersect_estimate(col("a"), col("b"))).head().getLong(0)
+      // inclusion-exclusion compounds three estimates: |err| <= 3-sigma
+      // of the LARGEST term (|A|+|B|) plus slack for small overlaps
+      Seq((overlap,
+        math.abs(est - overlap).toDouble <= 3 * 0.0082 * (nA + nB) + 20))
+        .toDF("n_overlap_exact", "intersect_est_ok")
+    },
+
     // Corpus vocabulary head via the Misra-Gries aggregate under the
     // gate: k is sized ABOVE the corpus vocabulary, so the summary never
     // decrements and the counters are EXACT — DuckDB recomputes the full
@@ -1105,6 +1179,18 @@ object SparkEntry {
     "streaming_dedup" ->
       """SELECT count(DISTINCT text) AS n_unique,
         |count(DISTINCT text) AS n_distinct_texts FROM documents""".stripMargin,
+    "sketch_union_rollup" ->
+      """SELECT count(DISTINCT o_custkey) AS exact_distinct,
+        |CAST(1 AS BOOLEAN) AS hll_union_equals_direct,
+        |CAST(1 AS BOOLEAN) AS cms_union_equals_direct,
+        |CAST(1 AS BOOLEAN) AS mg_union_equals_direct,
+        |CAST(1 AS BOOLEAN) AS tdigest_union_median_ok
+        |FROM orders""".stripMargin,
+    "hll_set_algebra" ->
+      """SELECT CAST((SELECT count(*) FROM orders
+        |  WHERE o_totalprice > 200000 AND o_totalprice < 400000) AS BIGINT)
+        |  AS n_overlap_exact,
+        |CAST(1 AS BOOLEAN) AS intersect_est_ok""".stripMargin,
     "text_top_tokens" ->
       """SELECT tok AS token, count(*) AS cnt, CAST(1 AS BOOLEAN) AS exact
         |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
