@@ -621,21 +621,24 @@ object SparkEntry {
     // The exact distinct count is the cross-engine anchor.
     "sketch_union_rollup" -> { (s, dir) =>
       val orders = table(s, dir, "orders")
-      val perGroup = orders.groupBy(col("o_orderpriority")).agg(
+      val n = orders.count()
+      def aggs() = Seq(
         hll_agg(col("o_custkey")).as("h"),
         cms_agg(col("o_orderpriority"), 0.001, 0.01).as("c"),
         tdigest_agg(col("o_totalprice"), 200.0).as("t"),
-        mg_agg(col("o_orderpriority"), 64).as("m"))
+        mg_agg(col("o_orderpriority"), 64).as("m"),
+        kll_agg(col("o_totalprice"), 200).as("k"),
+        cbf_agg(col("o_orderkey"), n, 0.01).as("b"))
+      val perGroup = orders.groupBy(col("o_orderpriority"))
+        .agg(aggs().head, aggs().tail: _*)
       val unioned = perGroup.agg(
         graft.functions.hll_union_agg(col("h")).as("h"),
         cms_union_agg(col("c")).as("c"),
         tdigest_union_agg(col("t")).as("t"),
-        mg_union_agg(col("m")).as("m")).head()
-      val direct = orders.agg(
-        hll_agg(col("o_custkey")).as("h"),
-        cms_agg(col("o_orderpriority"), 0.001, 0.01).as("c"),
-        tdigest_agg(col("o_totalprice"), 200.0).as("t"),
-        mg_agg(col("o_orderpriority"), 64).as("m")).head()
+        mg_union_agg(col("m")).as("m"),
+        kll_union_agg(col("k")).as("k"),
+        cbf_union_agg(col("b")).as("b")).head()
+      val direct = orders.agg(aggs().head, aggs().tail: _*).head()
       val exact = orders.agg(countDistinct(col("o_custkey"))).head().getLong(0)
       val hllEqual = java.util.Arrays.equals(
         unioned.getAs[Array[Byte]](0), direct.getAs[Array[Byte]](0))
@@ -654,14 +657,26 @@ object SparkEntry {
       // MG at k=64 >= 5 distinct priorities: exact, so wire bytes equal
       val mgEqual = java.util.Arrays.equals(
         unioned.getAs[Array[Byte]](3), direct.getAs[Array[Byte]](3))
-      // t-digest: union's median rank within the interior tolerance
-      val med = Seq(unioned.getAs[Array[Byte]](2)).toDF("t")
-        .select(tdigest_quantile(col("t"), 0.5)).head().getDouble(0)
-      val n = orders.count()
-      val medRank = orders.filter(col("o_totalprice") <= med).count().toDouble / n
-      Seq((exact, hllEqual, cmsEqual, mgEqual, medRank >= 0.47 && medRank <= 0.53))
+      // counting filter: cell-wise add is exactly associative — union of
+      // per-group filters must be BYTE-identical to the direct build
+      val cbfEqual = java.util.Arrays.equals(
+        unioned.getAs[Array[Byte]](5), direct.getAs[Array[Byte]](5))
+      // t-digest / KLL: union medians' exact ranks within tolerance
+      // (their merges are bound-preserving, not byte-canonical)
+      def medianRank(bytes: Array[Byte], q: Array[Byte] => org.apache.spark.sql.Column): Double = {
+        val med = Seq(bytes).toDF("s").select(q(bytes)).head().getDouble(0)
+        orders.filter(col("o_totalprice") <= med).count().toDouble / n
+      }
+      val tdRank = medianRank(unioned.getAs[Array[Byte]](2),
+        b => tdigest_quantile(lit(b), 0.5))
+      val kllRank = medianRank(unioned.getAs[Array[Byte]](4),
+        b => kll_quantile(lit(b), 0.5))
+      Seq((exact, hllEqual, cmsEqual, mgEqual, cbfEqual,
+        tdRank >= 0.47 && tdRank <= 0.53,
+        kllRank >= 0.47 && kllRank <= 0.53))
         .toDF("exact_distinct", "hll_union_equals_direct", "cms_union_equals_direct",
-          "mg_union_equals_direct", "tdigest_union_median_ok")
+          "mg_union_equals_direct", "cbf_union_equals_direct",
+          "tdigest_union_median_ok", "kll_union_median_ok")
     },
 
     // HLL set algebra under the gate, the sibling of bloom_set_algebra:
@@ -1184,7 +1199,9 @@ object SparkEntry {
         |CAST(1 AS BOOLEAN) AS hll_union_equals_direct,
         |CAST(1 AS BOOLEAN) AS cms_union_equals_direct,
         |CAST(1 AS BOOLEAN) AS mg_union_equals_direct,
-        |CAST(1 AS BOOLEAN) AS tdigest_union_median_ok
+        |CAST(1 AS BOOLEAN) AS cbf_union_equals_direct,
+        |CAST(1 AS BOOLEAN) AS tdigest_union_median_ok,
+        |CAST(1 AS BOOLEAN) AS kll_union_median_ok
         |FROM orders""".stripMargin,
     "hll_set_algebra" ->
       """SELECT CAST((SELECT count(*) FROM orders

@@ -130,4 +130,22 @@ class MediaCodecsSpec extends AnyFunSuite {
       UTF8String.fromString("audio"), 1L, 0, 0, 1000L)
     assert(MediaCodecs.decodeMeta(ok).get.durationMs === 1000L)
   }
+
+  test("property: random dimensions/durations round-trip exactly for all four formats") {
+    val rnd = new scala.util.Random(2026)
+    (1 to 200).foreach { _ =>
+      val w = 1 + rnd.nextInt(4096)
+      val h = 1 + rnd.nextInt(4096)
+      val ms = rnd.nextLong().abs % 360000L
+      assert(MediaCodecs.decodeMeta(MediaCodecs.encodePng(w, h)) ===
+        Some(MediaMeta("png", w, h, 1, 0L)), s"png $w x $h")
+      assert(MediaCodecs.decodeMeta(MediaCodecs.encodeJpegHeader(w, h)) ===
+        Some(MediaMeta("jpeg", w, h, 3, 0L)), s"jpeg $w x $h")
+      assert(MediaCodecs.decodeMeta(MediaCodecs.encodeMp4Header(w, h, ms)) ===
+        Some(MediaMeta("mp4", w, h, 0, ms)), s"mp4 $w x $h $ms")
+      // WAV at 8 kHz: ms -> samples -> ms is exact for whole-ms inputs
+      val wav = MediaCodecs.encodeWav(1, 8000, (ms * 8L).toInt)
+      assert(MediaCodecs.decodeMeta(wav) === Some(MediaMeta("wav", 0, 0, 1, ms)), s"wav $ms")
+    }
+  }
 }

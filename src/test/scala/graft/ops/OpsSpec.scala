@@ -322,6 +322,15 @@ class OpsSpec extends SparkTestBase {
       Similarity.readIndex(spark, dir), "embedding", query, 10, nPlanes = 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(indexed === direct)
+    // the index query's bucket probes PUSH DOWN to the parquet scan —
+    // the write-once/serve-many shape only pays off if each query reads
+    // only its matching row groups instead of rescanning the corpus
+    val probedScan = Similarity.readIndex(spark, dir)
+      .filter(col("bucket").isin(Similarity.probeBuckets(query, 10): _*))
+    val formatted = probedScan.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters") && formatted.contains("In(bucket"),
+      s"bucket probes not pushed to the parquet scan:\n$formatted")
   }
 
   test("persisted IVF index: identical top-k to the in-session path, centroids round-trip") {
