@@ -121,6 +121,37 @@ class OpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === lowPairs)
   }
 
+  test("bit-sliced simhash accumulator equals the per-bit reference, incl. ties") {
+    // reference implementation: the straightforward signed per-bit
+    // counters (the pre-optimization kernel) — the carry-save planes
+    // must match BIT-IDENTICALLY, ties (acc == 0) folding to 0
+    def reference(hashes: Seq[Long]): Long = {
+      val acc = new Array[Int](64)
+      hashes.foreach { h =>
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 500).foreach { trial =>
+      val n = rnd.nextInt(200)
+      val toks = (0 until n).map(_ => "t" + rnd.nextInt(40))
+      val ref = reference(toks.map(graft.core.Hashing.hashString))
+      assert(Dedup.simhashKernel(toks) === ref, s"trial $trial n=$n")
+    }
+    // even-count duplicate pairs force acc == 0 on every bit (tie case)
+    assert(Dedup.simhashKernel(Seq("x", "y")) ===
+      reference(Seq("x", "y").map(graft.core.Hashing.hashString)))
+    assert(Dedup.simhashTextKernel("") === reference(Seq(graft.core.Hashing.hashString(""))))
+  }
+
   test("dedupMinhash one-call: keeps component-min representatives only") {
     // base corpus with planted near-dups (suffix edits) and an exact pair
     val corpus = docs
