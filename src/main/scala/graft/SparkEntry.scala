@@ -754,6 +754,31 @@ object SparkEntry {
         .orderBy(col("day"))
     },
 
+    // Streaming HEAVY HITTERS under the gate: events replayed as a file
+    // stream -> per-day Misra-Gries (k=32, O(k) state per window). The
+    // events table has 5 distinct event types << k, so MG's count lower
+    // bounds are EXACT and the DuckDB per-day GROUP BY is a full
+    // hash-equality oracle — not just a bounds check.
+    "streaming_heavy_hitters" -> { (s, dir) =>
+      val events = table(s, dir, "events")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-shh").toString
+      events.write.parquet(s"$tmp/in")
+      val stream = s.readStream.schema(events.schema).parquet(s"$tmp/in")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val agg = graft.streaming.StreamingSketches.windowedHeavyHitters(
+        stream, "ts", "event_type", "1 day", "1 hour", k = 32, topM = 100)
+      val qname = "shh_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(col("window_start").cast("date").as("day"), explode(col("top")).as("e"))
+        .select(col("day"), col("e.item").as("item"), col("e.count_lb").as("cnt"))
+        .orderBy(col("day"), col("item"))
+    },
+
     // Streaming FIRST-SEEN under the gate: per-entity Bloom state
     // (mapGroupsWithState — constant memory per entity regardless of key
     // cardinality) over events replayed as a file stream with planted
@@ -837,6 +862,24 @@ object SparkEntry {
       graft.ops.Dedup.minhashPairs(
         docs.unionByName(planted).select(col("doc_id"), col("text")),
         "text", "doc_id", threshold = 0.7)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // EXACT n-gram Jaccard similarity join (prefix filtering): unlike the
+    // probabilistic minhash query above, this operator guarantees 100%
+    // recall, so the all-pairs DuckDB oracle must match EXACTLY by
+    // construction — every pair at jaccard >= 0.6, no banding luck
+    // involved. Threshold deliberately below minhash's 0.7 to cover
+    // borderline pairs LSH could miss.
+    "dedup_jaccard_exact" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val planted = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" graftdupmarker")))
+      graft.ops.Dedup.jaccardPairs(
+        docs.unionByName(planted).select(col("doc_id"), col("text")),
+        "text", "doc_id", threshold = 0.6)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -1218,6 +1261,12 @@ object SparkEntry {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
         |count(*) AS n_events, CAST(1 AS BOOLEAN) AS zero_fn
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    // MG is exact here (5 event types << k=32), so per-day exact GROUP BY
+    // counts are a full hash-equality oracle for the streaming MG path
+    "streaming_heavy_hitters" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |event_type AS item, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY day, item""".stripMargin,
     "streaming_first_seen" ->
       """WITH aug AS (
         |  SELECT event_type, user_id FROM events
@@ -1260,6 +1309,31 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
         |      len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
+    // exact similarity join: the oracle IS the definition — all-pairs
+    // 3-gram Jaccard >= 0.6 — and must match exactly (guaranteed recall,
+    // not banding luck)
+    "dedup_jaccard_exact" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' graftdupmarker'
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE
+        |      WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) < 3
+        |      THEN [array_to_string(regexp_split_to_array(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_transform(
+        |        range(1, len(regexp_split_to_array(lower(trim(text)), '\s+')) - 1),
+        |        i -> regexp_split_to_array(lower(trim(text)), '\s+')[i] || ' ' ||
+        |             regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+        |             regexp_split_to_array(lower(trim(text)), '\s+')[i+2]) END) AS s
+        |  FROM aug)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |      len(list_distinct(list_concat(a.s, b.s))) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
     // the oracle is ALL identical-text pairs, not just the planted ones:
     // larger scale factors contain natural exact duplicates (sf0.1 has 8),

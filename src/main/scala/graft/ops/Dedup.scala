@@ -302,6 +302,101 @@ object Dedup {
       pruneVerify)
   }
 
+  /** EXACT n-gram Jaccard similarity join via prefix filtering (the
+    * AllPairs/PPJoin family: Bayardo, Ma, Srikant WWW'07; Xiao et al.
+    * WWW'08) — returns EVERY pair with Jaccard(shingles(a), shingles(b))
+    * >= threshold, with guaranteed 100% recall. This is the exact
+    * counterpart of [[minhashPairs]] (whose LSH banding is probabilistic
+    * and can miss borderline pairs): same shingle semantics, same output
+    * shape, no false negatives.
+    *
+    * Algorithm: tokens (64-bit shingle hashes) are globally ordered by
+    * (document frequency asc, hash asc). A pair with Jaccard >= t must
+    * share at least `ceil(t * |x|)` tokens with each member x, so the
+    * first `|x| - ceil(t * |x|) + 1` tokens of each document under the
+    * global order (its PREFIX) must intersect the other's prefix —
+    * candidates are found by an equi-join on prefix tokens only, then
+    * verified with exact Jaccard over the full sorted hash arrays.
+    *
+    * Scale shape (100 TB): never all-pairs. The prefix join shuffles only
+    * (token, id, size) triples for ~(1-t) of each document's tokens, and
+    * rarest-first ordering makes prefix tokens the globally rarest —
+    * join buckets stay tiny and skew-free even when the corpus shares
+    * boilerplate shingles (the classic AllPairs ordering doubles as skew
+    * mitigation). The df computation and the window rank are both linear
+    * one-shuffle passes. Verification ships 8 bytes per distinct shingle
+    * of candidate documents only.
+    *
+    * Floating-point hygiene: the prefix length and size filter use a
+    * 1e-9-slack ceil/compare so IEEE rounding of `t * size` can only
+    * LENGTHEN a prefix (extra candidates, never a missed pair).
+    *
+    * @param persistShingleTable cache the (id, size, hashes) projection
+    *        (consumed by both the prefix pass and the two verify joins).
+    *        Default true; pass false at corpus scales where caching a
+    *        corpus-sized table is worse than recomputing shingles per
+    *        consumer.
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      persistShingleTable: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+
+    val base = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    val docs0 = base.select(
+      col("id"),
+      graft.functions.shingle_hashes(col("t"), shingleN).as("hs"))
+      .withColumn("sz", size(col("hs")))
+    val docs =
+      if (persistShingleTable)
+        docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else docs0
+
+    val toks = docs.select(col("id"), col("sz"), explode(col("hs")).as("tok"))
+    // global token order: rarest first. Any total order is CORRECT for
+    // prefix filtering; rarest-first minimizes candidate fan-out.
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = toks.join(dfreq, "tok")
+    val byGlobalOrder = Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))
+    // prefix length |x| - ceil(t*|x|) + 1; slack ceil so rounding can
+    // only lengthen the prefix
+    val prefLen = col("sz") - ceil(col("sz") * threshold - lit(1e-9)) + 1
+    val prefix = ranked
+      .withColumn("rn", row_number().over(byGlobalOrder))
+      .filter(col("rn") <= prefLen)
+      .select(col("tok"), col("id"), col("sz"))
+
+    // candidate pairs: prefixes sharing a token, pre-pruned by the size
+    // bound min >= t * max (J >= t forces |A intersect B| >= t*max(|A|,|B|)).
+    // Distinct column names on the two sides — a raw self-join on `tok`
+    // resolves both legs to the SAME attribute (Spark's trivially-true-
+    // predicate trap) and silently degenerates to a cross join that only
+    // the verify step would rescue.
+    val a = prefix.select(col("tok").as("tok_a"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = prefix.select(col("tok").as("tok_b"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val candidates = a.join(b,
+        col("tok_a") === col("tok_b") && col("id_a") < col("id_b") &&
+          least(col("sz_a"), col("sz_b")).cast("double") >=
+            greatest(col("sz_a"), col("sz_b")) * threshold - lit(1e-9))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    // exact verification over full sorted hash arrays
+    val shA = docs.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val shB = docs.select(col("id").as("id_b"), col("hs").as("hs_b"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard",
+        graft.functions.jaccard_sorted(col("hs_a"), col("hs_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Carry-save bit-sliced SimHash accumulator: instead of a 64-iteration
     * per-token loop over per-bit counters, each token hash ripples through
     * 64-bit counter PLANES (plane i holds bit i of every position's
@@ -671,6 +766,23 @@ object Dedup {
       maxDist: Int = 3): DataFrame = {
     val pairs = simhashPairs(df.select(col(idCol), col(textCol)), textCol, idCol,
       maxDist = maxDist).select(col("id_a"), col("id_b"))
+    val reps = clusterRepresentatives(pairs, df.select(col(idCol)), idCol)
+    df.join(reps.filter(col(idCol) === col("representative")).select(col(idCol)), Seq(idCol))
+  }
+
+  /** One-call EXACT n-gram Jaccard dedup, symmetric with [[dedupMinhash]]
+    * but with guaranteed recall: [[jaccardPairs]] (prefix-filter exact
+    * similarity join) -> connected components -> one representative per
+    * group.
+    */
+  def dedupJaccard(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      shingleN: Int = 3): DataFrame = {
+    val pairs = jaccardPairs(df.select(col(idCol), col(textCol)), textCol, idCol,
+      shingleN = shingleN, threshold = threshold).select(col("id_a"), col("id_b"))
     val reps = clusterRepresentatives(pairs, df.select(col(idCol)), idCol)
     df.join(reps.filter(col(idCol) === col("representative")).select(col(idCol)), Seq(idCol))
   }

@@ -96,6 +96,33 @@ object StreamingSketches {
         col("digest") +: qCols: _*)
   }
 
+  /** Windowed heavy hitters via Misra-Gries: per window, the serialized
+    * MG summary (for downstream `mg_union_agg` rollups, like
+    * [[windowedQuantiles]]' digest column) plus the top-`topM` entries
+    * as `array<struct<item, count_lb>>`. State per window is O(k)
+    * regardless of event rate or key cardinality; count lower bounds
+    * carry MG's deterministic guarantee (true count within
+    * `decremented_weight`), and are EXACT whenever a window's distinct
+    * keys fit in k.
+    */
+  def windowedHeavyHitters(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      k: Int = 64,
+      topM: Int = 10): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(mg_agg(col(keyCol), k).as("mg"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("mg"),
+        mg_topk(col("mg"), topM).as("top"))
+
   /** EXACT streaming deduplication by content digest: keeps the first
     * arrival of each distinct `textCol` value, drops later duplicates.
     * Built on `dropDuplicatesWithinWatermark` over a sha-256 digest, so

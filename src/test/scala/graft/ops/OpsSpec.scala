@@ -121,6 +121,66 @@ class OpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === lowPairs)
   }
 
+  test("jaccardPairs: EXACTLY the brute-force all-pairs result (recall AND precision)") {
+    // driver-side ground truth from the same kernels
+    for (threshold <- Seq(0.5, 0.8); n <- Seq(2, 3)) {
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      val hs = rows.map { case (id, t) => id -> Dedup.shingleHashKernel(t, n) }.toMap
+      val truth = (for {
+        i <- rows.indices; j <- (i + 1) until rows.length
+        a = math.min(rows(i)._1, rows(j)._1); b = math.max(rows(i)._1, rows(j)._1)
+        jac = Dedup.jaccardSortedKernel(hs(a).toSeq, hs(b).toSeq)
+        if jac >= threshold
+        // Spark round() = HALF_UP decimal rounding, not rint
+        rounded = BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      } yield (a, b, rounded)).toSet
+      val got = Dedup.jaccardPairs(docs, "text", "doc_id", shingleN = n,
+          threshold = threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === truth,
+        s"n=$n t=$threshold missing=${truth -- got} extra=${got -- truth}")
+      assert(truth.nonEmpty, s"vacuous test at n=$n t=$threshold")
+    }
+  }
+
+  test("jaccardPairs: candidate generation is an equi-join on prefix tokens, never cartesian") {
+    val plan = Dedup.jaccardPairs(docs, "text", "doc_id", threshold = 0.7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix self-join degenerated to a cross join:\n$plan")
+  }
+
+  test("jaccardPairs: threshold 1.0 finds exactly the identical-shingle-set pairs") {
+    val got = Dedup.jaccardPairs(docs, "text", "doc_id", threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((2000L, 2001L)))
+  }
+
+  test("jaccardPairs: short/empty texts collapse to whole-text shingles, no crash") {
+    val tiny = Seq((1L, "a b"), (2L, "a b"), (3L, ""), (4L, "   "), (5L, "solo"))
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(tiny, "text", "doc_id", threshold = 0.9,
+        persistShingleTable = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // "" and "   " both shingle to [""] — jaccard 1.0; "a b" pair identical
+    assert(got === Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("dedupJaccard one-call: exact recall keeps only component representatives") {
+    val out = Dedup.dedupJaccard(docs, "text", "doc_id", threshold = 0.7)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    // every planted near-dup (threshold-0.7 jaccard with its base) and the
+    // exact dup must be gone; their base representatives stay
+    val plantedPairs = Dedup.jaccardPairs(docs, "text", "doc_id", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(plantedPairs.nonEmpty)
+    plantedPairs.foreach { case (a, b) =>
+      assert(kept.contains(a) ^ kept.contains(b) || (!kept.contains(a) && !kept.contains(b)),
+        s"pair ($a,$b) not deduplicated")
+    }
+    assert(!kept.contains(2001L) && kept.contains(2000L))
+  }
+
   test("bit-sliced simhash accumulator equals the per-bit reference, incl. ties") {
     // reference implementation: the straightforward signed per-bit
     // counters (the pre-optimization kernel) — the carry-save planes

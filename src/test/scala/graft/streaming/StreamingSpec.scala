@@ -113,6 +113,37 @@ class StreamingSpec extends SparkTestBase {
     assert(dg.count > 0)
   }
 
+  test("windowed heavy hitters: exact per-window counts when distinct <= k, mg blob unions") {
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "key")
+    val q = StreamingSketches.windowedHeavyHitters(
+      events, "ts", "key", "10 minutes", "0 seconds", k = 8, topM = 5)
+      .writeStream.format("memory").queryName("whh").outputMode("complete").start()
+    // window 1: a x30, b x12, c x5; window 2: a x7, d x9
+    input.addData(
+      (0 until 30).map(i => (ts(i % 10), "a")) ++
+      (0 until 12).map(i => (ts(i % 10), "b")) ++
+      (0 until 5).map(i => (ts(i % 10), "c")) ++
+      (0 until 7).map(i => (ts(10 + i % 10), "a")) ++
+      (0 until 9).map(i => (ts(10 + i % 10), "d")): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("whh").collect()
+    val byStart = rows.map(r => r.getTimestamp(0) ->
+      r.getSeq[org.apache.spark.sql.Row](3).map(e => e.getString(0) -> e.getLong(1)).toMap).toMap
+    assert(byStart(Timestamp.valueOf("2026-01-01 10:00:00")) ===
+      Map("a" -> 30L, "b" -> 12L, "c" -> 5L))
+    assert(byStart(Timestamp.valueOf("2026-01-01 10:10:00")) ===
+      Map("a" -> 7L, "d" -> 9L))
+    // the mg column rolls windows up via mg_union_agg with exact totals
+    val total = spark.table("whh").agg(
+        graft.functions.mg_topk(graft.functions.mg_union_agg(col("mg")), 5).as("t"))
+      .select(explode(col("t")).as("e"))
+      .select(col("e.item"), col("e.count_lb")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(total === Map("a" -> 37L, "b" -> 12L, "c" -> 5L, "d" -> 9L))
+  }
+
   test("firstSeen state survives query restart from checkpoint") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
     val input = MemoryStream[StreamingSketches.KeyedEvent]
