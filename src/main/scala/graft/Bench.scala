@@ -216,6 +216,47 @@ object Bench {
       } finally s3.stop()
     }
 
+    // -------- part 1c: grouped HLL at high cardinality — the SPARSE
+    // buffer payoff: per-group agg-buffer and partial-shuffle bytes
+    // proportional to the keys each group actually saw, not 2^p. Records
+    // wall time plus MEASURED partial-shuffle write bytes vs the
+    // dense-equivalent arithmetic (groups x (6 + 2^p) wire bytes).
+    val hllHighcardJson = {
+      val s3 = session(cpus)
+      graft.sql.Registry.register(s3)
+      try {
+        val rows = 8000000L
+        val nGroups = 200000
+        val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (e.taskMetrics != null)
+              shuffleBytes.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+        def df() = s3.range(0L, rows, 1L, cpus)
+          .select((col("id") % nGroups).as("g"), col("id").as("k"))
+          .groupBy(col("g"))
+          .agg(hll_agg(col("k")).as("h"))
+        def run(): Double = {
+          val (cnt, sec) = time(df().queryExecution.toRdd.count())
+          require(cnt == nGroups, s"grouped hll returned $cnt groups")
+          sec
+        }
+        run() // warm
+        s3.sparkContext.addSparkListener(listener)
+        val first = run()
+        org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(s3)
+        s3.sparkContext.removeSparkListener(listener)
+        val measuredMb = shuffleBytes.get / 1e6
+        val secs = first +: (2 to math.max(2, reps)).map(_ => run())
+        val denseEquivMb = nGroups.toLong * (6L + (1L << graft.core.Hll.DefaultP)) / 1e6
+        s"""{"rows":$rows,"groups":$nGroups,"sec":${"%.3f".format(secs.min)},""" +
+          s""""partial_shuffle_mb":${"%.1f".format(measuredMb)},""" +
+          s""""dense_equiv_partial_mb":${"%.1f".format(denseEquivMb)}}"""
+      } finally s3.stop()
+    }
+
     // -------- part 2: north-rule scaling protocol (interleaved medians)
     val levels = (Seq(2, 8, 32).filter(_ <= cpus) :+ cpus).distinct.sorted
 
@@ -307,6 +348,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fails,""" +
         s""""query_passes":${passTotals.map(t => "%.3f".format(t)).mkString("[", ",", "]")},""" +
-        s""""sf":"$sfDir","sketch_agg_highcard":$sketchAggJson,"bloom_build":$bloom}""")
+        s""""sf":"$sfDir","sketch_agg_highcard":$sketchAggJson,""" +
+        s""""hll_highcard_sparse":$hllHighcardJson,"bloom_build":$bloom}""")
   }
 }

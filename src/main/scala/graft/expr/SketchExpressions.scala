@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
-import graft.core.{CountMin, Hll, Kll, TDigest}
+import graft.core.{CountMin, CountMinBuffer, Hll, HllBuffer, Kll, TDigest}
 
 /** Sibling mergeable sketches (north rule, SURVEY.md §7.4) — the same
   * TypedImperativeAggregate shape the SBBF establishes: per-partition
@@ -20,13 +20,20 @@ import graft.core.{CountMin, Hll, Kll, TDigest}
 
 /** `hll_agg(key_hash, p) -> binary` — distinct-count sketch, merge =
   * register-wise max (idempotent: safe under replay and re-aggregation).
+  *
+  * The aggregation buffer is the memory-adaptive [[HllBuffer]]: sparse
+  * (bytes proportional to observed distinct keys) until it pays to go
+  * dense — at high group cardinality this is the difference between
+  * 16 KB and tens of bytes per group in both the agg map AND the
+  * partial-row shuffle (the wire codec is sparse-aware too). Output is
+  * content-canonical: identical bytes to a dense build of the same set.
   */
 case class HllAgg(
     child: Expression,
     pExpr: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Hll] {
+  extends TypedImperativeAggregate[HllBuffer] {
 
   private lazy val p: Int = pExpr.eval() match {
     case d: Decimal => d.toInt
@@ -45,16 +52,16 @@ case class HllAgg(
       TypeCheckResult.TypeCheckFailure("precision must be a constant")
     else TypeCheckResult.TypeCheckSuccess
 
-  override def createAggregationBuffer(): Hll = Hll.empty(p)
-  override def update(buffer: Hll, input: InternalRow): Hll = {
+  override def createAggregationBuffer(): HllBuffer = HllBuffer.empty(p)
+  override def update(buffer: HllBuffer, input: InternalRow): HllBuffer = {
     val v = child.eval(input)
     if (v != null) buffer.addHash(v.asInstanceOf[Long])
     buffer
   }
-  override def merge(buffer: Hll, other: Hll): Hll = buffer.merge(other)
-  override def eval(buffer: Hll): Any = buffer.toBytes
-  override def serialize(buffer: Hll): Array[Byte] = buffer.toBytes
-  override def deserialize(bytes: Array[Byte]): Hll = Hll.fromBytes(bytes)
+  override def merge(buffer: HllBuffer, other: HllBuffer): HllBuffer = buffer.mergeIn(other)
+  override def eval(buffer: HllBuffer): Any = buffer.toBytes
+  override def serialize(buffer: HllBuffer): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): HllBuffer = HllBuffer.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(o: Int): HllAgg = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): HllAgg = copy(inputAggBufferOffset = o)
@@ -165,6 +172,13 @@ object HllIntersectEstimate {
 
 /** `cms_agg(key_hash, eps, delta) -> binary` — frequency sketch, merge =
   * cell-wise add.
+  *
+  * The aggregation buffer is the memory-adaptive [[CountMinBuffer]]
+  * (same design as [[HllBuffer]]): touched cells in a small hash table
+  * until the dense depth x width matrix pays for itself — at high group
+  * cardinality this shrinks both the agg map and the partial-row shuffle
+  * from ~8 bytes/cell (106 KB at eps=1e-3, delta=1e-2) to ~12 wire bytes
+  * per TOUCHED cell. Output is content-canonical either way.
   */
 case class CmsAgg(
     child: Expression,
@@ -172,7 +186,7 @@ case class CmsAgg(
     deltaExpr: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[CountMin] {
+  extends TypedImperativeAggregate[CountMinBuffer] {
 
   private def num(e: Expression): Double = e.eval() match {
     case d: Decimal => d.toDouble
@@ -193,16 +207,17 @@ case class CmsAgg(
       TypeCheckResult.TypeCheckFailure("eps and delta must be constants")
     else TypeCheckResult.TypeCheckSuccess
 
-  override def createAggregationBuffer(): CountMin = CountMin.forError(eps, delta)
-  override def update(buffer: CountMin, input: InternalRow): CountMin = {
+  override def createAggregationBuffer(): CountMinBuffer = CountMinBuffer.forError(eps, delta)
+  override def update(buffer: CountMinBuffer, input: InternalRow): CountMinBuffer = {
     val v = child.eval(input)
     if (v != null) buffer.addHash(v.asInstanceOf[Long])
     buffer
   }
-  override def merge(buffer: CountMin, other: CountMin): CountMin = buffer.merge(other)
-  override def eval(buffer: CountMin): Any = buffer.toBytes
-  override def serialize(buffer: CountMin): Array[Byte] = buffer.toBytes
-  override def deserialize(bytes: Array[Byte]): CountMin = CountMin.fromBytes(bytes)
+  override def merge(buffer: CountMinBuffer, other: CountMinBuffer): CountMinBuffer =
+    buffer.mergeIn(other)
+  override def eval(buffer: CountMinBuffer): Any = buffer.toBytes
+  override def serialize(buffer: CountMinBuffer): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): CountMinBuffer = CountMinBuffer.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(o: Int): CmsAgg = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): CmsAgg = copy(inputAggBufferOffset = o)

@@ -58,20 +58,20 @@ object PartitionSketcher {
   }
 
   def hll(p: Int = Hll.DefaultP): PartitionSketcher = new HashedKernel {
-    def newBuffer(): AnyRef = Hll.empty(p)
+    def newBuffer(): AnyRef = graft.core.HllBuffer.empty(p)
     def update(b: AnyRef, row: InternalRow): Unit =
-      b.asInstanceOf[Hll].addHash(row.getLong(0))
-    def toBytes(b: AnyRef): Array[Byte] = b.asInstanceOf[Hll].toBytes
+      b.asInstanceOf[graft.core.HllBuffer].addHash(row.getLong(0))
+    def toBytes(b: AnyRef): Array[Byte] = b.asInstanceOf[graft.core.HllBuffer].toBytes
     def unionAgg(c: Column): Column = graft.functions.hll_union_agg(c)
     def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
       Hll.fromBytes(a).merge(Hll.fromBytes(b)).toBytes
   }
 
   def cms(eps: Double, delta: Double): PartitionSketcher = new HashedKernel {
-    def newBuffer(): AnyRef = CountMin.forError(eps, delta)
+    def newBuffer(): AnyRef = graft.core.CountMinBuffer.forError(eps, delta)
     def update(b: AnyRef, row: InternalRow): Unit =
-      b.asInstanceOf[CountMin].addHash(row.getLong(0))
-    def toBytes(b: AnyRef): Array[Byte] = b.asInstanceOf[CountMin].toBytes
+      b.asInstanceOf[graft.core.CountMinBuffer].addHash(row.getLong(0))
+    def toBytes(b: AnyRef): Array[Byte] = b.asInstanceOf[graft.core.CountMinBuffer].toBytes
     def unionAgg(c: Column): Column = cms_union_agg(c)
     def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
       CountMin.fromBytes(a).merge(CountMin.fromBytes(b)).toBytes

@@ -45,6 +45,113 @@ class SketchSpec extends AnyFunSuite {
     intercept[SbbfFormatException](Hll.fromBytes(Array[Byte](1, 2)))
   }
 
+  test("HllBuffer: byte-identical to the dense build at every cardinality (incl. promote boundary)") {
+    for (p <- Seq(4, 12, 14); n <- Seq(0, 1, 3, 50, 1000, 5000, 60000)) {
+      val buf = HllBuffer.empty(p)
+      val dense = Hll.empty(p)
+      var i = 0
+      while (i < n) {
+        val h = Hashing.hashLong(i * 7919L + p)
+        buf.addHash(h); dense.addHash(h)
+        i += 1
+      }
+      assert(java.util.Arrays.equals(buf.toBytes, dense.toBytes),
+        s"p=$p n=$n sparse=${buf.isSparse}")
+      assert(buf.estimate === dense.estimate)
+      assert(buf.toHll === dense)
+    }
+    // low-cardinality sketches must actually BE sparse on the wire
+    val small = HllBuffer.empty(14)
+    (0 until 100).foreach(i => small.addHash(Hashing.hashLong(i)))
+    assert(small.isSparse && small.toBytes.length < 600,
+      s"expected sparse wire, got ${small.toBytes.length} bytes")
+    // high-cardinality ones must promote and encode dense
+    val big = HllBuffer.empty(12)
+    (0 until 60000).foreach(i => big.addHash(Hashing.hashLong(i)))
+    assert(!big.isSparse && big.toBytes.length === 6 + 4096)
+  }
+
+  test("HllBuffer: merges across sparse/dense representations are canonical") {
+    val r = rng(7)
+    val p = 12
+    // four chunks of very different sizes -> mixed representations
+    val chunks = Seq(5, 40, 3000, 20000).map { n =>
+      Array.fill(n)(r.nextLong())
+    }
+    val union = Hll.empty(p)
+    chunks.foreach(_.foreach(union.addHash))
+    val expected = union.toBytes
+    // every permutation of pairwise mergeIn over buffers round-tripped
+    // through the wire (the shuffle path) must reproduce the same bytes
+    for (perm <- chunks.permutations.take(12)) {
+      val bufs = perm.map { ch =>
+        val b = HllBuffer.empty(p); ch.foreach(b.addHash)
+        HllBuffer.fromBytes(b.toBytes) // wire round-trip like a shuffle
+      }
+      val merged = bufs.reduce((a, b) => a.mergeIn(b))
+      assert(java.util.Arrays.equals(merged.toBytes, expected))
+    }
+    // mixed-version wire: dense v1 bytes of a sparse-content sketch must
+    // still decode and merge (old artifacts stay readable)
+    val sparseContent = Hll.empty(p)
+    (0 until 10).foreach(i => sparseContent.addHash(Hashing.hashLong(i)))
+    val denseV1 = {
+      val out = new Array[Byte](6 + (1 << p))
+      out(0) = 'G'; out(1) = 'H'; out(2) = 'L'; out(3) = 'L'; out(4) = 1; out(5) = p.toByte
+      System.arraycopy(sparseContent.registers, 0, out, 6, 1 << p)
+      out
+    }
+    assert(Hll.fromBytes(denseV1) === sparseContent)
+    // canonical re-encode of v1 input emits the sparse form
+    assert(Hll.fromBytes(denseV1).toBytes.length === 10 + 4 * 10)
+  }
+
+  test("HllBuffer: v2 wire in the promote window (promoteAt < count < cutoff) decodes") {
+    // p=12: promoteAt=512, sparse cutoff=1023 — a v2 blob with ~800
+    // entries promotes MID-decode; regression for the null-table NPE
+    val p = 12
+    val dense = Hll.empty(p)
+    var i = 0L
+    var c = 0
+    while (c < 800) {
+      val before = c
+      dense.addHash(Hashing.hashLong(i))
+      c = dense.registers.count(_ != 0)
+      if (c == before) () // collision, keep going
+      i += 1
+    }
+    val bytes = dense.toBytes
+    assert(bytes(4) === 2.toByte, "expected sparse v2 in the promote window")
+    val buf = HllBuffer.fromBytes(bytes)
+    assert(!buf.isSparse, "expected promotion during decode")
+    assert(java.util.Arrays.equals(buf.toBytes, bytes))
+    assert(buf.toHll === dense)
+  }
+
+  test("HLL sparse v2 codec validation") {
+    val b = HllBuffer.empty(12)
+    (0 until 50).foreach(i => b.addHash(Hashing.hashLong(i)))
+    val bytes = b.toBytes
+    assert(bytes(4) === 2.toByte)
+    assert(Hll.fromBytes(bytes).toBytes.sameElements(bytes)) // round-trip canonical
+    intercept[SbbfFormatException](Hll.fromBytes(bytes.dropRight(1)))
+    intercept[SbbfFormatException](Hll.fromBytes(bytes ++ Array[Byte](0)))
+    // non-ascending entries rejected (canonicality guard)
+    val swapped = bytes.clone()
+    val tmp = swapped.slice(10, 14)
+    Array.copy(swapped, 14, swapped, 10, 4)
+    Array.copy(tmp, 0, swapped, 14, 4)
+    intercept[SbbfFormatException](Hll.fromBytes(swapped))
+    // rank 0 entry rejected
+    val zeroRank = bytes.clone()
+    zeroRank(13) = (zeroRank(13) & 0xc0).toByte
+    intercept[SbbfFormatException](Hll.fromBytes(zeroRank))
+    // count out of range rejected
+    val badCount = bytes.clone()
+    badCount(6) = 0x7f.toByte
+    intercept[SbbfFormatException](Hll.fromBytes(badCount))
+  }
+
   test("HLL small-range linear counting is near-exact") {
     val h = Hll.empty()
     (0 until 50).foreach(i => h.addHash(Hashing.hashString(s"s$i")))
@@ -86,6 +193,92 @@ class SketchSpec extends AnyFunSuite {
     assert(c2 === cms)
     intercept[SbbfFormatException](CountMin.fromBytes(cms.toBytes.dropRight(3)))
     intercept[SbbfFormatException](CountMin.fromBytes("bogus".getBytes))
+  }
+
+  test("CountMinBuffer: byte-identical to the dense build at every cardinality") {
+    for ((eps, delta) <- Seq((0.01, 0.01), (0.001, 0.01));
+         n <- Seq(0, 1, 10, 200, 3000, 50000)) {
+      val buf = CountMinBuffer.forError(eps, delta)
+      val dense = CountMin.forError(eps, delta)
+      var i = 0
+      while (i < n) {
+        val h = Hashing.hashLong(i % (n / 3 + 1))
+        buf.addHash(h); dense.addHash(h)
+        i += 1
+      }
+      assert(java.util.Arrays.equals(buf.toBytes, dense.toBytes),
+        s"eps=$eps n=$n sparse=${buf.isSparse}")
+      assert(buf.total === dense.total)
+      assert(buf.toCountMin === dense)
+      // point queries agree in both representations
+      (0 until 20).foreach { k =>
+        assert(buf.queryHash(Hashing.hashLong(k)) === dense.queryHash(Hashing.hashLong(k)))
+      }
+    }
+    // low-cardinality: sparse on the wire, far below the dense size
+    val small = CountMinBuffer.forError(0.001, 0.01) // dense = 106 KB
+    (0 until 300).foreach(i => small.addHash(Hashing.hashLong(i % 10)))
+    assert(small.isSparse && small.toBytes.length < 1000,
+      s"expected sparse wire, got ${small.toBytes.length} bytes")
+  }
+
+  test("CountMinBuffer: merges across sparse/dense representations are canonical") {
+    val r = rng(11)
+    val (eps, delta) = (0.01, 0.05) // cells = 272*3
+    val chunks = Seq(3, 25, 400, 5000).map(n => Array.fill(n)(r.nextLong()))
+    val union = CountMin.forError(eps, delta)
+    chunks.foreach(_.foreach(h => union.addHash(h)))
+    val expected = union.toBytes
+    for (perm <- chunks.permutations.take(12)) {
+      val bufs = perm.map { ch =>
+        val b = CountMinBuffer.forError(eps, delta); ch.foreach(h => b.addHash(h))
+        CountMinBuffer.fromBytes(b.toBytes) // wire round-trip like a shuffle
+      }
+      val merged = bufs.reduce((a, b) => a.mergeIn(b))
+      assert(java.util.Arrays.equals(merged.toBytes, expected))
+      assert(merged.total === union.total)
+    }
+  }
+
+  test("CountMinBuffer: v2 wire in the promote window (promoteAt < count < cutoff) decodes") {
+    // cells=816 at (0.01, 0.05): promoteAt=272, cutoff=543 — a v2 blob in
+    // between promotes MID-decode; regression for the null-keys NPE
+    val dense = CountMin.forError(0.01, 0.05)
+    var i = 0L
+    while (dense.counters.count(_ != 0L) < 400) {
+      dense.addHash(Hashing.hashLong(i)); i += 1
+    }
+    val bytes = dense.toBytes
+    assert(bytes(4) === 2.toByte, "expected sparse v2 in the promote window")
+    val buf = CountMinBuffer.fromBytes(bytes)
+    assert(!buf.isSparse, "expected promotion during decode")
+    assert(java.util.Arrays.equals(buf.toBytes, bytes))
+    assert(buf.total === dense.total)
+  }
+
+  test("CMS sparse v2 codec validation") {
+    val b = CountMinBuffer.forError(0.001, 0.01)
+    (0 until 50).foreach(i => b.addHash(Hashing.hashLong(i % 7)))
+    val bytes = b.toBytes
+    assert(bytes(4) === 2.toByte)
+    assert(CountMin.fromBytes(bytes).toBytes.sameElements(bytes))
+    assert(CountMin.fromBytes(bytes).total === 50L)
+    intercept[SbbfFormatException](CountMin.fromBytes(bytes.dropRight(1)))
+    intercept[SbbfFormatException](CountMin.fromBytes(bytes ++ Array[Byte](0)))
+    // non-ascending cells rejected
+    val swapped = bytes.clone()
+    val tmp = swapped.slice(25, 37)
+    Array.copy(swapped, 37, swapped, 25, 12)
+    Array.copy(tmp, 0, swapped, 37, 12)
+    intercept[SbbfFormatException](CountMin.fromBytes(swapped))
+    // zero-valued sparse cell rejected (canonical form omits them)
+    val zeroVal = bytes.clone()
+    java.util.Arrays.fill(zeroVal, 29, 37, 0.toByte)
+    intercept[SbbfFormatException](CountMin.fromBytes(zeroVal))
+    // count out of range rejected
+    val badCount = bytes.clone()
+    badCount(21) = 0x7f.toByte
+    intercept[SbbfFormatException](CountMin.fromBytes(badCount))
   }
 
   // --------------------------------------------------------------- t-digest
