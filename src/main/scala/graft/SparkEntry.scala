@@ -884,6 +884,20 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Deterministic content-hash train/val/test split: the label is a
+    // pure function of (key, salt) via sha256-hex threshold comparison —
+    // all builtin codegen expressions, and DuckDB recomputes the IDENTICAL
+    // assignment (same sha256, same hex thresholds), so per-split counts
+    // AND xor-membership match exactly.
+    "dataset_split" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      graft.ops.DataSplit.assign(docs.select(col("doc_id")), "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), salt = "graft")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("cnt"), expr("bit_xor(doc_id)").as("id_xor"))
+        .orderBy(col("split"))
+    },
+
     // Near-dup CLUSTERS: pairs are not a dedup decision — duplicates are
     // transitive — so the minhash pairs feed connected components and
     // every doc maps to its component-min representative. DuckDB
@@ -1310,6 +1324,22 @@ object SparkEntry {
         |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
         |      len(list_distinct(list_concat(a.s, b.s))) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
+    // identical sha256 + hex-threshold arithmetic recomputed in DuckDB —
+    // the thresholds interpolated below come from the same scanLeft the
+    // Spark CASE chain uses, so boundary doubles agree bit-for-bit
+    "dataset_split" -> {
+      val fracs = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+      val cums = fracs.scanLeft(0.0)(_ + _._2).tail
+      val t1 = graft.ops.DataSplit.hexThreshold(cums(0))
+      val t2 = graft.ops.DataSplit.hexThreshold(cums(1))
+      s"""SELECT CASE
+         |  WHEN sha256(CAST(doc_id AS VARCHAR) || 'graft') < '$t1' THEN 'train'
+         |  WHEN sha256(CAST(doc_id AS VARCHAR) || 'graft') < '$t2' THEN 'val'
+         |  ELSE 'test' END AS split,
+         |count(*) AS cnt, bit_xor(doc_id) AS id_xor
+         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+    },
+
     // exact similarity join: the oracle IS the definition — all-pairs
     // 3-gram Jaccard >= 0.6 — and must match exactly (guaranteed recall,
     // not banding luck)

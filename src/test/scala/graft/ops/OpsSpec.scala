@@ -121,6 +121,48 @@ class OpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === lowPairs)
   }
 
+  test("DataSplit: deterministic, partition-invariant, fraction-accurate, salt-sensitive") {
+    val n = 10000
+    val ids = (0 until n).map(_.toLong).toDF("id")
+    val fracs = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val a = DataSplit.assign(ids, "id", fracs, "s1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // partition-invariant and order-invariant: same labels after reshuffle
+    val b = DataSplit.assign(ids.repartition(17).orderBy(col("id").desc), "id", fracs, "s1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    // exhaustive + sized within 4-sigma binomial bounds
+    assert(a.size === n)
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    for ((label, f) <- fracs) {
+      val dev = 4 * math.sqrt(n * f * (1 - f))
+      assert(math.abs(counts(label) - n * f) <= dev, s"$label: ${counts(label)}")
+    }
+    // salt re-rolls assignments
+    val c = DataSplit.assign(ids, "id", fracs, "s2")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.exists { case (k, v) => c(k) != v })
+    // select == assign-then-filter, original columns only
+    val train = DataSplit.select(ids, "id", fracs, "train", "s1")
+    assert(train.columns.toSeq === Seq("id"))
+    assert(train.collect().map(_.getLong(0)).toSet === a.collect { case (k, "train") => k }.toSet)
+  }
+
+  test("DataSplit: hex thresholds and validation") {
+    assert(DataSplit.hexThreshold(0.5) === "8" * 1 + "0" * 63)
+    assert(DataSplit.hexThreshold(0.25) === "4" + "0" * 63)
+    assert(DataSplit.hexThreshold(0.0) === "0" * 64)
+    intercept[IllegalArgumentException](
+      DataSplit.assign(docs, "doc_id", Seq(("a", 0.5), ("b", 0.4))))
+    intercept[IllegalArgumentException](
+      DataSplit.assign(docs, "doc_id", Seq(("a", 0.5), ("a", 0.5))))
+    intercept[IllegalArgumentException](
+      DataSplit.select(docs, "doc_id", Seq(("a", 0.5), ("b", 0.5)), "zzz"))
+    // single split: everything labeled
+    val one = DataSplit.assign(docs, "doc_id", Seq(("all", 1.0)))
+    assert(one.filter(col("split") === "all").count() === docs.count())
+  }
+
   test("jaccardPairs: EXACTLY the brute-force all-pairs result (recall AND precision)") {
     // driver-side ground truth from the same kernels
     for (threshold <- Seq(0.5, 0.8); n <- Seq(2, 3)) {
