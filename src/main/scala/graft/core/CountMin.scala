@@ -152,7 +152,8 @@ object CountMin {
     buf(off + 3) = v.toByte
   }
 
-  def fromBytes(data: Array[Byte]): CountMin = {
+  /** Validate magic/version/dimensions; returns (depth, width, total). */
+  private[core] def validateHeader(data: Array[Byte]): (Int, Int, Long) = {
     def fail(msg: String) = throw new SbbfFormatException(msg)
     if (data.length < 21) fail("Invalid CMS data: too short for header")
     if (data(0) != 'G' || data(1) != 'C' || data(2) != 'M' || data(3) != 'S')
@@ -163,10 +164,39 @@ object CountMin {
     val width = readBE32(data, 9)
     if (depth <= 0 || width <= 0) fail("Invalid CMS data: non-positive dimensions")
     if (depth.toLong * width > Int.MaxValue) fail("Invalid CMS data: dimensions overflow")
-    val total = Sbbf.readBE64(data, 13)
+    (depth, width, Sbbf.readBE64(data, 13))
+  }
+
+  /** Validate and stream a sparse v2 payload's (cellIdx, value) pairs. */
+  private[core] def forEachSparseCell(
+      data: Array[Byte], cells: Int)(sink: (Int, Long) => Unit): Unit = {
+    def fail(msg: String) = throw new SbbfFormatException(msg)
+    if (data.length < 25) fail("Invalid CMS data: too short for sparse header")
+    val c = readBE32(data, 21)
+    if (c < 0 || c >= sparseCutoff(cells))
+      fail(s"Invalid CMS data: sparse count $c out of range")
+    if (data.length.toLong != 25L + 12L * c)
+      fail(s"Invalid CMS data: expected ${25L + 12L * c} bytes, got ${data.length}")
+    var prev = -1
+    var i = 0
+    while (i < c) {
+      val idx = readBE32(data, 25 + 12 * i)
+      val v = Sbbf.readBE64(data, 29 + 12 * i)
+      if (idx < 0 || idx >= cells) fail(s"Invalid CMS data: cell index $idx out of range")
+      if (idx <= prev) fail("Invalid CMS data: sparse cells not strictly ascending")
+      if (v == 0L) fail("Invalid CMS data: sparse zero cell")
+      prev = idx
+      sink(idx, v)
+      i += 1
+    }
+  }
+
+  def fromBytes(data: Array[Byte]): CountMin = {
+    def fail(msg: String) = throw new SbbfFormatException(msg)
+    val (depth, width, total) = validateHeader(data)
     val cells = depth * width
     val counters = new Array[Long](cells)
-    if (version == 1) {
+    if (data(4) == 1) {
       val expected = 21L + cells.toLong * 8
       if (data.length.toLong != expected)
         fail(s"Invalid CMS data: expected $expected bytes, got ${data.length}")
@@ -176,24 +206,7 @@ object CountMin {
         i += 1
       }
     } else {
-      if (data.length < 25) fail("Invalid CMS data: too short for sparse header")
-      val c = readBE32(data, 21)
-      if (c < 0 || c >= sparseCutoff(cells))
-        fail(s"Invalid CMS data: sparse count $c out of range")
-      if (data.length.toLong != 25L + 12L * c)
-        fail(s"Invalid CMS data: expected ${25L + 12L * c} bytes, got ${data.length}")
-      var prev = -1
-      var i = 0
-      while (i < c) {
-        val idx = readBE32(data, 25 + 12 * i)
-        val v = Sbbf.readBE64(data, 29 + 12 * i)
-        if (idx < 0 || idx >= cells) fail(s"Invalid CMS data: cell index $idx out of range")
-        if (idx <= prev) fail("Invalid CMS data: sparse cells not strictly ascending")
-        if (v == 0L) fail("Invalid CMS data: sparse zero cell")
-        prev = idx
-        counters(idx) = v
-        i += 1
-      }
+      forEachSparseCell(data, cells)((idx, v) => counters(idx) = v)
     }
     new CountMin(depth, width, counters, total)
   }
@@ -228,10 +241,6 @@ final class CountMinBuffer private (val depth: Int, val width: Int)
 
   def isSparse: Boolean = dense == null
   def total: Long = if (dense == null) totalCount else dense.total
-
-  /** Approximate live heap bytes — used by flush byte-budget sampling. */
-  def byteSize: Long =
-    if (dense == null) 64L + 12L * keys.length else 64L + 8L * cells
 
   def addHash(hash: Long, count: Long = 1L): Unit = {
     if (dense != null) { dense.addHash(hash, count); return }
@@ -432,9 +441,15 @@ final class CountMinBuffer private (val depth: Int, val width: Int)
 object CountMinBuffer {
   private val InitialCapacity = 16 // power of two
 
+  /** Same geometry as [[CountMin.forError]] WITHOUT allocating the dense
+    * matrix — this runs once per group buffer (audited constant).
+    */
   def forError(eps: Double, delta: Double): CountMinBuffer = {
-    val proto = CountMin.forError(eps, delta)
-    new CountMinBuffer(proto.depth, proto.width)
+    require(eps > 0 && eps < 1, "eps must be in (0, 1)")
+    require(delta > 0 && delta < 1, "delta must be in (0, 1)")
+    val width = math.ceil(math.E / eps).toInt
+    val depth = math.ceil(math.log(1.0 / delta)).toInt.max(1)
+    empty(depth, width)
   }
 
   def empty(depth: Int, width: Int): CountMinBuffer = {
@@ -443,25 +458,28 @@ object CountMinBuffer {
     new CountMinBuffer(depth, width)
   }
 
-  /** Decode either wire version: sparse v2 stays sparse (unless past the
-    * promote cap), dense v1 stays dense.
+  /** Decode either wire version: sparse v2 decodes DIRECTLY into the
+    * sparse table — no transient dense matrix on the merge path (the 100
+    * TB final stage deserializes once per incoming partial row); dense v1
+    * stays dense. Validation matches [[CountMin.fromBytes]] exactly.
     */
   def fromBytes(data: Array[Byte]): CountMinBuffer = {
-    val cm = CountMin.fromBytes(data) // full validation
-    val b = new CountMinBuffer(cm.depth, cm.width)
-    if (data(4) == 2) {
-      var i = 0
-      while (i < cm.counters.length) {
-        if (cm.counters(i) != 0L) b.addCell(i, cm.counters(i))
-        i += 1
+    if (data.length >= 5 && data(4) == 2) {
+      val (depth, width, total) = CountMin.validateHeader(data)
+      val b = new CountMinBuffer(depth, width)
+      CountMin.forEachSparseCell(data, depth * width) { (idx, v) =>
+        b.addCell(idx, v)
       }
-      if (b.dense == null) b.totalCount = cm.total
-      else b.dense.setTotal(cm.total)
+      if (b.dense == null) b.totalCount = total
+      else b.dense.setTotal(total)
+      b
     } else {
+      val cm = CountMin.fromBytes(data) // full validation
+      val b = new CountMinBuffer(cm.depth, cm.width)
       b.dense = cm
       b.keys = null
       b.vals = null
+      b
     }
-    b
   }
 }

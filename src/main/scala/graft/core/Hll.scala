@@ -113,19 +113,17 @@ object Hll {
     var i = 0
     while (i < registers.length) { if (registers(i) != 0) c += 1; i += 1 }
     if (c < sparseCutoff(p)) {
-      val out = new Array[Byte](10 + 4 * c)
-      writeHeader(out, 2, p)
-      writeIntBE(out, 6, c)
-      var o = 10
+      val entries = new Array[Int](c)
+      var n = 0
       i = 0
       while (i < registers.length) {
         if (registers(i) != 0) {
-          writeIntBE(out, o, (i << 6) | (registers(i) & 0x3f))
-          o += 4
+          entries(n) = (i << 6) | (registers(i) & 0x3f)
+          n += 1
         }
         i += 1
       }
-      out
+      encodeSparseEntries(p, entries, c) // idx-ascending == packed-ascending
     } else {
       val out = new Array[Byte](6 + registers.length)
       writeHeader(out, 1, p)
@@ -134,12 +132,12 @@ object Hll {
     }
   }
 
-  @inline private def writeHeader(out: Array[Byte], version: Int, p: Int): Unit = {
+  @inline private[core] def writeHeader(out: Array[Byte], version: Int, p: Int): Unit = {
     out(0) = 'G'; out(1) = 'H'; out(2) = 'L'; out(3) = 'L'
     out(4) = version.toByte
     out(5) = p.toByte
   }
-  @inline private def writeIntBE(out: Array[Byte], off: Int, v: Int): Unit = {
+  @inline private[core] def writeIntBE(out: Array[Byte], off: Int, v: Int): Unit = {
     out(off) = (v >>> 24).toByte; out(off + 1) = (v >>> 16).toByte
     out(off + 2) = (v >>> 8).toByte; out(off + 3) = v.toByte
   }
@@ -147,7 +145,22 @@ object Hll {
     ((in(off) & 0xff) << 24) | ((in(off + 1) & 0xff) << 16) |
       ((in(off + 2) & 0xff) << 8) | (in(off + 3) & 0xff)
 
-  def fromBytes(data: Array[Byte]): Hll = {
+  /** Emit the sparse v2 wire for pre-sorted packed entries. */
+  private[core] def encodeSparseEntries(
+      p: Int, entries: Array[Int], count: Int): Array[Byte] = {
+    val out = new Array[Byte](10 + 4 * count)
+    writeHeader(out, 2, p)
+    writeIntBE(out, 6, count)
+    var i = 0
+    while (i < count) {
+      writeIntBE(out, 10 + 4 * i, entries(i))
+      i += 1
+    }
+    out
+  }
+
+  /** Validate magic/version/precision; returns (version, p). */
+  private[core] def validateHeader(data: Array[Byte]): (Int, Int) = {
     def fail(msg: String) = throw new SbbfFormatException(msg)
     if (data.length < 6) fail("Invalid HLL data: too short for header")
     if (data(0) != 'G' || data(1) != 'H' || data(2) != 'L' || data(3) != 'L')
@@ -156,6 +169,40 @@ object Hll {
     if (version != 1 && version != 2) fail(s"Unsupported HLL version: $version")
     val p = data(5).toInt
     if (p < 4 || p > 18) fail(s"Invalid HLL data: precision $p out of range")
+    (version.toInt, p)
+  }
+
+  /** Validate and stream a sparse v2 payload's (idx, rank) pairs. */
+  private[core] def forEachSparseEntry(
+      data: Array[Byte], p: Int)(sink: (Int, Int) => Unit): Unit = {
+    def fail(msg: String) = throw new SbbfFormatException(msg)
+    if (data.length < 10) fail("Invalid HLL data: too short for sparse header")
+    val m = 1 << p
+    val c = readIntBE(data, 6)
+    if (c < 0 || c >= sparseCutoff(p))
+      fail(s"Invalid HLL data: sparse count $c out of range for p=$p")
+    if (data.length != 10 + 4 * c)
+      fail(s"Invalid HLL data: expected ${10 + 4 * c} bytes, got ${data.length}")
+    val maxRank = 65 - p
+    var prev = -1
+    var i = 0
+    while (i < c) {
+      val e = readIntBE(data, 10 + 4 * i)
+      val idx = e >>> 6
+      val rank = e & 0x3f
+      if (idx >= m) fail(s"Invalid HLL data: sparse index $idx out of range")
+      if (rank < 1 || rank > maxRank)
+        fail(s"Invalid HLL data: sparse rank $rank out of range for p=$p")
+      if (e <= prev) fail("Invalid HLL data: sparse entries not strictly ascending")
+      prev = e
+      sink(idx, rank)
+      i += 1
+    }
+  }
+
+  def fromBytes(data: Array[Byte]): Hll = {
+    def fail(msg: String) = throw new SbbfFormatException(msg)
+    val (version, p) = validateHeader(data)
     val m = 1 << p
     val regs = new Array[Byte](m)
     if (version == 1) {
@@ -163,27 +210,7 @@ object Hll {
         fail(s"Invalid HLL data: expected ${6 + m} bytes, got ${data.length}")
       System.arraycopy(data, 6, regs, 0, m)
     } else {
-      if (data.length < 10) fail("Invalid HLL data: too short for sparse header")
-      val c = readIntBE(data, 6)
-      if (c < 0 || c >= sparseCutoff(p))
-        fail(s"Invalid HLL data: sparse count $c out of range for p=$p")
-      if (data.length != 10 + 4 * c)
-        fail(s"Invalid HLL data: expected ${10 + 4 * c} bytes, got ${data.length}")
-      val maxRank = 65 - p
-      var prev = -1
-      var i = 0
-      while (i < c) {
-        val e = readIntBE(data, 10 + 4 * i)
-        val idx = e >>> 6
-        val rank = e & 0x3f
-        if (idx >= m) fail(s"Invalid HLL data: sparse index $idx out of range")
-        if (rank < 1 || rank > maxRank)
-          fail(s"Invalid HLL data: sparse rank $rank out of range for p=$p")
-        if (e <= prev) fail("Invalid HLL data: sparse entries not strictly ascending")
-        prev = e
-        regs(idx) = rank.toByte
-        i += 1
-      }
+      forEachSparseEntry(data, p)((idx, rank) => regs(idx) = rank.toByte)
     }
     new Hll(p, regs)
   }
@@ -224,10 +251,6 @@ final class HllBuffer private (val p: Int) extends Serializable {
     while (i < dense.registers.length) { if (dense.registers(i) != 0) c += 1; i += 1 }
     c
   }
-
-  /** Approximate live heap bytes — used by flush byte-budget sampling. */
-  def byteSize: Long =
-    if (dense == null) 48L + 4L * table.length else 48L + (1 << p)
 
   def addHash(hash: Long): Unit =
     if (dense != null) dense.addHash(hash)
@@ -339,7 +362,8 @@ final class HllBuffer private (val p: Int) extends Serializable {
   def toBytes: Array[Byte] = {
     if (dense != null) Hll.encode(p, dense.registers)
     else {
-      // sparse invariant: count <= promoteAt < sparseCutoff => v2
+      // sparse invariant: count <= promoteAt < sparseCutoff => v2; one
+      // encoder (Hll.encodeSparseEntries) owns the byte layout
       val entries = new Array[Int](count)
       var i = 0
       var n = 0
@@ -348,21 +372,7 @@ final class HllBuffer private (val p: Int) extends Serializable {
         i += 1
       }
       java.util.Arrays.sort(entries) // ascending packed == ascending idx
-      val out = new Array[Byte](10 + 4 * count)
-      out(0) = 'G'; out(1) = 'H'; out(2) = 'L'; out(3) = 'L'
-      out(4) = 2
-      out(5) = p.toByte
-      out(6) = (count >>> 24).toByte; out(7) = (count >>> 16).toByte
-      out(8) = (count >>> 8).toByte; out(9) = count.toByte
-      i = 0
-      while (i < count) {
-        val e = entries(i)
-        val o = 10 + 4 * i
-        out(o) = (e >>> 24).toByte; out(o + 1) = (e >>> 16).toByte
-        out(o + 2) = (e >>> 8).toByte; out(o + 3) = e.toByte
-        i += 1
-      }
-      out
+      Hll.encodeSparseEntries(p, entries, count)
     }
   }
 
@@ -377,22 +387,24 @@ object HllBuffer {
     new HllBuffer(p)
   }
 
-  /** Decode either wire version into a buffer: sparse v2 stays sparse
-    * (unless past the promote cap), dense v1 stays dense.
+  /** Decode either wire version: sparse v2 decodes DIRECTLY into the
+    * sparse table — no transient dense array on the merge path (the
+    * final stage of a high-cardinality grouped agg deserializes once per
+    * incoming partial row); dense v1 stays dense. Validation matches
+    * [[Hll.fromBytes]] exactly.
     */
   def fromBytes(data: Array[Byte]): HllBuffer = {
-    val h = Hll.fromBytes(data) // full validation
-    val b = new HllBuffer(h.p)
-    if (data(4) == 2) {
-      var i = 0
-      while (i < h.registers.length) {
-        if (h.registers(i) != 0) b.addEntry(i, h.registers(i).toInt)
-        i += 1
-      }
+    if (data.length >= 5 && data(4) == 2) {
+      val (_, p) = Hll.validateHeader(data)
+      val b = new HllBuffer(p)
+      Hll.forEachSparseEntry(data, p)((idx, rank) => b.addEntry(idx, rank))
+      b
     } else {
+      val h = Hll.fromBytes(data) // full validation
+      val b = new HllBuffer(h.p)
       b.dense = h
       b.table = null
+      b
     }
-    b
   }
 }

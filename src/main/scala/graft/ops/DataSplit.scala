@@ -36,7 +36,8 @@ object DataSplit {
   }
 
   /** The split-label column for `key`: labels assigned in order by
-    * cumulative fraction. Fractions must sum to 1 (within 1e-9).
+    * cumulative fraction. Fractions must sum to 1 (within 1e-9). NULL
+    * keys get a NULL split (they are in no split; `select` drops them).
     */
   def splitColumn(
       key: Column,
@@ -47,15 +48,23 @@ object DataSplit {
     require(fractions.map(_._1).distinct.size == fractions.size, "duplicate split labels")
     val total = fractions.map(_._2).sum
     require(math.abs(total - 1.0) < 1e-9, s"fractions must sum to 1, got $total")
-    val u = sha2(concat(key.cast("string"), lit(salt)), 256)
     val cums = fractions.scanLeft(0.0)(_ + _._2).tail
+    // every interior boundary must be a real boundary: a tail fraction
+    // below the 1e-9 sum tolerance would push a cumulative to 1.0 and
+    // silently merge the last two splits
+    require(cums.init.forall(_ < 1.0),
+      s"interior cumulative fraction reached 1.0 — tail fraction too small: $fractions")
+    val u = sha2(concat(key.cast("string"), lit(salt)), 256)
     // last label is the unconditioned otherwise — no 16^15 overflow at 1.0
     val cases = fractions.init.zip(cums.init).foldLeft(Option.empty[Column]) {
       case (acc, ((label, _), cum)) =>
         val cond = u < lit(hexThreshold(cum))
         Some(acc.fold(when(cond, lit(label)))(_.when(cond, lit(label))))
     }
-    cases.fold(lit(fractions.head._1))(_.otherwise(lit(fractions.last._1)))
+    val labeled = cases.fold(lit(fractions.head._1))(_.otherwise(lit(fractions.last._1)))
+    // NULL keys propagate to a NULL split (never silently land in the
+    // last split via three-valued CASE fall-through)
+    when(key.isNull, lit(null)).otherwise(labeled)
   }
 
   /** `df` plus a `split` column; deterministic in (key, salt) only. */

@@ -343,7 +343,21 @@ object Dedup {
       idCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.8,
-      persistShingleTable: Boolean = true): DataFrame = {
+      persistShingleTable: Boolean = true): DataFrame =
+    jaccardPairsWithHandle(df, textCol, idCol, shingleN, threshold,
+      persistShingleTable)._1
+
+  /** [[jaccardPairs]] plus the persisted shingle-table handle (None when
+    * not persisted) so one-call compositions can release the
+    * corpus-sized cache once the pairs are consumed.
+    */
+  private[ops] def jaccardPairsWithHandle(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int,
+      threshold: Double,
+      persistShingleTable: Boolean): (DataFrame, Option[DataFrame]) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     import org.apache.spark.sql.expressions.Window
@@ -390,11 +404,12 @@ object Dedup {
     // exact verification over full sorted hash arrays
     val shA = docs.select(col("id").as("id_a"), col("hs").as("hs_a"))
     val shB = docs.select(col("id").as("id_b"), col("hs").as("hs_b"))
-    candidates.join(shA, "id_a").join(shB, "id_b")
+    (candidates.join(shA, "id_a").join(shB, "id_b")
       .withColumn("jaccard",
         graft.functions.jaccard_sorted(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")),
+      if (persistShingleTable) Some(docs) else None)
   }
 
   /** Carry-save bit-sliced SimHash accumulator: instead of a 64-iteration
@@ -781,9 +796,14 @@ object Dedup {
       idCol: String,
       threshold: Double,
       shingleN: Int = 3): DataFrame = {
-    val pairs = jaccardPairs(df.select(col(idCol), col(textCol)), textCol, idCol,
-      shingleN = shingleN, threshold = threshold).select(col("id_a"), col("id_b"))
+    val (pairsFull, shingleHandle) = jaccardPairsWithHandle(
+      df.select(col(idCol), col(textCol)), textCol, idCol,
+      shingleN = shingleN, threshold = threshold, persistShingleTable = true)
+    val pairs = pairsFull.select(col("id_a"), col("id_b"))
+    // clusterRepresentatives materializes (per-round localCheckpoint), so
+    // the corpus-sized shingle cache can be released as soon as it returns
     val reps = clusterRepresentatives(pairs, df.select(col(idCol)), idCol)
+    shingleHandle.foreach(_.unpersist(blocking = false))
     df.join(reps.filter(col(idCol) === col("representative")).select(col(idCol)), Seq(idCol))
   }
 }

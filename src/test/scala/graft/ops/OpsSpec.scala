@@ -161,6 +161,23 @@ class OpsSpec extends SparkTestBase {
     // single split: everything labeled
     val one = DataSplit.assign(docs, "doc_id", Seq(("all", 1.0)))
     assert(one.filter(col("split") === "all").count() === docs.count())
+    // a sub-1e-9 tail fraction would silently merge the last two splits
+    intercept[IllegalArgumentException](
+      DataSplit.assign(docs, "doc_id", Seq(("a", 1.0), ("b", 1e-10))))
+  }
+
+  test("DataSplit: null keys get a null split, and select drops them") {
+    val withNull = Seq(Some(1L), Some(2L), None).toDF("id")
+    val fracs = Seq(("train", 0.5), ("test", 0.5))
+    val labels = DataSplit.assign(withNull, "id", fracs)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        Option(r.getString(1))).toMap
+    assert(labels(None) === None)
+    assert(labels(Some(1L)).isDefined && labels(Some(2L)).isDefined)
+    val selected = fracs.flatMap { case (l, _) =>
+      DataSplit.select(withNull, "id", fracs, l).collect().map(_.isNullAt(0))
+    }
+    assert(selected.length === 2 && selected.forall(_ == false))
   }
 
   test("jaccardPairs: EXACTLY the brute-force all-pairs result (recall AND precision)") {
