@@ -884,6 +884,26 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // INCREMENTAL dedup against an existing corpus: a planted new batch
+    // (near-dup suffix edits that must be dropped + reversed texts that
+    // must survive) anti-joined against the documents corpus via the
+    // exact prefix-filter Jaccard join — new x corpus only, never corpus
+    // x corpus. Guaranteed recall makes the DuckDB NOT-EXISTS all-pairs
+    // oracle an exact-match check.
+    "dedup_incremental" -> { (s, dir) =>
+      val corpus = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newBatch = corpus.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 300000)
+        .withColumn("text", concat(col("text"), lit(" graftincmarker")))
+        .unionByName(corpus.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 400000)
+          .withColumn("text", reverse(col("text"))))
+      graft.ops.Dedup.dedupAgainst(newBatch, corpus, "text", "doc_id",
+        threshold = 0.6)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // Deterministic content-hash train/val/test split: the label is a
     // pure function of (key, salt) via sha256-hex threshold comparison —
     // all builtin codegen expressions, and DuckDB recomputes the IDENTICAL
@@ -1324,6 +1344,44 @@ object SparkEntry {
         |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
         |      len(list_distinct(list_concat(a.s, b.s))) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
+    // survivors = new rows with NO corpus match at jaccard >= 0.6; the
+    // exact join's recall guarantee makes NOT EXISTS an exact oracle
+    "dedup_incremental" ->
+      """WITH newb AS (
+        |  SELECT doc_id + 300000 AS doc_id, text || ' graftincmarker' AS text
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 400000 AS doc_id, reverse(text) AS text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE
+        |      WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) < 3
+        |      THEN [array_to_string(regexp_split_to_array(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_transform(
+        |        range(1, len(regexp_split_to_array(lower(trim(text)), '\s+')) - 1),
+        |        i -> regexp_split_to_array(lower(trim(text)), '\s+')[i] || ' ' ||
+        |             regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+        |             regexp_split_to_array(lower(trim(text)), '\s+')[i+2]) END) AS s
+        |  FROM newb),
+        |shc AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE
+        |      WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) < 3
+        |      THEN [array_to_string(regexp_split_to_array(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_transform(
+        |        range(1, len(regexp_split_to_array(lower(trim(text)), '\s+')) - 1),
+        |        i -> regexp_split_to_array(lower(trim(text)), '\s+')[i] || ' ' ||
+        |             regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+        |             regexp_split_to_array(lower(trim(text)), '\s+')[i+2]) END) AS s
+        |  FROM documents)
+        |SELECT n.doc_id AS doc_id FROM sh n
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM shc c
+        |  WHERE len(list_intersect(n.s, c.s)) * 1.0 /
+        |        len(list_distinct(list_concat(n.s, c.s))) >= 0.6)
+        |ORDER BY doc_id""".stripMargin,
+
     // identical sha256 + hex-threshold arithmetic recomputed in DuckDB —
     // the thresholds interpolated below come from the same scanLeft the
     // Spark CASE chain uses, so boundary doubles agree bit-for-bit

@@ -412,6 +412,78 @@ object Dedup {
       if (persistShingleTable) Some(docs) else None)
   }
 
+  /** INCREMENTAL exact-Jaccard dedup: the rows of `newDf` that have NO
+    * near-duplicate (n-gram Jaccard >= threshold) in `corpus` — the
+    * daily-increment shape of a training-data pipeline, where each new
+    * batch is deduplicated against the already-ingested corpus without
+    * ever re-deduplicating the corpus against itself.
+    *
+    * Same prefix-filtering machinery as [[jaccardPairs]] with one
+    * asymmetry: document frequencies come from the UNION of both sides
+    * (any consistent global token order is correct; corpus statistics
+    * dominate and, operationally, the df table can be maintained as
+    * pipeline state), but the candidate equi-join is new-prefix x
+    * corpus-prefix ONLY — no corpus x corpus work, so each increment
+    * costs O(|new| x avg-bucket) rather than re-touching the corpus
+    * quadratically. Guaranteed recall: every new row with a qualifying
+    * corpus match is dropped; within-batch duplicates are NOT collapsed
+    * here (compose with [[dedupJaccard]] on the survivors for that).
+    */
+  def dedupAgainst(
+      newDf: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+
+    // no persist: each side's shingle pass runs twice (prefix + verify) —
+    // recomputation is the right default at corpus scale, and the verify
+    // side only touches candidate rows anyway
+    def hashed(df: DataFrame) = df.select(
+      col(idCol).cast("long").as("id"),
+      graft.functions.shingle_hashes(col(textCol), shingleN).as("hs"))
+      .withColumn("sz", size(col("hs")))
+    val newDocs = hashed(newDf)
+    val corpusDocs = hashed(corpus)
+
+    def toks(docs: DataFrame) =
+      docs.select(col("id"), col("sz"), explode(col("hs")).as("tok"))
+    val allToks = toks(newDocs).withColumn("side", lit("n"))
+      .unionByName(toks(corpusDocs).withColumn("side", lit("c")))
+    val dfreq = allToks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = allToks.join(dfreq, "tok")
+    val byGlobalOrder = Window.partitionBy(col("side"), col("id")).orderBy(col("df"), col("tok"))
+    val prefLen = col("sz") - ceil(col("sz") * threshold - lit(1e-9)) + 1
+    val prefix = ranked
+      .withColumn("rn", row_number().over(byGlobalOrder))
+      .filter(col("rn") <= prefLen)
+      .select(col("side"), col("tok"), col("id"), col("sz"))
+
+    val a = prefix.filter(col("side") === "n")
+      .select(col("tok").as("tok_a"), col("id").as("id_n"), col("sz").as("sz_n"))
+    val b = prefix.filter(col("side") === "c")
+      .select(col("tok").as("tok_b"), col("id").as("id_c"), col("sz").as("sz_c"))
+    val candidates = a.join(b,
+        col("tok_a") === col("tok_b") &&
+          least(col("sz_n"), col("sz_c")).cast("double") >=
+            greatest(col("sz_n"), col("sz_c")) * threshold - lit(1e-9))
+      .select(col("id_n"), col("id_c"))
+      .dropDuplicates("id_n", "id_c")
+
+    val dupNewIds = candidates
+      .join(newDocs.select(col("id").as("id_n"), col("hs").as("hs_n")), "id_n")
+      .join(corpusDocs.select(col("id").as("id_c"), col("hs").as("hs_c")), "id_c")
+      .filter(graft.functions.jaccard_sorted(col("hs_n"), col("hs_c")) >= threshold)
+      .select(col("id_n").as(idCol))
+      .distinct()
+
+    newDf.join(dupNewIds, Seq(idCol), "left_anti")
+  }
+
   /** Carry-save bit-sliced SimHash accumulator: instead of a 64-iteration
     * per-token loop over per-bit counters, each token hash ripples through
     * 64-bit counter PLANES (plane i holds bit i of every position's

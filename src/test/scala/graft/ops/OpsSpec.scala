@@ -225,6 +225,30 @@ class OpsSpec extends SparkTestBase {
     assert(got === Set((1L, 2L), (3L, 4L)))
   }
 
+  test("dedupAgainst: exactly the brute-force new-vs-corpus survivors") {
+    val corpus = docs
+    // near-dups of corpus rows, one exact copy, and genuinely new texts
+    val newBatch = (
+      (0 until 50 by 7).map(i => (5000L + i, corpus.collect()(i).getString(1) + " tail")) ++
+      Seq((6000L, "identical text body")) ++ // exact corpus dup
+      Seq((7000L, "a wholly new document about nothing else"),
+          (7001L, "a wholly new document about nothing else")) // within-batch dup pair
+    ).toDF("doc_id", "text")
+    for (threshold <- Seq(0.5, 0.8)) {
+      val corpusRows = corpus.collect().map(r => Dedup.shingleHashKernel(r.getString(1), 3))
+      val expected = newBatch.collect().filter { r =>
+        val hs = Dedup.shingleHashKernel(r.getString(1), 3)
+        !corpusRows.exists(c => Dedup.jaccardSortedKernel(hs.toSeq, c.toSeq) >= threshold)
+      }.map(_.getLong(0)).toSet
+      val got = Dedup.dedupAgainst(newBatch, corpus, "text", "doc_id", threshold = threshold)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === expected, s"t=$threshold")
+      // within-batch duplicates are NOT collapsed by dedupAgainst
+      assert(got.contains(7000L) && got.contains(7001L))
+      assert(!got.contains(6000L)) // exact corpus dup dropped at any threshold
+    }
+  }
+
   test("dedupJaccard one-call: exact recall keeps only component representatives") {
     val out = Dedup.dedupJaccard(docs, "text", "doc_id", threshold = 0.7)
     val kept = out.select("doc_id").as[Long].collect().toSet
