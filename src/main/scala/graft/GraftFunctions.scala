@@ -277,6 +277,12 @@ object functions {
     toCol(NearestCentroid(toExpr(vec), centroids))
   /** The abloom 64-bit finalizer mix over a BIGINT column. */
   def mix64(x: Column): Column = toCol(Mix64(toExpr(x)))
+  /** Int8 quantization of a float/double embedding (scale + codes blob). */
+  def vec8_quantize(vec: Column): Column = toCol(Vec8Quantize(toExpr(vec)))
+  /** Exact integer dot product of two quantized vectors. */
+  def vec8_dot(a: Column, b: Column): Column = toCol(Vec8Dot(toExpr(a), toExpr(b)))
+  /** The quantization scale stored in a vec8 blob. */
+  def vec8_scale(a: Column): Column = toCol(Vec8Scale(toExpr(a)))
 
   // ------------------------------------------------------- media kernels
 

@@ -884,6 +884,18 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Int8-QUANTIZED ANN top-k: corpus and queries quantized to
+    // [scale][int8 codes] blobs (4x smaller than the float arrays), ranked
+    // by (scale_q*scale_c)*int_dot. The quantization uses a MAX-based
+    // scale and exact integer dots — no float summation anywhere — so
+    // DuckDB recomputes the IDENTICAL codes, dots, and top-k.
+    "ann_quantized_topk" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 7)
+      graft.ops.Similarity.quantizedTopK(emb, "vec_id", "embedding", queries, k = 10)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    },
+
     // INCREMENTAL dedup against an existing corpus: a planted new batch
     // (near-dup suffix edits that must be dropped + reversed texts that
     // must survive) anti-joined against the documents corpus via the
@@ -1344,6 +1356,34 @@ object SparkEntry {
         |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
         |      len(list_distinct(list_concat(a.s, b.s))) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
+    // identical quantization arithmetic recomputed in DuckDB: max-based
+    // scale (exact reduction), floor(x/scale + 0.5) clamped codes,
+    // integer dot products, (sa*sb)*dot score — every step a single
+    // correctly-rounded IEEE op, so the top-k sets match exactly
+    "ann_quantized_topk" ->
+      """WITH codes AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+        |    CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+        |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding, x -> CAST(greatest(-127.0, least(127.0,
+        |        floor(CAST(x AS DOUBLE) /
+        |          (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0)
+        |          + 0.5))) AS BIGINT)) END AS q
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS BIGINT) AS qdot,
+        |    a.scale AS sa, b.scale AS sb
+        |  FROM codes a JOIN codes b ON a.vec_id % 100 = 7 AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, qdot,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY (sa * sb) * qdot DESC, neighbor_id) AS rn
+        |  FROM pairs)
+        |SELECT query_id, neighbor_id, qdot FROM ranked WHERE rn <= 10
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+
     // survivors = new rows with NO corpus match at jaccard >= 0.6; the
     // exact join's recall guarantee makes NOT EXISTS an exact oracle
     "dedup_incremental" ->

@@ -96,6 +96,68 @@ object VectorKernels {
 
   def nearestCentroidChecked(vec: ArrayData, centroids: Array[Array[Double]], isFloat: Boolean): Int =
     nearestCentroid(DedupKernels.requireNoNulls(vec, "vec_nearest_centroid"), centroids, isFloat)
+
+  /** Int8 vector quantization: `[8-byte BE double scale][n int8 codes]`,
+    * scale = maxAbs / 127, code_i = clamp(floor(x_i / scale + 0.5), -127,
+    * 127); an all-zero vector encodes scale 0 with zero codes. Every
+    * reduction is a MAX (exact comparisons — no float summation), and
+    * every per-element op (widen, divide, +0.5, floor, clamp) is a single
+    * correctly-rounded IEEE operation, so any engine reproduces the codes
+    * bit-for-bit — the cross-engine-oracle property the harness exploits.
+    * 4x (vs float) / 8x (vs double) memory and scan-bytes for ANN serving.
+    */
+  def quantize8(vec: ArrayData, isFloat: Boolean): Array[Byte] = {
+    val n = vec.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(elem(vec, i, isFloat))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    val out = new Array[Byte](8 + n)
+    val bits = java.lang.Double.doubleToLongBits(scale)
+    var o = 0
+    while (o < 8) { out(o) = (bits >>> (56 - 8 * o)).toByte; o += 1 }
+    i = 0
+    while (i < n) {
+      out(8 + i) =
+        if (scale == 0.0) 0
+        else {
+          val q = math.floor(elem(vec, i, isFloat) / scale + 0.5).toLong
+          math.max(-127L, math.min(127L, q)).toByte
+        }
+      i += 1
+    }
+    out
+  }
+
+  def quantize8Checked(vec: ArrayData, isFloat: Boolean): Array[Byte] =
+    quantize8(DedupKernels.requireNoNulls(vec, "vec8_quantize"), isFloat)
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dot8(a: Array[Byte], b: Array[Byte]): Long = {
+    if (a.length < 8 || b.length < 8)
+      throw new IllegalArgumentException("vec8_dot: not a vec8 blob (too short)")
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"vec8_dot: dimension mismatch (${a.length - 8} vs ${b.length - 8})")
+    var acc = 0L
+    var i = 8
+    while (i < a.length) { acc += a(i).toLong * b(i).toLong; i += 1 }
+    acc
+  }
+
+  /** The quantization scale stored in a vec8 blob. */
+  def scale8(a: Array[Byte]): Double = {
+    if (a.length < 8)
+      throw new IllegalArgumentException("vec8_scale: not a vec8 blob (too short)")
+    var bits = 0L
+    var i = 0
+    while (i < 8) { bits = (bits << 8) | (a(i) & 0xffL); i += 1 }
+    java.lang.Double.longBitsToDouble(bits)
+  }
 }
 
 /** Shared type check: the vector operand must be ARRAY<DOUBLE> or
@@ -223,4 +285,81 @@ case class Mix64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Mix64 =
     copy(child = newChild)
   override def prettyName: String = "mix64"
+}
+
+/** `vec8_quantize(vec) -> binary`: int8 quantization of a float/double
+  * embedding — `[8-byte BE double scale][n int8 codes]`, scale =
+  * maxAbs/127. 4x/8x smaller than the float/double array; codes are
+  * engine-reproducible bit-for-bit (max-based scale — no float
+  * summation), so a SQL engine can recompute identical blobs.
+  */
+case class Vec8Quantize(child: Expression)
+  extends UnaryExpression with VectorArgExpression {
+
+  override protected def fnName: String = "vec8_quantize"
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(input: Any): Any =
+    if (mayHaveNullElements)
+      VectorKernels.quantize8Checked(input.asInstanceOf[ArrayData], isFloat)
+    else VectorKernels.quantize8(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (mayHaveNullElements) "quantize8Checked" else "quantize8"
+    defineCodeGen(ctx, ev, c => s"graft.expr.VectorKernels.$fn($c, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Vec8Quantize =
+    copy(child = newChild)
+  override def prettyName: String = "vec8_quantize"
+}
+
+/** `vec8_dot(a, b) -> bigint`: EXACT integer dot product of two
+  * quantized vectors — the cheap ranking kernel of the quantized ANN
+  * path (`(vec8_scale(a) * vec8_scale(b)) * vec8_dot(a, b)` approximates
+  * the true dot product).
+  */
+case class Vec8Dot(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec8_dot expects (binary, binary), got (${l.sql}, ${r.sql})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot8(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.VectorKernels.dot8($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Vec8Dot =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec8_dot"
+}
+
+/** `vec8_scale(a) -> double`: the stored quantization scale. */
+case class Vec8Scale(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec8_scale expects BINARY, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.scale8(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.VectorKernels.scale8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Vec8Scale =
+    copy(child = newChild)
+  override def prettyName: String = "vec8_scale"
 }

@@ -105,6 +105,44 @@ object Similarity {
       .select(col("id"), col("cosine"))
   }
 
+  /** Quantized top-k by approximate dot product: both sides int8-quantized
+    * (`vec8_quantize`: 4x/8x smaller than the float/double arrays — the
+    * scan-bytes and memory lever for a 100 TB embedding table), ranked by
+    * `(scale_q * scale_c) * int_dot` with ties broken by neighbor id.
+    * Self-pairs (equal ids) are excluded. Every arithmetic step is
+    * engine-reproducible (max-based scale, exact integer dot, two IEEE
+    * multiplies), so an independent engine recomputes the identical
+    * top-k — the property the `ann_quantized_topk` oracle checks.
+    *
+    * Scale shape: the query side broadcasts (small by construction); the
+    * corpus side is ONE scan of the quantized table — compose with the
+    * IVF/LSH bucketed paths when a full scan per query batch is too much
+    * (quantization is the compression lever, not the pruning lever).
+    */
+  def quantizedTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cq = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      graft.functions.vec8_quantize(col(vecCol)).as("cb"))
+    val qq = queries.select(col(idCol).cast("long").as("query_id"),
+      graft.functions.vec8_quantize(col(vecCol)).as("qb"))
+    val scored = cq.crossJoin(broadcast(qq))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qdot", graft.functions.vec8_dot(col("qb"), col("cb")))
+      .withColumn("score",
+        (graft.functions.vec8_scale(col("qb")) * graft.functions.vec8_scale(col("cb"))) *
+          col("qdot"))
+    val byScore = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("qdot"))
+  }
+
   /** Bucket table: (id, embedding, bucket) for `nPlanes`-bit hyperplane
     * signatures. One distributed pass, no driver-side jobs. `nPlanes`
     * <= 24 keeps bucket count (2^n) manageable; at larger corpora raise

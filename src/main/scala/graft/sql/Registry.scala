@@ -169,6 +169,18 @@ object Registry {
       require(args.size == 1, "mix64(x)")
       Mix64(Cast(args.head, org.apache.spark.sql.types.LongType))
     },
+    "vec8_quantize" -> { args =>
+      require(args.size == 1, "vec8_quantize(vec)")
+      Vec8Quantize(args.head)
+    },
+    "vec8_dot" -> { args =>
+      require(args.size == 2, "vec8_dot(a, b)")
+      Vec8Dot(args(0), args(1))
+    },
+    "vec8_scale" -> { args =>
+      require(args.size == 1, "vec8_scale(a)")
+      Vec8Scale(args.head)
+    },
     "media_meta" -> { args =>
       require(args.size == 1, "media_meta(payload)")
       MediaMetaExpr(args.head)

@@ -81,6 +81,74 @@ class VectorExpressionsSpec extends SparkTestBase {
     r.foreach(row => assert(row.getSeq[Long](1).length === 4))
   }
 
+  test("vec8 quantization: scale/codes reproducible, error bound, dot/scale round-trip") {
+    val data = randVecs(100, 16)
+    val blobs = data.toDF("id", "v").repartition(3)
+      .select(col("id"), graft.functions.vec8_quantize(col("v")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    data.foreach { case (id, v) =>
+      val b = blobs(id)
+      val maxAbs = v.map(math.abs).max
+      val scale = maxAbs / 127.0
+      assert(VectorKernels.scale8(b) === scale, s"id=$id")
+      assert(b.length === 8 + v.length)
+      // per-element quantization error <= scale/2 (no clamp engages here)
+      v.zipWithIndex.foreach { case (x, i) =>
+        val code = b(8 + i).toInt
+        assert(code >= -127 && code <= 127)
+        assert(math.abs(code * scale - x) <= scale / 2 + 1e-12, s"id=$id i=$i")
+      }
+    }
+    // dot8 equals the driver-side integer dot
+    val (idA, vA) = data(3); val (idB, vB) = data(17)
+    def codesOf(v: Seq[Double]): Seq[Long] = {
+      val s = v.map(math.abs).max / 127.0
+      v.map(x => math.max(-127L, math.min(127L, math.floor(x / s + 0.5).toLong)))
+    }
+    val expectedDot = codesOf(vA).zip(codesOf(vB)).map { case (a, b) => a * b }.sum
+    assert(VectorKernels.dot8(blobs(idA), blobs(idB)) === expectedDot)
+    // zero vector: scale 0, zero codes, dot 0
+    val z = Seq((0L, Seq.fill(16)(0.0))).toDF("id", "v")
+      .select(graft.functions.vec8_quantize(col("v"))).head().getAs[Array[Byte]](0)
+    assert(VectorKernels.scale8(z) === 0.0 && z.drop(8).forall(_ == 0))
+    assert(VectorKernels.dot8(z, blobs(idA)) === 0L)
+    // dimension mismatch is loud
+    val short = Seq((0L, Seq.fill(8)(1.0))).toDF("id", "v")
+      .select(graft.functions.vec8_quantize(col("v"))).head().getAs[Array[Byte]](0)
+    intercept[IllegalArgumentException](VectorKernels.dot8(short, blobs(idA)))
+  }
+
+  test("vec8 top-k: recall >= 0.7 vs float brute force on clustered data; SQL names work") {
+    // clustered data so quantized ranking closely tracks the float ranking
+    val rnd = new scala.util.Random(11)
+    val centers = Seq.fill(5)(Seq.fill(16)(rnd.nextDouble() * 2 - 1))
+    val data = (0 until 200).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => x + rnd.nextGaussian() * 0.05))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 3)
+    val got = Similarity.quantizedTopK(df, "vec_id", "embedding", queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    data.take(3).foreach { case (qid, qv) =>
+      // float dot-product top-10 (excluding self), driver-side
+      val truth = data.filter(_._1 != qid)
+        .map { case (id, v) => id -> v.zip(qv).map { case (a, b) => a * b }.sum }
+        .sortBy { case (id, d) => (-d, id) }.take(10).map(_._1).toSet
+      val overlap = got(qid).intersect(truth).size / 10.0
+      assert(overlap >= 0.7, s"query $qid recall $overlap")
+    }
+    // SQL surface
+    graft.sql.Registry.register(SparkTestBase.spark)
+    df.createOrReplaceTempView("v8t")
+    val sqlDot = SparkTestBase.spark.sql(
+      """SELECT vec8_dot(vec8_quantize(a.embedding), vec8_quantize(b.embedding)) AS d,
+        |       vec8_scale(vec8_quantize(a.embedding)) AS s
+        |FROM v8t a JOIN v8t b ON a.vec_id = 0 AND b.vec_id = 1""".stripMargin).head()
+    assert(sqlDot.getLong(0) != 0L && sqlDot.getDouble(1) > 0.0)
+  }
+
   test("null array elements are rejected loudly, null vectors yield null") {
     val err = intercept[Exception] {
       Seq(Seq[java.lang.Double](1.0, null, 3.0)).toDF("v")
