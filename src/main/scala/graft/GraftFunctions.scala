@@ -263,6 +263,9 @@ object functions {
   /** Exact Jaccard of two sorted distinct long arrays (O(m+n)). */
   def jaccard_sorted(a: Column, b: Column): Column =
     toCol(JaccardSorted(toExpr(a), toExpr(b)))
+  /** Intersection size of two sorted distinct long arrays (O(m+n)). */
+  def intersect_count_sorted(a: Column, b: Column): Column =
+    toCol(IntersectCountSorted(toExpr(a), toExpr(b)))
 
   // ------------------------------------------------------ vector kernels
 

@@ -884,6 +884,24 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // DECONTAMINATION screen: benchmark docs = 200-char prefixes of every
+    // 13th document (contained fragments that MUST be flagged) + reversed
+    // texts (novel; must not flag). Containment = |B∩A|/|B| >= 0.8 with
+    // benchmark-side-only prefix filtering; guaranteed recall makes the
+    // DuckDB all-pairs containment an exact-match oracle (all-integer
+    // output columns).
+    "decontamination" -> { (s, dir) =>
+      val corpus = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = corpus.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 500000)
+        .withColumn("text", substring(col("text"), 1, 200))
+        .unionByName(corpus.filter(col("doc_id") % 17 === 0)
+          .withColumn("doc_id", col("doc_id") + 600000)
+          .withColumn("text", reverse(col("text"))))
+      graft.ops.Dedup.contamination(corpus, bench, "text", "doc_id", threshold = 0.8)
+        .orderBy(col("doc_id"), col("benchmark_id"))
+    },
+
     // Int8-QUANTIZED ANN top-k: corpus and queries quantized to
     // [scale][int8 codes] blobs (4x smaller than the float arrays), ranked
     // by (scale_q*scale_c)*int_dot. The quantization uses a MAX-based
@@ -1356,6 +1374,44 @@ object SparkEntry {
         |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
         |      len(list_distinct(list_concat(a.s, b.s))) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
+    // all-pairs containment recomputed in DuckDB; guaranteed recall +
+    // all-integer output => exact hash match required
+    "decontamination" ->
+      """WITH bench AS (
+        |  SELECT doc_id + 500000 AS doc_id, substr(text, 1, 200) AS text
+        |  FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 600000 AS doc_id, reverse(text) AS text
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |sha AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE
+        |      WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) < 3
+        |      THEN [array_to_string(regexp_split_to_array(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_transform(
+        |        range(1, len(regexp_split_to_array(lower(trim(text)), '\s+')) - 1),
+        |        i -> regexp_split_to_array(lower(trim(text)), '\s+')[i] || ' ' ||
+        |             regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+        |             regexp_split_to_array(lower(trim(text)), '\s+')[i+2]) END) AS s
+        |  FROM documents),
+        |shb AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE
+        |      WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) < 3
+        |      THEN [array_to_string(regexp_split_to_array(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_transform(
+        |        range(1, len(regexp_split_to_array(lower(trim(text)), '\s+')) - 1),
+        |        i -> regexp_split_to_array(lower(trim(text)), '\s+')[i] || ' ' ||
+        |             regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+        |             regexp_split_to_array(lower(trim(text)), '\s+')[i+2]) END) AS s
+        |  FROM bench)
+        |SELECT a.doc_id AS doc_id, b.doc_id AS benchmark_id,
+        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS overlap,
+        |  CAST(len(b.s) AS BIGINT) AS bench_size
+        |FROM sha a JOIN shb b
+        |  ON len(list_intersect(a.s, b.s)) * 1.0 >= len(b.s) * 0.8 - 1e-9
+        |ORDER BY doc_id, benchmark_id""".stripMargin,
+
     // identical quantization arithmetic recomputed in DuckDB: max-based
     // scale (exact reduction), floor(x/scale + 0.5) clamped codes,
     // integer dot products, (sa*sb)*dot score — every step a single

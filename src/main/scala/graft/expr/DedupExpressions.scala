@@ -48,6 +48,15 @@ object DedupKernels {
   def jaccardSortedChecked(a: ArrayData, b: ArrayData): Double =
     jaccardSorted(requireNoNulls(a, "jaccard_sorted"),
       requireNoNulls(b, "jaccard_sorted"))
+
+  def intersectSorted(a: ArrayData, b: ArrayData): Long =
+    graft.ops.Dedup.intersectCountKernel(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(a.toLongArray()),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(b.toLongArray()))
+
+  def intersectSortedChecked(a: ArrayData, b: ArrayData): Long =
+    intersectSorted(requireNoNulls(a, "intersect_count_sorted"),
+      requireNoNulls(b, "intersect_count_sorted"))
 }
 
 /** `shingle_hashes(text, n) -> array<long>`: sorted distinct XXH64
@@ -167,4 +176,45 @@ case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpr
       newLeft: Expression, newRight: Expression): JaccardSorted =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "jaccard_sorted"
+}
+
+/** `intersect_count_sorted(a, b) -> bigint`: intersection size of two
+  * sorted distinct long arrays (O(m+n) merge) — the containment-score
+  * numerator of the decontamination screen
+  * ([[graft.ops.Dedup.contamination]]): containment(B in A) =
+  * intersect / |B|.
+  */
+case class IntersectCountSorted(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"intersect_count_sorted expects two ARRAY<BIGINT>, got ${l.sql}, ${r.sql}")
+    }
+
+  private lazy val mayHaveNullElements =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (mayHaveNullElements)
+      DedupKernels.intersectSortedChecked(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else DedupKernels.intersectSorted(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (mayHaveNullElements) "intersectSortedChecked" else "intersectSorted"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.DedupKernels.$fn($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCountSorted =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "intersect_count_sorted"
 }

@@ -151,6 +151,21 @@ object Dedup {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** Intersection size of two sorted distinct long arrays: O(m+n). */
+  def intersectCountKernel(a: Seq[Long], b: Seq[Long]): Long = {
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < a.length && j < b.length) {
+      val x = a(i)
+      val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   /** Bucket-size filter: keeps [2, maxBucket], counting capped buckets in
     * the optional accumulator so the skew cap is observable, not silent.
     */
@@ -482,6 +497,71 @@ object Dedup {
       .distinct()
 
     newDf.join(dupNewIds, Seq(idCol), "left_anti")
+  }
+
+  /** DECONTAMINATION screen: every (corpus doc, benchmark doc) pair where
+    * the corpus document CONTAINS at least `threshold` of the benchmark
+    * document's n-gram shingles — `|shingles(B) ∩ shingles(A)| /
+    * |shingles(B)| >= t`, the asymmetric overlap used to detect
+    * evaluation-benchmark leakage in training corpora. Guaranteed recall.
+    *
+    * Prefix filtering applies on the BENCHMARK side only (the contained
+    * side): an overlap of `ceil(t*|B|)` forces any fixed
+    * `|B| - ceil(t*|B|) + 1`-subset of B to intersect A, so only that
+    * many benchmark tokens join — ordered by CORPUS document frequency
+    * ascending, which makes the prefix the rarest (often corpus-absent,
+    * hence self-pruning) tokens. The corpus side explodes all tokens
+    * once (linear, 16 bytes per shingle — the unavoidable cost of
+    * containment: the superset side cannot be pruned), plus one linear
+    * df aggregation. Never all-pairs.
+    *
+    * Returns (corpus idCol, benchmark_id, overlap, bench_size) for
+    * qualifying pairs — all-integer columns, so the result is exactly
+    * reproducible by any engine.
+    */
+  def contamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+
+    val corpusDocs = corpus.select(col(idCol).cast("long").as("id_a"),
+      graft.functions.shingle_hashes(col(textCol), shingleN).as("hs_a"))
+    val benchDocs = benchmark.select(col(idCol).cast("long").as("id_b"),
+      graft.functions.shingle_hashes(col(textCol), shingleN).as("hs_b"))
+      .withColumn("sz_b", size(col("hs_b")))
+
+    val corpusToks = corpusDocs.select(col("id_a"), explode(col("hs_a")).as("tok"))
+    val dfreq = corpusToks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // corpus-absent benchmark tokens get df 0 — the BEST prefix tokens
+    // (they match nothing, pruning the benchmark doc outright)
+    val benchToks = benchDocs
+      .select(col("id_b"), col("sz_b"), explode(col("hs_b")).as("tok"))
+      .join(dfreq, Seq("tok"), "left")
+      .na.fill(0L, Seq("df"))
+    val byRarity = Window.partitionBy(col("id_b")).orderBy(col("df"), col("tok"))
+    val prefLen = col("sz_b") - ceil(col("sz_b") * threshold - lit(1e-9)) + 1
+    val prefix = benchToks
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= prefLen)
+      .select(col("tok").as("tok_b"), col("id_b"))
+
+    val candidates = prefix
+      .join(corpusToks.select(col("tok").as("tok_b"), col("id_a")), "tok_b")
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    candidates.join(corpusDocs, "id_a").join(benchDocs, "id_b")
+      .withColumn("overlap",
+        graft.functions.intersect_count_sorted(col("hs_a"), col("hs_b")))
+      .filter(col("overlap").cast("double") >= col("sz_b") * threshold - lit(1e-9))
+      .select(col("id_a").as(idCol), col("id_b").as("benchmark_id"),
+        col("overlap"), col("sz_b").cast("long").as("bench_size"))
   }
 
   /** Carry-save bit-sliced SimHash accumulator: instead of a 64-iteration

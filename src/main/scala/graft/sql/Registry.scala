@@ -156,6 +156,10 @@ object Registry {
       require(args.size == 2, "jaccard_sorted(a, b)")
       JaccardSorted(args(0), args(1))
     },
+    "intersect_count_sorted" -> { args =>
+      require(args.size == 2, "intersect_count_sorted(a, b)")
+      IntersectCountSorted(args(0), args(1))
+    },
     "lsh_signature" -> { args =>
       require(args.size == 2, "lsh_signature(vec, n_planes)")
       LshSignature(args(0), foldableInt(args(1), "n_planes"))

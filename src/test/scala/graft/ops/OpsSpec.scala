@@ -225,6 +225,33 @@ class OpsSpec extends SparkTestBase {
     assert(got === Set((1L, 2L), (3L, 4L)))
   }
 
+  test("contamination: exactly the brute-force containment pairs (fragments detected)") {
+    val corpus = docs
+    // benchmark: fragments of corpus docs (contained), plus novel text
+    val corpusRows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    val bench = (
+      corpusRows.take(8).map { case (id, t) => (9000L + id, t.substring(0, t.length * 2 / 3)) } ++
+      Seq((9900L, "completely unrelated benchmark question about topology"))
+    ).toSeq.toDF("doc_id", "text")
+    for (threshold <- Seq(0.6, 0.9)) {
+      val benchRows = bench.collect().map(r => (r.getLong(0), r.getString(1)))
+      val truth = (for {
+        (ia, ta) <- corpusRows
+        (ib, tb) <- benchRows
+        ha = Dedup.shingleHashKernel(ta, 3)
+        hb = Dedup.shingleHashKernel(tb, 3)
+        inter = Dedup.intersectCountKernel(ha.toSeq, hb.toSeq)
+        if inter.toDouble >= hb.length * threshold - 1e-9
+      } yield (ia, ib, inter, hb.length.toLong)).toSet
+      val got = Dedup.contamination(corpus, bench, "text", "doc_id", threshold = threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === truth, s"t=$threshold missing=${truth -- got} extra=${got -- truth}")
+      assert(truth.nonEmpty, s"vacuous at t=$threshold")
+      // the novel benchmark doc contaminates nothing
+      assert(!got.exists(_._2 == 9900L))
+    }
+  }
+
   test("dedupAgainst: exactly the brute-force new-vs-corpus survivors") {
     val corpus = docs
     // near-dups of corpus rows, one exact copy, and genuinely new texts
