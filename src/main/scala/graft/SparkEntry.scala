@@ -892,11 +892,14 @@ object SparkEntry {
     // output columns).
     "decontamination" -> { (s, dir) =>
       val corpus = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      // planted ids derived from the data (max+1, 2*(max+1)) — hardcoded
+      // offsets collide between the two planted groups at larger sf
+      val off = corpus.agg(max(col("doc_id"))).head().getLong(0) + 1
       val bench = corpus.filter(col("doc_id") % 13 === 0)
-        .withColumn("doc_id", col("doc_id") + 500000)
+        .withColumn("doc_id", col("doc_id") + off)
         .withColumn("text", substring(col("text"), 1, 200))
         .unionByName(corpus.filter(col("doc_id") % 17 === 0)
-          .withColumn("doc_id", col("doc_id") + 600000)
+          .withColumn("doc_id", col("doc_id") + 2 * off)
           .withColumn("text", reverse(col("text"))))
       graft.ops.Dedup.contamination(corpus, bench, "text", "doc_id", threshold = 0.8)
         .orderBy(col("doc_id"), col("benchmark_id"))
@@ -922,11 +925,14 @@ object SparkEntry {
     // oracle an exact-match check.
     "dedup_incremental" -> { (s, dir) =>
       val corpus = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      // planted ids derived from the data (max+1, 2*(max+1)) — hardcoded
+      // offsets collide between the two planted groups at larger sf
+      val off = corpus.agg(max(col("doc_id"))).head().getLong(0) + 1
       val newBatch = corpus.filter(col("doc_id") % 7 === 0)
-        .withColumn("doc_id", col("doc_id") + 300000)
+        .withColumn("doc_id", col("doc_id") + off)
         .withColumn("text", concat(col("text"), lit(" graftincmarker")))
         .unionByName(corpus.filter(col("doc_id") % 11 === 0)
-          .withColumn("doc_id", col("doc_id") + 400000)
+          .withColumn("doc_id", col("doc_id") + 2 * off)
           .withColumn("text", reverse(col("text"))))
       graft.ops.Dedup.dedupAgainst(newBatch, corpus, "text", "doc_id",
         threshold = 0.6)
@@ -1377,11 +1383,12 @@ object SparkEntry {
     // all-pairs containment recomputed in DuckDB; guaranteed recall +
     // all-integer output => exact hash match required
     "decontamination" ->
-      """WITH bench AS (
-        |  SELECT doc_id + 500000 AS doc_id, substr(text, 1, 200) AS text
+      """WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+        |bench AS (
+        |  SELECT doc_id + (SELECT o FROM off) AS doc_id, substr(text, 1, 200) AS text
         |  FROM documents WHERE doc_id % 13 = 0
         |  UNION ALL
-        |  SELECT doc_id + 600000 AS doc_id, reverse(text) AS text
+        |  SELECT doc_id + 2 * (SELECT o FROM off) AS doc_id, reverse(text) AS text
         |  FROM documents WHERE doc_id % 17 = 0),
         |sha AS (
         |  SELECT doc_id,
@@ -1443,11 +1450,12 @@ object SparkEntry {
     // survivors = new rows with NO corpus match at jaccard >= 0.6; the
     // exact join's recall guarantee makes NOT EXISTS an exact oracle
     "dedup_incremental" ->
-      """WITH newb AS (
-        |  SELECT doc_id + 300000 AS doc_id, text || ' graftincmarker' AS text
+      """WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+        |newb AS (
+        |  SELECT doc_id + (SELECT o FROM off) AS doc_id, text || ' graftincmarker' AS text
         |  FROM documents WHERE doc_id % 7 = 0
         |  UNION ALL
-        |  SELECT doc_id + 400000 AS doc_id, reverse(text) AS text
+        |  SELECT doc_id + 2 * (SELECT o FROM off) AS doc_id, reverse(text) AS text
         |  FROM documents WHERE doc_id % 11 = 0),
         |sh AS (
         |  SELECT doc_id,

@@ -112,10 +112,18 @@ object VectorKernels {
     var i = 0
     while (i < n) {
       val a = math.abs(elem(vec, i, isFloat))
+      if (a.isNaN || a.isInfinite)
+        throw new IllegalArgumentException(
+          s"vec8_quantize: non-finite element at index $i")
       if (a > maxAbs) maxAbs = a
       i += 1
     }
     val scale = maxAbs / 127.0
+    // subnormal corner: 0 < maxAbs < ~6.3e-322 underflows scale to 0 and
+    // would silently zero every code — reject loudly instead
+    if (scale == 0.0 && maxAbs > 0.0)
+      throw new IllegalArgumentException(
+        "vec8_quantize: vector magnitude underflows the int8 scale")
     val out = new Array[Byte](8 + n)
     val bits = java.lang.Double.doubleToLongBits(scale)
     var o = 0

@@ -362,6 +362,37 @@ object Dedup {
     jaccardPairsWithHandle(df, textCol, idCol, shingleN, threshold,
       persistShingleTable)._1
 
+  /** (id, hs, sz) shingle projection — the shared input shape of every
+    * prefix-filter join ([[jaccardPairs]], [[dedupAgainst]],
+    * [[contamination]]).
+    */
+  private def shingleTable(
+      df: DataFrame, textCol: String, idCol: String, shingleN: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      graft.functions.shingle_hashes(col(textCol), shingleN).as("hs"))
+      .withColumn("sz", size(col("hs")))
+
+  /** Prefix length `|x| - ceil(t*|x|) + 1` with 1e-9-slack ceil — IEEE
+    * rounding can only LENGTHEN a prefix (extra candidates, never a
+    * missed pair). Shared so the slack constant cannot drift between the
+    * prefix-filter operators.
+    */
+  private def prefixLen(sz: Column, threshold: Double): Column =
+    sz - ceil(sz * threshold - lit(1e-9)) + 1
+
+  /** Keep each document's token prefix: rank tokens within
+    * `partitionCols` by the global order (df asc, tok asc) and filter to
+    * [[prefixLen]]. Input needs columns (partitionCols..., sz, tok, df).
+    */
+  private def prefixFilter(
+      ranked: DataFrame, partitionCols: Seq[String], threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGlobalOrder = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col("df"), col("tok"))
+    ranked.withColumn("rn", row_number().over(byGlobalOrder))
+      .filter(col("rn") <= prefixLen(col("sz"), threshold))
+  }
+
   /** [[jaccardPairs]] plus the persisted shingle-table handle (None when
     * not persisted) so one-call compositions can release the
     * corpus-sized cache once the pairs are consumed.
@@ -375,13 +406,8 @@ object Dedup {
       persistShingleTable: Boolean): (DataFrame, Option[DataFrame]) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    import org.apache.spark.sql.expressions.Window
 
-    val base = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-    val docs0 = base.select(
-      col("id"),
-      graft.functions.shingle_hashes(col("t"), shingleN).as("hs"))
-      .withColumn("sz", size(col("hs")))
+    val docs0 = shingleTable(df, textCol, idCol, shingleN)
     val docs =
       if (persistShingleTable)
         docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -392,13 +418,7 @@ object Dedup {
     // prefix filtering; rarest-first minimizes candidate fan-out.
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val ranked = toks.join(dfreq, "tok")
-    val byGlobalOrder = Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))
-    // prefix length |x| - ceil(t*|x|) + 1; slack ceil so rounding can
-    // only lengthen the prefix
-    val prefLen = col("sz") - ceil(col("sz") * threshold - lit(1e-9)) + 1
-    val prefix = ranked
-      .withColumn("rn", row_number().over(byGlobalOrder))
-      .filter(col("rn") <= prefLen)
+    val prefix = prefixFilter(ranked, Seq("id"), threshold)
       .select(col("tok"), col("id"), col("sz"))
 
     // candidate pairs: prefixes sharing a token, pre-pruned by the size
@@ -443,6 +463,11 @@ object Dedup {
     * quadratically. Guaranteed recall: every new row with a qualifying
     * corpus match is dropped; within-batch duplicates are NOT collapsed
     * here (compose with [[dedupJaccard]] on the survivors for that).
+    *
+    * PRECONDITION: `idCol` must be unique within each side — a
+    * duplicated id merges two documents under one window partition and
+    * breaks the prefix-length accounting (recall guarantee holds for
+    * unique ids only).
     */
   def dedupAgainst(
       newDf: DataFrame,
@@ -453,17 +478,12 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    import org.apache.spark.sql.expressions.Window
 
     // no persist: each side's shingle pass runs twice (prefix + verify) —
     // recomputation is the right default at corpus scale, and the verify
     // side only touches candidate rows anyway
-    def hashed(df: DataFrame) = df.select(
-      col(idCol).cast("long").as("id"),
-      graft.functions.shingle_hashes(col(textCol), shingleN).as("hs"))
-      .withColumn("sz", size(col("hs")))
-    val newDocs = hashed(newDf)
-    val corpusDocs = hashed(corpus)
+    val newDocs = shingleTable(newDf, textCol, idCol, shingleN)
+    val corpusDocs = shingleTable(corpus, textCol, idCol, shingleN)
 
     def toks(docs: DataFrame) =
       docs.select(col("id"), col("sz"), explode(col("hs")).as("tok"))
@@ -471,11 +491,7 @@ object Dedup {
       .unionByName(toks(corpusDocs).withColumn("side", lit("c")))
     val dfreq = allToks.groupBy("tok").agg(count(lit(1)).as("df"))
     val ranked = allToks.join(dfreq, "tok")
-    val byGlobalOrder = Window.partitionBy(col("side"), col("id")).orderBy(col("df"), col("tok"))
-    val prefLen = col("sz") - ceil(col("sz") * threshold - lit(1e-9)) + 1
-    val prefix = ranked
-      .withColumn("rn", row_number().over(byGlobalOrder))
-      .filter(col("rn") <= prefLen)
+    val prefix = prefixFilter(ranked, Seq("side", "id"), threshold)
       .select(col("side"), col("tok"), col("id"), col("sz"))
 
     val a = prefix.filter(col("side") === "n")
@@ -518,6 +534,11 @@ object Dedup {
     * Returns (corpus idCol, benchmark_id, overlap, bench_size) for
     * qualifying pairs — all-integer columns, so the result is exactly
     * reproducible by any engine.
+    *
+    * PRECONDITION: `idCol` must be unique within each side (it is the
+    * document key). A duplicated benchmark id merges two documents'
+    * token rankings under one window partition and can silently shorten
+    * an effective prefix — recall is only guaranteed for unique ids.
     */
   def contamination(
       corpus: DataFrame,
@@ -528,28 +549,24 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    import org.apache.spark.sql.expressions.Window
 
-    val corpusDocs = corpus.select(col(idCol).cast("long").as("id_a"),
-      graft.functions.shingle_hashes(col(textCol), shingleN).as("hs_a"))
-    val benchDocs = benchmark.select(col(idCol).cast("long").as("id_b"),
-      graft.functions.shingle_hashes(col(textCol), shingleN).as("hs_b"))
-      .withColumn("sz_b", size(col("hs_b")))
+    val corpusDocs = shingleTable(corpus, textCol, idCol, shingleN)
+      .select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val benchDocs = shingleTable(benchmark, textCol, idCol, shingleN)
+      .select(col("id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b"))
 
     val corpusToks = corpusDocs.select(col("id_a"), explode(col("hs_a")).as("tok"))
     val dfreq = corpusToks.groupBy("tok").agg(count(lit(1)).as("df"))
     // corpus-absent benchmark tokens get df 0 — the BEST prefix tokens
-    // (they match nothing, pruning the benchmark doc outright)
+    // (they match nothing, pruning the benchmark doc outright). The
+    // containment prefix length is the same |B| - ceil(t*|B|) + 1 as the
+    // Jaccard join's (overlap >= ceil(t*|B|) on the contained side).
     val benchToks = benchDocs
-      .select(col("id_b"), col("sz_b"), explode(col("hs_b")).as("tok"))
+      .select(col("id_b").as("id"), col("sz_b").as("sz"), explode(col("hs_b")).as("tok"))
       .join(dfreq, Seq("tok"), "left")
       .na.fill(0L, Seq("df"))
-    val byRarity = Window.partitionBy(col("id_b")).orderBy(col("df"), col("tok"))
-    val prefLen = col("sz_b") - ceil(col("sz_b") * threshold - lit(1e-9)) + 1
-    val prefix = benchToks
-      .withColumn("rn", row_number().over(byRarity))
-      .filter(col("rn") <= prefLen)
-      .select(col("tok").as("tok_b"), col("id_b"))
+    val prefix = prefixFilter(benchToks, Seq("id"), threshold)
+      .select(col("tok").as("tok_b"), col("id").as("id_b"))
 
     val candidates = prefix
       .join(corpusToks.select(col("tok").as("tok_b"), col("id_a")), "tok_b")

@@ -124,8 +124,16 @@ object Similarity {
       idCol: String,
       vecCol: String,
       queries: DataFrame,
-      k: Int): DataFrame = {
+      k: Int,
+      maxQueryRows: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the query side is broadcast — refuse silently-huge query frames
+    // (same row-guard pattern as embeddingPairsExact) instead of letting
+    // the broadcast collect OOM the driver
+    val nQueries = queries.count()
+    require(nQueries <= maxQueryRows,
+      s"quantizedTopK broadcasts the query side: $nQueries query rows exceed " +
+        s"maxQueryRows=$maxQueryRows — batch the queries or raise the guard")
     val cq = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       graft.functions.vec8_quantize(col(vecCol)).as("cb"))
     val qq = queries.select(col(idCol).cast("long").as("query_id"),

@@ -74,4 +74,32 @@ class DedupExpressionsSpec extends SparkTestBase {
     assert(e2.getMessage.contains("NULL") || e2.getCause != null &&
       e2.getCause.getMessage.contains("NULL"), e2.getMessage)
   }
+
+  test("intersect_count_sorted: kernel equality, SQL name, loud null elements") {
+    // kernel equality over shingle sets
+    val df = texts.filter(_.nonEmpty).toDF("t").repartition(2)
+      .select(graft.functions.shingle_hashes(col("t"), 2).as("a"),
+        graft.functions.shingle_hashes(concat(col("t"), lit(" extra token")), 2).as("b"))
+      .withColumn("i", graft.functions.intersect_count_sorted(col("a"), col("b")))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) ===
+        Dedup.intersectCountKernel(r.getSeq[Long](0), r.getSeq[Long](1)))
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"))
+    // SQL name + exact value
+    assert(spark.sql(
+      "SELECT intersect_count_sorted(array(1L, 3L, 7L), array(3L, 5L, 7L, 9L))")
+      .head().getLong(0) === 2L)
+    // null array -> null result; null ELEMENT -> loud error
+    assert(spark.sql(
+      "SELECT intersect_count_sorted(CAST(NULL AS ARRAY<BIGINT>), array(1L))")
+      .head().isNullAt(0))
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT intersect_count_sorted(array(CAST(NULL AS BIGINT)), array(0L))").collect()
+    }
+    assert(e.getMessage.contains("NULL") || e.getCause != null &&
+      e.getCause.getMessage.contains("NULL"), e.getMessage)
+  }
 }

@@ -116,6 +116,20 @@ class VectorExpressionsSpec extends SparkTestBase {
     val short = Seq((0L, Seq.fill(8)(1.0))).toDF("id", "v")
       .select(graft.functions.vec8_quantize(col("v"))).head().getAs[Array[Byte]](0)
     intercept[IllegalArgumentException](VectorKernels.dot8(short, blobs(idA)))
+    // non-finite elements are rejected loudly (not silently coded as 0)
+    val nan = intercept[Exception] {
+      Seq((0L, Seq(1.0, Double.NaN))).toDF("id", "v")
+        .select(graft.functions.vec8_quantize(col("v"))).collect()
+    }
+    assert(nan.getMessage.contains("non-finite") ||
+      (nan.getCause != null && nan.getCause.getMessage.contains("non-finite")))
+    // subnormal magnitude (scale underflows to 0) is rejected loudly
+    val tiny = intercept[Exception] {
+      Seq((0L, Seq(java.lang.Double.MIN_VALUE))).toDF("id", "v")
+        .select(graft.functions.vec8_quantize(col("v"))).collect()
+    }
+    assert(tiny.getMessage.contains("underflow") ||
+      (tiny.getCause != null && tiny.getCause.getMessage.contains("underflow")))
   }
 
   test("vec8 top-k: recall >= 0.7 vs float brute force on clustered data; SQL names work") {

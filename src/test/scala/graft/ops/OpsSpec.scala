@@ -254,16 +254,18 @@ class OpsSpec extends SparkTestBase {
 
   test("dedupAgainst: exactly the brute-force new-vs-corpus survivors") {
     val corpus = docs
+    val collected = corpus.collect()
     // near-dups of corpus rows, one exact copy, and genuinely new texts
     val newBatch = (
-      (0 until 50 by 7).map(i => (5000L + i, corpus.collect()(i).getString(1) + " tail")) ++
+      (0 until 50 by 7).map(i => (5000L + i, collected(i).getString(1) + " tail")) ++
       Seq((6000L, "identical text body")) ++ // exact corpus dup
       Seq((7000L, "a wholly new document about nothing else"),
           (7001L, "a wholly new document about nothing else")) // within-batch dup pair
     ).toDF("doc_id", "text")
+    val corpusRows = collected.map(r => Dedup.shingleHashKernel(r.getString(1), 3))
+    val newRows = newBatch.collect()
     for (threshold <- Seq(0.5, 0.8)) {
-      val corpusRows = corpus.collect().map(r => Dedup.shingleHashKernel(r.getString(1), 3))
-      val expected = newBatch.collect().filter { r =>
+      val expected = newRows.filter { r =>
         val hs = Dedup.shingleHashKernel(r.getString(1), 3)
         !corpusRows.exists(c => Dedup.jaccardSortedKernel(hs.toSeq, c.toSeq) >= threshold)
       }.map(_.getLong(0)).toSet
