@@ -339,6 +339,67 @@ object Similarity {
     centroids
   }
 
+  /** [[writeIvfIndex]] with int8-QUANTIZED list vectors: the `lists`
+    * table stores a `vec8` blob (scale + codes, ~4x smaller than the
+    * float array — the serving-index footprint lever) instead of the raw
+    * vector column. Serve with [[ivfTopKQuantized]]; centroids stay
+    * full-precision (k x dim doubles — tiny, and probe selection quality
+    * is what they buy).
+    */
+  def writeIvfIndexQuantized(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      path: String,
+      iters: Int = 5,
+      partitions: Int = 0): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    val centroids = kmeansCentroids(df, vecCol, idCol, k, iters)
+    val idx = ivfIndex(df, vecCol, idCol, centroids)
+      .withColumn("vec8", graft.functions.vec8_quantize(col(vecCol)))
+      .drop(vecCol)
+    val p = if (partitions > 0) partitions
+      else math.max(1, df.rdd.getNumPartitions)
+    idx.repartitionByRange(p, col("list"))
+      .sortWithinPartitions("list")
+      .write.mode("overwrite").parquet(s"$path/lists")
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    centroids
+  }
+
+  /** ANN top-k over a QUANTIZED IVF index ([[writeIvfIndexQuantized]]):
+    * probe the `nprobe` nearest lists, rank members by the approximate
+    * dot product `(scale_q * scale_m) * int_dot` (exact integer dots,
+    * deterministic ties by id). The query is quantized driver-side with
+    * the same kernel, so executor scoring reads only int8 codes.
+    */
+  def ivfTopKQuantized(
+      index: DataFrame,
+      query: Seq[Double],
+      centroids: Array[Array[Double]],
+      k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val lists = centroids.indices
+      .map(c => c -> nearestCentroid(query, Array(centroids(c)))._2)
+      .sortBy(_._2).take(nprobe).map(_._1)
+    val qBlob = graft.expr.VectorKernels.quantize8(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(query.toArray),
+      isFloat = false)
+    index.filter(col("list").isin(lists: _*))
+      .select(col("id"),
+        ((graft.functions.vec8_scale(lit(qBlob)) *
+          graft.functions.vec8_scale(col("vec8"))) *
+          graft.functions.vec8_dot(lit(qBlob), col("vec8"))).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .select(col("id"), col("score"))
+  }
+
   /** Load a persisted IVF index: (inverted-list table, centroids). */
   def readIvfIndex(
       spark: SparkSession, path: String): (DataFrame, Array[Array[Double]]) = {
