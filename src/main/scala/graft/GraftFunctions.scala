@@ -278,6 +278,23 @@ object functions {
   /** Index of the nearest centroid by squared L2 (IVF assignment). */
   def vec_nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
     toCol(NearestCentroid(toExpr(vec), centroids))
+  /** The nprobe nearest centroid indices (batched IVF probe lists). */
+  def vec_probe_lists(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    toCol(ProbeLists(toExpr(vec), centroids, nprobe))
+  /** Bounded top-k by (score DESC, id ASC): the k best rows of the group
+    * as array<struct<score, id, payload>>, best first. Plans as a partial
+    * aggregate keeping only k rows per (group, partition) — the batched
+    * ANN serving shape (never a per-group full sort).
+    */
+  def topk_agg(score: Column, id: Column, payload: Column, k: Int): Column =
+    toCol(TopKAgg(
+      org.apache.spark.sql.catalyst.expressions.Cast(toExpr(score),
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.catalyst.expressions.Cast(toExpr(id),
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.catalyst.expressions.Cast(toExpr(payload),
+        org.apache.spark.sql.types.LongType),
+      k).toAggregateExpression())
   /** The abloom 64-bit finalizer mix over a BIGINT column. */
   def mix64(x: Column): Column = toCol(Mix64(toExpr(x)))
   /** Int8 quantization of a float/double embedding (scale + codes blob). */

@@ -729,8 +729,13 @@ object SparkEntry {
       val events = table(s, dir, "events")
       val tmp = java.nio.file.Files.createTempDirectory("graft-swb").toString
       events.write.parquet(s"$tmp/in")
+      // every day derivation below goes through the SAME cast + window()
+      // alignment the stream uses — mixing window() (epoch-aligned) with
+      // cast-to-date (session-timezone days) would let the capacity
+      // sizing or the probe join under-cover a day in a non-UTC session
+      val evTs = events.withColumn("ts", col("ts").cast("timestamp"))
       // capacity must cover the biggest day at ANY scale factor
-      val perDayMax = events.groupBy(col("ts").cast("date")).count()
+      val perDayMax = evTs.groupBy(window(col("ts"), "1 day")).count()
         .agg(max(col("count"))).head().getLong(0)
       val stream = s.readStream.schema(events.schema).parquet(s"$tmp/in")
         .withColumn("ts", col("ts").cast("timestamp"))
@@ -744,7 +749,9 @@ object SparkEntry {
       q.awaitTermination()
       val filters = s.table(qname)
         .select(col("window_start").cast("date").as("day"), col("filter"))
-      events.select(col("ts").cast("date").as("day"), col("user_id"))
+      evTs.select(
+          window(col("ts"), "1 day").getField("start").cast("date").as("day"),
+          col("user_id"))
         .join(filters, "day")
         .withColumn("hit", bloom_contains(col("filter"), col("user_id")))
         .groupBy(col("day"))
@@ -915,6 +922,71 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") % 100 === 7)
       graft.ops.Similarity.quantizedTopK(emb, "vec_id", "embedding", queries, k = 10)
         .orderBy(col("query_id"), col("neighbor_id"))
+    },
+
+    // BATCHED ANN serving under the gate: a query TABLE (not one driver
+    // vector) against BOTH persisted index families — the production
+    // retrieval shape. Plan contract: probe-list equi-joins + the bounded
+    // topk_agg aggregate (k rows per (query, partition) survive the
+    // partial stage; no per-query full sort anywhere — plan-pinned in
+    // BatchServingSpec). Correctness: per-query results must be
+    // IDENTICAL to the single-query serving paths on sampled queries,
+    // and every query must come back with exactly k neighbors. The
+    // query count is the cross-engine anchor.
+    "ann_batch_serving" -> { (s, dir) =>
+      import s.implicits._
+      val df = clusteredEmbeddings(s, dir)
+      val queries = df.filter(col("vec_id") % 50 === 3)
+      val nQ = queries.count()
+      val k = 10
+      val base = java.nio.file.Files.createTempDirectory("graft-abs").toString
+      // quantized IVF index: build once, serve the whole query table
+      val centroids = graft.ops.Similarity.writeIvfIndexQuantized(
+        df, "embedding", "vec_id", k = 8, s"$base/ivf", iters = 3)
+      val (ivfIndex, _) = graft.ops.Similarity.readIvfIndex(s, s"$base/ivf")
+      val ivfBatch = graft.ops.Similarity.ivfTopKQuantizedBatch(
+        ivfIndex, queries, "vec_id", "embedding", centroids, k, nprobe = 2)
+        .persist()
+      // persisted LSH bucket index, same query table
+      graft.ops.Similarity.writeIndex(df, "embedding", "vec_id", 10, s"$base/lsh")
+      val lshIndex = graft.ops.Similarity.readIndex(s, s"$base/lsh")
+      val lshBatch = graft.ops.Similarity.lshTopKBatch(
+        lshIndex, "embedding", queries, "vec_id", "embedding", k, nPlanes = 10)
+        .persist()
+      // every query returns exactly k (IVF probes 2 of 8 lists — always
+      // enough candidates at every provided sf)
+      def perQueryCounts(batch: DataFrame): (Long, Boolean) = {
+        val counts = batch.groupBy(col("query_id")).count()
+        (counts.count(), counts.filter(col("count") =!= k).count() == 0)
+      }
+      val (ivfQ, ivfKOk) = perQueryCounts(ivfBatch)
+      val (lshQ, _) = perQueryCounts(lshBatch)
+      // batch == single-query serving on the 5 smallest query ids
+      val sampleIds = queries.select(col("vec_id")).orderBy(col("vec_id"))
+        .limit(5).collect().map(_.getLong(0))
+      val sampleVecs = df.filter(col("vec_id").isin(sampleIds: _*))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val ivfMatches = sampleIds.forall { qid =>
+        val single = graft.ops.Similarity.ivfTopKQuantized(
+          ivfIndex, sampleVecs(qid), centroids, k, nprobe = 2)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+        val batch = ivfBatch.filter(col("query_id") === qid)
+          .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+        batch == single
+      }
+      val lshMatches = sampleIds.forall { qid =>
+        val single = graft.ops.Similarity.lshTopKIndexed(
+          lshIndex, "embedding", sampleVecs(qid), k, nPlanes = 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+        val batch = lshBatch.filter(col("query_id") === qid)
+          .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+        batch == single
+      }
+      ivfBatch.unpersist(blocking = false)
+      lshBatch.unpersist(blocking = false)
+      Seq((nQ, ivfQ == nQ && ivfKOk, ivfMatches, lshQ == nQ, lshMatches))
+        .toDF("n_queries", "ivf_all_queries_k", "ivf_batch_matches_single",
+          "lsh_all_queries_answered", "lsh_batch_matches_single")
     },
 
     // INCREMENTAL dedup against an existing corpus: a planted new batch
@@ -1446,6 +1518,16 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT query_id, neighbor_id, qdot FROM ranked WHERE rn <= 10
         |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // consistency/coverage booleans are Spark-verified; the query count
+    // anchors the input shape cross-engine
+    "ann_batch_serving" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 50 = 3) AS BIGINT)
+        |  AS n_queries,
+        |CAST(1 AS BOOLEAN) AS ivf_all_queries_k,
+        |CAST(1 AS BOOLEAN) AS ivf_batch_matches_single,
+        |CAST(1 AS BOOLEAN) AS lsh_all_queries_answered,
+        |CAST(1 AS BOOLEAN) AS lsh_batch_matches_single""".stripMargin,
 
     // survivors = new rows with NO corpus match at jaccard >= 0.6; the
     // exact join's recall guarantee makes NOT EXISTS an exact oracle

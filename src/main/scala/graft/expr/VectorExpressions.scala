@@ -97,6 +97,46 @@ object VectorKernels {
   def nearestCentroidChecked(vec: ArrayData, centroids: Array[Array[Double]], isFloat: Boolean): Int =
     nearestCentroid(DedupKernels.requireNoNulls(vec, "vec_nearest_centroid"), centroids, isFloat)
 
+  /** The `nprobe` centroid indices nearest to `vec` by squared L2,
+    * ascending distance with ties broken by lower index — the batched
+    * IVF probe-list assignment (one selection pass, O(k * nprobe)).
+    * Mirrors [[graft.ops.Similarity.probeLists]] exactly (same summation
+    * order), so driver- and executor-computed probe lists agree.
+    */
+  def probeLists(vec: ArrayData, centroids: Array[Array[Double]], nprobe: Int,
+      isFloat: Boolean): ArrayData = {
+    val k = centroids.length
+    val m = math.min(nprobe, k)
+    val bestIdx = new Array[Int](m)
+    val bestD = new Array[Double](m)
+    var size = 0
+    var c = 0
+    while (c < k) {
+      val cent = centroids(c)
+      var d = 0.0
+      var i = 0
+      val n = math.min(vec.numElements(), cent.length)
+      while (i < n) { val x = elem(vec, i, isFloat) - cent(i); d += x * x; i += 1 }
+      // insertion sort into the bounded (distance asc, index asc) list;
+      // strict < keeps the earlier (lower) index on distance ties
+      if (size < m || d < bestD(size - 1)) {
+        var pos = if (size < m) size else size - 1
+        while (pos > 0 && d < bestD(pos - 1)) {
+          bestD(pos) = bestD(pos - 1); bestIdx(pos) = bestIdx(pos - 1); pos -= 1
+        }
+        bestD(pos) = d
+        bestIdx(pos) = c
+        if (size < m) size += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(bestIdx, size))
+  }
+
+  def probeListsChecked(vec: ArrayData, centroids: Array[Array[Double]], nprobe: Int,
+      isFloat: Boolean): ArrayData =
+    probeLists(DedupKernels.requireNoNulls(vec, "vec_probe_lists"), centroids, nprobe, isFloat)
+
   /** Int8 vector quantization: `[8-byte BE double scale][n int8 codes]`,
     * scale = maxAbs / 127, code_i = clamp(floor(x_i / scale + 0.5), -127,
     * 127); an all-zero vector encodes scale 0 with zero codes. Every
@@ -269,6 +309,35 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
     copy(child = newChild)
   override def prettyName: String = "vec_nearest_centroid"
+}
+
+/** `vec_probe_lists(vec, nprobe) -> array<int>`: the nprobe nearest
+  * centroid indices (ascending distance, ties to the lower index) — the
+  * per-query probe-list assignment for BATCHED IVF serving. Like
+  * [[NearestCentroid]], the centroid matrix rides as a reference object.
+  */
+case class ProbeLists(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+  extends UnaryExpression with VectorArgExpression {
+  require(centroids.nonEmpty, "centroids must be non-empty")
+  require(nprobe >= 1, "nprobe must be >= 1")
+
+  override protected def fnName: String = "vec_probe_lists"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    if (mayHaveNullElements)
+      VectorKernels.probeListsChecked(input.asInstanceOf[ArrayData], centroids, nprobe, isFloat)
+    else VectorKernels.probeLists(input.asInstanceOf[ArrayData], centroids, nprobe, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val fn = if (mayHaveNullElements) "probeListsChecked" else "probeLists"
+    defineCodeGen(ctx, ev, c => s"graft.expr.VectorKernels.$fn($c, $centRef, $nprobe, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ProbeLists =
+    copy(child = newChild)
+  override def prettyName: String = "vec_probe_lists"
 }
 
 /** `mix64(x) -> long`: the abloom finalizer mix as a standalone codegen

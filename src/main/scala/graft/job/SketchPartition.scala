@@ -81,7 +81,15 @@ object SketchPartition {
       }
     }
     val partitioned = df.queryExecution.toRdd
-      .mapPartitions(_.map(r => (r.getInt(idx), r.copy())))
+      .mapPartitions(_.map { r =>
+        // a NULL bucket reads as 0 on the InternalRow path and would be
+        // silently routed to partition 0 — trip the precondition instead
+        if (r.isNullAt(idx))
+          throw new IllegalArgumentException(
+            s"NULL bucket value — $bucketCol must be non-null and in " +
+              s"[0, ${buckets - 1}]")
+        (r.getInt(idx), r.copy())
+      })
       .partitionBy(partitioner)
       .mapPartitions(_.map(_._2), preservesPartitioning = true)
     org.apache.spark.sql.GraftBridge.internalCreateDataFrame(spark, partitioned, schema)

@@ -350,7 +350,11 @@ object Dedup {
     *        (consumed by both the prefix pass and the two verify joins).
     *        Default true; pass false at corpus scales where caching a
     *        corpus-sized table is worse than recomputing shingles per
-    *        consumer.
+    *        consumer. CACHE LIFETIME: the persisted table lives until
+    *        Spark's cache eviction (or `spark.catalog.clearCache()`) —
+    *        long-lived sessions processing many corpora should use
+    *        [[jaccardPairsReleasable]] and call the release handle after
+    *        consuming the pairs ([[dedupJaccard]] does this internally).
     */
   def jaccardPairs(
       df: DataFrame,
@@ -361,6 +365,22 @@ object Dedup {
       persistShingleTable: Boolean = true): DataFrame =
     jaccardPairsWithHandle(df, textCol, idCol, shingleN, threshold,
       persistShingleTable)._1
+
+  /** [[jaccardPairs]] plus a release handle that unpersists the
+    * corpus-sized shingle cache — call it after the LAST action on the
+    * returned pairs (a no-op when `persistShingleTable` is false).
+    */
+  def jaccardPairsReleasable(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      persistShingleTable: Boolean = true): (DataFrame, () => Unit) = {
+    val (pairs, handle) = jaccardPairsWithHandle(
+      df, textCol, idCol, shingleN, threshold, persistShingleTable)
+    (pairs, () => handle.foreach(_.unpersist(blocking = false)))
+  }
 
   /** (id, hs, sz) shingle projection — the shared input shape of every
     * prefix-filter join ([[jaccardPairs]], [[dedupAgainst]],

@@ -209,7 +209,14 @@ object MediaCodecs {
     require(sampleRate > 0 && nSamples >= 0, "sampleRate > 0, nSamples >= 0")
     val blockAlign = channels * 2
     val byteRate = sampleRate * blockAlign
-    val dataSize = nSamples * blockAlign
+    // size arithmetic in Long: nSamples * blockAlign can exceed Int for
+    // any channel count, and a wrapped small-positive value would silently
+    // encode a spec-valid WAV with the wrong duration
+    val dataSizeL = nSamples.toLong * blockAlign
+    require(dataSizeL <= Int.MaxValue - 44L,
+      s"WAV data size $dataSizeL bytes exceeds the RIFF 32-bit limit " +
+        s"($nSamples samples x $channels channels)")
+    val dataSize = dataSizeL.toInt
     val out = new ByteArrayOutputStream(44 + dataSize)
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
     def le32(v: Int): Unit = {

@@ -126,7 +126,6 @@ object Similarity {
       queries: DataFrame,
       k: Int,
       maxQueryRows: Long = 100000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // the query side is broadcast — refuse silently-huge query frames
     // (same row-guard pattern as embeddingPairsExact) instead of letting
     // the broadcast collect OOM the driver
@@ -144,11 +143,27 @@ object Similarity {
       .withColumn("score",
         (graft.functions.vec8_scale(col("qb")) * graft.functions.vec8_scale(col("cb"))) *
           col("qdot"))
-    val byScore = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(byScore))
-      .filter(col("rn") <= k)
+    // bounded per-partition top-k (topk_agg partial mode keeps k rows per
+    // (query, partition)) + a k-sized final merge per query — never a
+    // row_number() window, which would funnel ALL of a query's scored
+    // corpus rows into one task and sort them (the 100 TB scale-killer)
+    perQueryTopK(scored, k)
       .select(col("query_id"), col("neighbor_id"), col("qdot"))
+  }
+
+  /** (query_id, score, neighbor_id[, qdot]) -> the k best rows per query
+    * by (score DESC, neighbor_id ASC), via the bounded [[graft.functions
+    * .topk_agg]] aggregate. Output: (query_id, neighbor_id, score, qdot).
+    */
+  private def perQueryTopK(scored: DataFrame, k: Int): DataFrame = {
+    val payload =
+      if (scored.columns.contains("qdot")) col("qdot") else lit(0L)
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.topk_agg(
+        col("score"), col("neighbor_id"), payload, k).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("e"))
+      .select(col("query_id"), col("e.id").as("neighbor_id"),
+        col("e.score").as("score"), col("e.payload").as("qdot"))
   }
 
   /** Bucket table: (id, embedding, bucket) for `nPlanes`-bit hyperplane
@@ -231,6 +246,64 @@ object Similarity {
     rerank(index.filter(col("bucket").isin(probeBuckets(query, nPlanes): _*)),
       vecCol, query, k)
 
+  /** BATCHED ANN serving against a persisted LSH index from
+    * [[writeIndex]]: a query TABLE instead of one driver-side vector —
+    * the production retrieval shape (millions of queries per pass).
+    *
+    * Plan shape (the part that must survive 100 TB):
+    *  1. per-query probe buckets (own signature + one-bit flips) computed
+    *     DISTRIBUTEDLY by the codegen signature kernel — no driver loop;
+    *  2. candidates = equi-JOIN of (query_id, probe_bucket) against the
+    *     index on `bucket` — the query side broadcasts (it is probe-list
+    *     sized), so the index scan streams through a broadcast hash join
+    *     with no shuffle of index rows;
+    *  3. exact cosine re-rank with the bounded [[graft.functions
+    *     .topk_agg]] aggregate: k rows per (query, partition) survive the
+    *     partial stage, and the only per-query work after the shuffle is
+    *     a k x partitions merge — never a full sort of a query's
+    *     candidate set.
+    *
+    * Output: (query_id, id, cosine) — per query the same (cosine DESC,
+    * id ASC) top-k [[lshTopKIndexed]] returns for that query vector.
+    *
+    * @param maxQueryRows broadcast guard on the query side; chunk the
+    *        query table into batches at larger counts.
+    */
+  def lshTopKBatch(
+      index: DataFrame,
+      vecCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      nPlanes: Int = 12,
+      maxQueryRows: Long = 1000000L): DataFrame = {
+    val nQueries = queries.count()
+    require(nQueries <= maxQueryRows,
+      s"lshTopKBatch broadcasts the query side: $nQueries query rows exceed " +
+        s"maxQueryRows=$maxQueryRows — chunk the query table")
+    val q = queries.select(
+      col(queryIdCol).cast("long").as("query_id"),
+      toDoubleArr(col(queryVecCol)).as("qv"),
+      graft.functions.lsh_signature(col(queryVecCol), nPlanes).as("qsig"))
+    // own bucket + all one-bit flips (multiprobe) — same probe set as
+    // the driver-side probeBuckets
+    val probes = q.select(col("query_id"), explode(concat(
+      array(col("qsig")),
+      transform(sequence(lit(0), lit(nPlanes - 1)),
+        b => col("qsig").bitwiseXOR(
+          call_function("shiftleft", lit(1L), b.cast("int"))))))
+      .as("bucket"))
+    val candidates = index.join(broadcast(probes), "bucket")
+      .select(col("query_id"), col("id").as("neighbor_id"), col(vecCol))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), "query_id")
+    val scored = candidates.withColumn("score",
+      round(Dedup.cosine(toDoubleArr(col(vecCol)), col("qv")), 6))
+    perQueryTopK(scored, k)
+      .select(col("query_id"), col("neighbor_id").as("id"),
+        col("score").as("cosine"))
+  }
+
   // ------------------------------------------------------------------- IVF
 
   /** Deterministic k-means coarse quantizer for IVF: k centroids over the
@@ -273,6 +346,17 @@ object Similarity {
     }
     centroids
   }
+
+  /** The `nprobe` centroid indices nearest to `query` (ascending
+    * distance, ties to the lower index) — driver-side mirror of the
+    * `vec_probe_lists` expression kernel, so a driver-computed probe
+    * list always equals the executor-computed one for the same vector.
+    */
+  def probeLists(
+      query: Seq[Double], centroids: Array[Array[Double]], nprobe: Int): Seq[Int] =
+    centroids.indices
+      .map(c => (nearestCentroid(query, Array(centroids(c)))._2, c))
+      .sortBy(identity).take(nprobe).map(_._2)
 
   /** (index, distance^2) of the nearest centroid (ties -> lowest index). */
   def nearestCentroid(v: Seq[Double], centroids: Array[Array[Double]]): (Int, Double) = {
@@ -384,9 +468,7 @@ object Similarity {
       centroids: Array[Array[Double]],
       k: Int,
       nprobe: Int = 2): DataFrame = {
-    val lists = centroids.indices
-      .map(c => c -> nearestCentroid(query, Array(centroids(c)))._2)
-      .sortBy(_._2).take(nprobe).map(_._1)
+    val lists = probeLists(query, centroids, nprobe)
     val qBlob = graft.expr.VectorKernels.quantize8(
       new org.apache.spark.sql.catalyst.util.GenericArrayData(query.toArray),
       isFloat = false)
@@ -420,10 +502,54 @@ object Similarity {
       centroids: Array[Array[Double]],
       k: Int,
       nprobe: Int = 2): DataFrame = {
-    val lists = centroids.indices
-      .map(c => c -> nearestCentroid(query, Array(centroids(c)))._2)
-      .sortBy(_._2).take(nprobe).map(_._1)
+    val lists = probeLists(query, centroids, nprobe)
     rerank(index.filter(col("list").isin(lists: _*)), vecCol, query, k)
+  }
+
+  /** BATCHED ANN serving over a QUANTIZED IVF index
+    * ([[writeIvfIndexQuantized]]): a query TABLE instead of one
+    * driver-side vector. Per query:
+    *
+    *  1. the `nprobe` probe lists are assigned DISTRIBUTEDLY by the
+    *     `vec_probe_lists` codegen kernel (identical selection to the
+    *     driver-side single-query path);
+    *  2. candidates = equi-join of the exploded (query_id, list, qblob)
+    *     probe table (broadcast — probe-list sized) against the index on
+    *     `list`: only the probed lists' row groups are read, and index
+    *     rows never shuffle;
+    *  3. int8 scoring `(scale_q * scale_m) * int_dot` + the bounded
+    *     [[graft.functions.topk_agg]] top-k — k rows per (query,
+    *     partition) survive the partial stage; no per-query sort of the
+    *     full candidate set anywhere.
+    *
+    * Output: (query_id, id, score) — per query identical to
+    * [[ivfTopKQuantized]] run on that query's vector.
+    */
+  def ivfTopKQuantizedBatch(
+      index: DataFrame,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      centroids: Array[Array[Double]],
+      k: Int,
+      nprobe: Int = 2,
+      maxQueryRows: Long = 1000000L): DataFrame = {
+    val nQueries = queries.count()
+    require(nQueries <= maxQueryRows,
+      s"ivfTopKQuantizedBatch broadcasts the query side: $nQueries query " +
+        s"rows exceed maxQueryRows=$maxQueryRows — chunk the query table")
+    val probes = queries.select(
+      col(queryIdCol).cast("long").as("query_id"),
+      graft.functions.vec8_quantize(col(queryVecCol)).as("qb"),
+      explode(graft.functions.vec_probe_lists(
+        col(queryVecCol), centroids, nprobe)).as("list"))
+    val scored = index.join(broadcast(probes), "list")
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        ((graft.functions.vec8_scale(col("qb")) *
+          graft.functions.vec8_scale(col("vec8"))) *
+          graft.functions.vec8_dot(col("qb"), col("vec8"))).as("score"))
+    perQueryTopK(scored, k)
+      .select(col("query_id"), col("neighbor_id").as("id"), col("score"))
   }
 
   /** Recall of the ANN result against the exact top-k (evaluation helper). */

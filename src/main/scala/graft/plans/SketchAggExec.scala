@@ -141,11 +141,30 @@ case class SketchPartialAggExec(
 
         private def liveBytesExceeded(): Boolean = {
           rowsSinceSample = 0
-          val head = map.entrySet().iterator().next()
+          // sample the MAX serialized size over a few spread entries, not
+          // the head alone: the oldest group can be atypically small
+          // (e.g. early keys saw few rows) and a head-only estimate would
+          // undershoot the live footprint while later groups grow. The
+          // walk is CAPPED at SampleEvery linked-list steps so the sample
+          // cost stays bounded by the update work since the last sample.
+          val n = math.min(map.size(), SampleEvery)
+          val probeAt = Array(0, n / 2, n - 1)
           var perGroup = 128L
-          var i = 0
-          while (i < funcs.length) {
-            perGroup += funcs(i).serialize(head.getValue()(i)).length; i += 1
+          val it = map.entrySet().iterator()
+          var idx = 0
+          var p = 0
+          while (it.hasNext && p < probeAt.length) {
+            val e = it.next()
+            if (idx == probeAt(p)) {
+              var bytes = 128L
+              var i = 0
+              while (i < funcs.length) {
+                bytes += funcs(i).serialize(e.getValue()(i)).length; i += 1
+              }
+              if (bytes > perGroup) perGroup = bytes
+              while (p < probeAt.length && idx >= probeAt(p)) p += 1
+            }
+            idx += 1
           }
           perGroup * map.size() > maxBytes
         }

@@ -194,6 +194,13 @@ object Registry {
       import org.apache.spark.sql.types.{IntegerType, LongType}
       MediaEncode(args(0), Cast(args(1), LongType), Cast(args(2), IntegerType),
         Cast(args(3), IntegerType), Cast(args(4), LongType))
+    },
+    "topk_agg" -> { args =>
+      require(args.size == 4, "topk_agg(score, id, payload, k)")
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      TopKAgg(Cast(args(0), DoubleType), Cast(args(1), LongType),
+        Cast(args(2), LongType), foldableInt(args(3), "k"))
+        .toAggregateExpression()
     })
 
   private def foldableInt(e: Expression, name: String): Int = {
