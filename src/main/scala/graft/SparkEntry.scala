@@ -390,17 +390,27 @@ object SparkEntry {
     },
 
     // §7.4 t-digest: the estimate's exact rank must sit within the
-    // published rank-error envelope of the requested quantile.
+    // published rank-error envelope of the requested quantile. The rank
+    // checks are FUSED: one job extracts all three estimates, ONE
+    // conditional-aggregation pass over lineitem computes every rank plus
+    // the row count (the old shape rescanned the table once per quantile
+    // — the "hardcoded shape saturates at bigger sf" class).
     "tdigest_quantiles" -> { (s, dir) =>
       val li = table(s, dir, "lineitem")
       val sketch = li.agg(tdigest_agg(col("l_extendedprice"), 100.0))
         .head().getAs[Array[Byte]](0)
-      val n = li.count()
       import s.implicits._
-      val checks = Seq(0.01, 0.5, 0.99).map { q =>
-        val est = Seq(sketch).toDF("s")
-          .select(tdigest_quantile(col("s"), q)).head().getDouble(0)
-        val rank = li.filter(col("l_extendedprice") <= est).count().toDouble / n
+      val qs = Seq(0.01, 0.5, 0.99)
+      val estRow = Seq(sketch).toDF("s")
+        .select(qs.map(q => tdigest_quantile(col("s"), q)): _*).head()
+      val ests = qs.indices.map(estRow.getDouble)
+      val aggCols = qs.indices.map(i =>
+        sum(when(col("l_extendedprice") <= ests(i), 1L).otherwise(0L)).as(s"r$i")) :+
+        count(lit(1)).as("n")
+      val r = li.agg(aggCols.head, aggCols.tail: _*).head()
+      val n = r.getLong(qs.size)
+      val checks = qs.zipWithIndex.map { case (q, i) =>
+        val rank = r.getLong(i).toDouble / n
         val bound = if (q <= 0.01 || q >= 0.99) 0.005 else 0.02
         (q, math.abs(rank - q) <= bound)
       }
@@ -428,17 +438,27 @@ object SparkEntry {
     },
 
     // §7.4 KLL: additive rank error <= 2.5/k at k = 200 for every decile.
+    // FUSED like tdigest_quantiles: one estimate-extraction job + ONE
+    // conditional aggregation computing all nine ranks and the non-NaN
+    // count (was 9 full rescans of events).
     "kll_rank_error" -> { (s, dir) =>
       val ev = table(s, dir, "events")
       val sketch = ev.agg(kll_agg(col("value"), 200))
         .head().getAs[Array[Byte]](0)
-      val n = ev.filter(!col("value").isNaN).count()
       import s.implicits._
-      val checks = (1 to 9).map(_ / 10.0).map { q =>
-        val est = Seq(sketch).toDF("s")
-          .select(kll_quantile(col("s"), q)).head().getDouble(0)
-        val rank = ev.filter(col("value") <= est).count().toDouble / n
-        (q, math.abs(rank - q) <= 2.5 / 200.0)
+      val qs = (1 to 9).map(_ / 10.0)
+      val estRow = Seq(sketch).toDF("s")
+        .select(qs.map(q => kll_quantile(col("s"), q)): _*).head()
+      val ests = qs.indices.map(estRow.getDouble)
+      // NaN values: `value <= est` is false for NaN (same as the old
+      // per-quantile filter), only the denominator excludes them
+      val aggCols = qs.indices.map(i =>
+        sum(when(col("value") <= ests(i), 1L).otherwise(0L)).as(s"r$i")) :+
+        sum(when(!col("value").isNaN, 1L).otherwise(0L)).as("n")
+      val r = ev.agg(aggCols.head, aggCols.tail: _*).head()
+      val n = r.getLong(qs.size)
+      val checks = qs.zipWithIndex.map { case (q, i) =>
+        (q, math.abs(r.getLong(i).toDouble / n - q) <= 2.5 / 200.0)
       }
       checks.toDF("q", "rank_within_eps").orderBy(col("q"))
     },
@@ -643,17 +663,18 @@ object SparkEntry {
       val hllEqual = java.util.Arrays.equals(
         unioned.getAs[Array[Byte]](0), direct.getAs[Array[Byte]](0))
       // CMS cell-wise add is exact: the unioned sketch must return the
-      // same count for every priority as the direct build
+      // same count for every priority as the direct build. ONE job over
+      // the 5-row priority table probes both sketches (the old shape ran
+      // a driver-side job per priority)
       val prios = orders.select(col("o_orderpriority")).distinct()
         .collect().map(_.getString(0))
       import s.implicits._
-      val cmsRows = Seq((unioned.getAs[Array[Byte]](1), direct.getAs[Array[Byte]](1)))
-        .toDF("u", "d")
-      val cmsEqual = prios.forall { p =>
-        val r = cmsRows.select(
-          cms_query(col("u"), lit(p)), cms_query(col("d"), lit(p))).head()
-        r.getLong(0) == r.getLong(1)
-      }
+      val cmsU = unioned.getAs[Array[Byte]](1)
+      val cmsD = direct.getAs[Array[Byte]](1)
+      val cmsEqual = prios.toSeq.toDF("p")
+        .select(cms_query(lit(cmsU), col("p")).as("uq"),
+          cms_query(lit(cmsD), col("p")).as("dq"))
+        .collect().forall(r => r.getLong(0) == r.getLong(1))
       // MG at k=64 >= 5 distinct priorities: exact, so wire bytes equal
       val mgEqual = java.util.Arrays.equals(
         unioned.getAs[Array[Byte]](3), direct.getAs[Array[Byte]](3))
@@ -662,15 +683,18 @@ object SparkEntry {
       val cbfEqual = java.util.Arrays.equals(
         unioned.getAs[Array[Byte]](5), direct.getAs[Array[Byte]](5))
       // t-digest / KLL: union medians' exact ranks within tolerance
-      // (their merges are bound-preserving, not byte-canonical)
-      def medianRank(bytes: Array[Byte], q: Array[Byte] => org.apache.spark.sql.Column): Double = {
-        val med = Seq(bytes).toDF("s").select(q(bytes)).head().getDouble(0)
-        orders.filter(col("o_totalprice") <= med).count().toDouble / n
-      }
-      val tdRank = medianRank(unioned.getAs[Array[Byte]](2),
-        b => tdigest_quantile(lit(b), 0.5))
-      val kllRank = medianRank(unioned.getAs[Array[Byte]](4),
-        b => kll_quantile(lit(b), 0.5))
+      // (their merges are bound-preserving, not byte-canonical). FUSED:
+      // one job extracts both medians, one conditional aggregation over
+      // orders computes both ranks (was 2 quantile jobs + 2 rescans).
+      val medRow = Seq(1).toDF("x").select(
+        tdigest_quantile(lit(unioned.getAs[Array[Byte]](2)), 0.5),
+        kll_quantile(lit(unioned.getAs[Array[Byte]](4)), 0.5)).head()
+      val rankRow = orders.agg(
+        sum(when(col("o_totalprice") <= medRow.getDouble(0), 1L).otherwise(0L)),
+        sum(when(col("o_totalprice") <= medRow.getDouble(1), 1L).otherwise(0L)))
+        .head()
+      val tdRank = rankRow.getLong(0).toDouble / n
+      val kllRank = rankRow.getLong(1).toDouble / n
       Seq((exact, hllEqual, cmsEqual, mgEqual, cbfEqual,
         tdRank >= 0.47 && tdRank <= 0.53,
         kllRank >= 0.47 && kllRank <= 0.53))

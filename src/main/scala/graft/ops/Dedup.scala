@@ -467,6 +467,44 @@ object Dedup {
       if (persistShingleTable) Some(docs) else None)
   }
 
+  /** The (tok, df) token document-frequency table of a corpus — the
+    * PIPELINE STATE consumed by [[dedupAgainst]]'s stored-df mode.
+    * Persist this once per corpus (it is tiny next to the corpus: one
+    * row per distinct shingle hash) and maintain it across appends with
+    * [[updateTokenDf]] instead of re-scanning the corpus per batch.
+    */
+  def corpusTokenDf(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3): DataFrame =
+    shingleTable(corpus, textCol, idCol, shingleN)
+      .select(explode(col("hs")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+
+  /** Update rule for the stored token-df state after a batch is APPENDED
+    * to the corpus: `df'(tok) = df(tok) + count of tok in the batch`.
+    * Equals [[corpusTokenDf]] over corpus ∪ batch exactly (union +
+    * re-sum, one shuffle — no outer join needed).
+    */
+  def updateTokenDf(
+      stored: DataFrame,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3): DataFrame = {
+    requireTokenDfSchema(stored, "updateTokenDf")
+    stored.select(col("tok"), col("df"))
+      .unionByName(corpusTokenDf(batch, textCol, idCol, shingleN))
+      .groupBy("tok").agg(sum(col("df")).as("df"))
+  }
+
+  private def requireTokenDfSchema(stored: DataFrame, fn: String): Unit =
+    require(stored.columns.contains("tok") && stored.columns.contains("df"),
+      s"$fn: stored token-df state must have columns (tok, df), " +
+        s"got ${stored.columns.mkString("(", ", ", ")")} — build it with " +
+        "corpusTokenDf and maintain it with updateTokenDf")
+
   /** INCREMENTAL exact-Jaccard dedup: the rows of `newDf` that have NO
     * near-duplicate (n-gram Jaccard >= threshold) in `corpus` — the
     * daily-increment shape of a training-data pipeline, where each new
@@ -476,13 +514,25 @@ object Dedup {
     * Same prefix-filtering machinery as [[jaccardPairs]] with one
     * asymmetry: document frequencies come from the UNION of both sides
     * (any consistent global token order is correct; corpus statistics
-    * dominate and, operationally, the df table can be maintained as
-    * pipeline state), but the candidate equi-join is new-prefix x
+    * dominate), but the candidate equi-join is new-prefix x
     * corpus-prefix ONLY — no corpus x corpus work, so each increment
     * costs O(|new| x avg-bucket) rather than re-touching the corpus
     * quadratically. Guaranteed recall: every new row with a qualifying
     * corpus match is dropped; within-batch duplicates are NOT collapsed
     * here (compose with [[dedupJaccard]] on the survivors for that).
+    *
+    * DF AS PIPELINE STATE: pass `tokenDfState = Some(stored)` (built by
+    * [[corpusTokenDf]], maintained by [[updateTokenDf]]) and the global
+    * token order comes from the stored (tok, df) table instead of a
+    * fresh df aggregation over corpus ∪ batch — one fewer corpus-wide
+    * shuffle per increment. Tokens absent from the state rank df = 0
+    * (rarest-first), a consistent total order. STALENESS SEMANTICS:
+    * prefix filtering is recall-correct under ANY consistent total token
+    * order and survivors are decided by the EXACT Jaccard verify, so a
+    * stale state can never change the result set — only the candidate
+    * fan-out (a very stale state degrades toward more candidates, i.e.
+    * slower, never wrong). Refresh cadence is therefore purely a
+    * performance knob.
     *
     * PRECONDITION: `idCol` must be unique within each side — a
     * duplicated id merges two documents under one window partition and
@@ -495,9 +545,11 @@ object Dedup {
       textCol: String,
       idCol: String,
       shingleN: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      tokenDfState: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    tokenDfState.foreach(requireTokenDfSchema(_, "dedupAgainst"))
 
     // no persist: each side's shingle pass runs twice (prefix + verify) —
     // recomputation is the right default at corpus scale, and the verify
@@ -509,8 +561,16 @@ object Dedup {
       docs.select(col("id"), col("sz"), explode(col("hs")).as("tok"))
     val allToks = toks(newDocs).withColumn("side", lit("n"))
       .unionByName(toks(corpusDocs).withColumn("side", lit("c")))
-    val dfreq = allToks.groupBy("tok").agg(count(lit(1)).as("df"))
-    val ranked = allToks.join(dfreq, "tok")
+    val ranked = tokenDfState match {
+      case Some(stored) =>
+        // left join: state-absent tokens (new in this batch, or state
+        // built before them) rank df = 0 — still one consistent order
+        allToks.join(stored.select(col("tok"), col("df")), Seq("tok"), "left")
+          .withColumn("df", coalesce(col("df"), lit(0L)))
+      case None =>
+        val dfreq = allToks.groupBy("tok").agg(count(lit(1)).as("df"))
+        allToks.join(dfreq, "tok")
+    }
     val prefix = prefixFilter(ranked, Seq("side", "id"), threshold)
       .select(col("side"), col("tok"), col("id"), col("sz"))
 

@@ -278,6 +278,51 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("dedupAgainst stored token-df state: identical survivors, exact update rule") {
+    val corpus = docs
+    val collected = corpus.collect()
+    val newBatch = (
+      (0 until 50 by 7).map(i => (5000L + i, collected(i).getString(1) + " tail")) ++
+      Seq((6000L, "identical text body"),
+          (7000L, "a wholly new document about nothing else"))
+    ).toDF("doc_id", "text")
+
+    // pipeline state from a corpus pass
+    val state = Dedup.corpusTokenDf(corpus, "text", "doc_id")
+    for (threshold <- Seq(0.5, 0.8)) {
+      val recompute = Dedup.dedupAgainst(newBatch, corpus, "text", "doc_id",
+        threshold = threshold).select("doc_id").as[Long].collect().toSet
+      val stored = Dedup.dedupAgainst(newBatch, corpus, "text", "doc_id",
+        threshold = threshold, tokenDfState = Some(state))
+        .select("doc_id").as[Long].collect().toSet
+      assert(stored === recompute, s"t=$threshold stored-df survivors diverged")
+
+      // STALENESS: a state missing half the corpus (and all batch tokens)
+      // must still yield identical survivors — order only shapes the
+      // candidate set; the exact verify decides membership
+      val staleState = Dedup.corpusTokenDf(corpus.filter(col("doc_id") < 25),
+        "text", "doc_id")
+      val stale = Dedup.dedupAgainst(newBatch, corpus, "text", "doc_id",
+        threshold = threshold, tokenDfState = Some(staleState))
+        .select("doc_id").as[Long].collect().toSet
+      assert(stale === recompute, s"t=$threshold stale-state survivors diverged")
+    }
+
+    // update rule == full recompute over the appended corpus, token by token
+    val updated = Dedup.updateTokenDf(state, newBatch, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = Dedup.corpusTokenDf(corpus.unionByName(newBatch), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(updated === full)
+
+    // wrong-shape state trips the loud precondition
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainst(newBatch, corpus, "text", "doc_id",
+        tokenDfState = Some(corpus))
+    }
+    assert(e.getMessage.contains("corpusTokenDf"))
+  }
+
   test("dedupJaccard one-call: exact recall keeps only component representatives") {
     val out = Dedup.dedupJaccard(docs, "text", "doc_id", threshold = 0.7)
     val kept = out.select("doc_id").as[Long].collect().toSet
