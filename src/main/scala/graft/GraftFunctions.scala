@@ -311,6 +311,14 @@ object functions {
     */
   def media_meta(payload: Column): Column = toCol(MediaMetaExpr(toExpr(payload)))
 
+  /** REAL content decode (grayscale PNG pixels / PCM WAV samples) ->
+    * struct<format, n, sum, sumsq> of exact integer sample statistics;
+    * NULL where no sample content is readable (JPEG/MP4 headers, unknown
+    * payloads).
+    */
+  def media_content_stats(payload: Column): Column =
+    toCol(MediaContentStats(toExpr(payload)))
+
   /** Deterministic synthesis of real PNG/JPEG/WAV payloads per row. */
   def media_encode(kind: Column, variant: Column, width: Column,
       height: Column, durationMs: Column): Column =

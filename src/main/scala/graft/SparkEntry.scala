@@ -1235,6 +1235,29 @@ object SparkEntry {
         .orderBy(col("kind"))
     },
 
+    // REAL feature extraction over the media payloads: PNG pixels are
+    // inflate+unfiltered, WAV PCM samples read sample-by-sample, and the
+    // EXACT integer statistics of the decoded samples (count/sum/sum of
+    // squares) aggregated per modality. The oracle recomputes the same
+    // integers purely from the id formulas the payloads were encoded
+    // with — any drift in the encoder's pixel/sample content OR the
+    // decoder's inflate/unfilter/PCM paths breaks the hash. JPEG/MP4
+    // payloads carry no decodable samples (header-only, the declared
+    // remaining fake) and must contribute exactly the NULL counts.
+    "multimodal_features" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val media = graft.ops.Multimodal.attachRealMedia(docs, "doc_id")
+      media.withColumn("st", media_content_stats(col("payload")))
+        .groupBy(col("kind"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("st").isNotNull, 1L).otherwise(0L)).as("n_decoded"),
+          sum(coalesce(col("st.n"), lit(0L))).as("n_samples"),
+          sum(coalesce(col("st.sum"), lit(0L))).as("sum_samples"),
+          sum(coalesce(col("st.sumsq"), lit(0L))).as("sumsq_samples"))
+        .orderBy(col("kind"))
+    },
+
     // Host-engine relational capability + oracle anchor: TPC-H Q1-ish.
     // (sum over integral doubles and cent-scaled bigints: order-independent,
     // so Spark and DuckDB agree bit-exactly)
@@ -1746,6 +1769,51 @@ object SparkEntry {
         |CAST(0 AS BIGINT) AS n_unparsed,
         |CASE kind WHEN 'image' THEN 'jpeg,png' WHEN 'audio' THEN 'wav' ELSE 'mp4' END AS formats
         |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
+    // recompute the decoded-sample statistics from the CONTENT formulas
+    // the payloads were encoded with: PNG pixel(x,y) = (id + y) % 256
+    // over a w x h grayscale grid (scanline-constant, so one term per
+    // scanline x width), WAV sample(j) = (id % 64) + (j % 16) over
+    // n = duration_ms * 8 samples (16 residue classes with exact
+    // counts). All-integer arithmetic -> bit-exact cross-engine.
+    "multimodal_features" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (ARRAY['image','audio','video'])[(doc_id % 3) + 1] AS kind
+        |  FROM documents),
+        |png AS (
+        |  SELECT doc_id, 32 + (doc_id*7919) % 608 AS w,
+        |         32 + (doc_id*4241) % 448 AS h
+        |  FROM m WHERE kind = 'image' AND doc_id % 2 = 0),
+        |png_stats AS (
+        |  -- h = 32 + (id*4241) % 448 <= 479 by construction, so a fixed
+        |  -- 0..478 series joined on y < h covers every scanline
+        |  SELECT p.doc_id, CAST(p.w AS BIGINT) * p.h AS n,
+        |    p.w * sum((p.doc_id + y.y) % 256) AS s,
+        |    p.w * sum(((p.doc_id + y.y) % 256) * ((p.doc_id + y.y) % 256)) AS sq
+        |  FROM png p JOIN generate_series(0, 478) AS y(y) ON y.y < p.h
+        |  GROUP BY p.doc_id, p.w, p.h),
+        |wav AS (
+        |  SELECT doc_id, (1000 + (doc_id*31) % 60000) * 8 AS n,
+        |         doc_id % 64 AS base
+        |  FROM m WHERE kind = 'audio'),
+        |wav_stats AS (
+        |  SELECT w.doc_id, CAST(w.n AS BIGINT) AS n,
+        |    sum((w.n // 16 + CASE WHEN r.r < w.n % 16 THEN 1 ELSE 0 END)
+        |        * (w.base + r.r)) AS s,
+        |    sum((w.n // 16 + CASE WHEN r.r < w.n % 16 THEN 1 ELSE 0 END)
+        |        * (w.base + r.r) * (w.base + r.r)) AS sq
+        |  FROM wav w CROSS JOIN generate_series(0, 15) AS r(r)
+        |  GROUP BY w.doc_id, w.n),
+        |stats AS (
+        |  SELECT doc_id, n, s, sq FROM png_stats
+        |  UNION ALL SELECT doc_id, n, s, sq FROM wav_stats)
+        |SELECT m.kind, count(*) AS n_rows,
+        |CAST(sum(CASE WHEN st.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+        |CAST(coalesce(sum(st.n), 0) AS BIGINT) AS n_samples,
+        |CAST(coalesce(sum(st.s), 0) AS BIGINT) AS sum_samples,
+        |CAST(coalesce(sum(st.sq), 0) AS BIGINT) AS sumsq_samples
+        |FROM m LEFT JOIN stats st ON m.doc_id = st.doc_id
+        |GROUP BY m.kind ORDER BY m.kind""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

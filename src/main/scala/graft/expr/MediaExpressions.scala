@@ -29,12 +29,21 @@ object MediaKernels {
     * exactly `durationMs`, video -> ISO BMFF (MP4) ftyp+moov header with
     * mvhd duration and tkhd presentation size, anything else -> an
     * opaque tagged blob that [[decodeMeta]] reports as unparseable.
+    *
+    * PNG and WAV carry REAL id-derived content (not silence/zeros):
+    * PNG pixel(x, y) = (variant + y) mod 256 (scanline-constant, encoded
+    * through the Up filter so decoding is an actual unfilter pass); WAV
+    * sample(j) = (variant mod 64) + (j mod 16). Both formulas are
+    * integer-exact and SQL-expressible, so a cross-engine oracle can
+    * recompute the content statistics [[decodeContentStats]] reads back
+    * from the bytes.
     */
   def encode(kind: UTF8String, variant: Long, width: Int, height: Int,
       durationMs: Long): Array[Byte] =
     kind.toString match {
       case "image" =>
-        if ((variant & 1L) == 0L) MediaCodecs.encodePng(width, height)
+        if ((variant & 1L) == 0L)
+          MediaCodecs.encodePng(width, height, (_, y) => ((variant + y) & 0xffL).toInt)
         else MediaCodecs.encodeJpegHeader(width, height)
       case "audio" =>
         // 8 samples per ms at 8 kHz -> duration reproduces exactly;
@@ -42,12 +51,24 @@ object MediaKernels {
         // value silently encodes a valid-but-wrong WAV)
         require(durationMs >= 0 && durationMs <= Int.MaxValue / 8L,
           s"audio duration_ms out of range: $durationMs")
-        MediaCodecs.encodeWav(1, 8000, (durationMs * 8L).toInt)
+        MediaCodecs.encodeWav(1, 8000, (durationMs * 8L).toInt,
+          j => ((variant & 63L) + (j % 16L)).toShort)
       case "video" =>
         MediaCodecs.encodeMp4Header(width, height, durationMs)
       case _ =>
         val tag = s"GRAFTRAW:$variant:$width:$height:$durationMs"
         tag.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+
+  /** Null for payloads without readable sample content (JPEG/MP4 headers,
+    * unknown blobs) — content stats exist only where the decode is real.
+    */
+  def decodeContentStats(payload: Array[Byte]): InternalRow =
+    MediaCodecs.decodeContent(payload) match {
+      case Some(s) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(s.format), s.n, s.sum, s.sumsq))
+      case None => null
     }
 }
 
@@ -89,6 +110,48 @@ object MediaMetaExpr {
     StructField("height", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false),
     StructField("duration_ms", LongType, nullable = false)))
+}
+
+/** `media_content_stats(payload) -> struct<format, n, sum, sumsq>`: REAL
+  * content decode — inflate+unfilter grayscale PNG pixels / read PCM WAV
+  * samples — aggregated to exact integer statistics (count, sum, sum of
+  * squares). NULL where no sample content is readable (JPEG/MP4 header
+  * payloads, unknown blobs): feature extraction is only claimed where
+  * the decode is real.
+  */
+case class MediaContentStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = MediaContentStats.schema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"media_content_stats expects BINARY, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaKernels.decodeContentStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val row = ctx.freshName("contentStats")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.InternalRow $row =
+        graft.expr.MediaKernels.decodeContentStats($c);
+      if ($row == null) { ${ev.isNull} = true; } else { ${ev.value} = $row; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MediaContentStats =
+    copy(child = newChild)
+  override def prettyName: String = "media_content_stats"
+}
+
+object MediaContentStats {
+  val schema: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("sum", LongType, nullable = false),
+    StructField("sumsq", LongType, nullable = false)))
 }
 
 /** `media_encode(kind, variant, width, height, duration_ms) -> binary`:

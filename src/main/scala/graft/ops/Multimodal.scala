@@ -22,14 +22,19 @@ import graft.core.Hashing
   *    codec payloads need an encoder, honestly out of scope). For
   *    unknown payloads `media_meta` returns NULL so any fallback is
   *    explicit, never silent.
-  * What remains fake and declared as such: [[extractFeatures]]' model
-  * kernel (no inference runtime offline) and the legacy length-derived
-  * [[decode_meta]] (kept as the schema template / for payloads that are
-  * not real containers). The rest of the surface is the Spark-side
-  * contract a production decoder plugs into: the schema, binary column
-  * handling, batch-shaped mapPartitions execution (the Scala equivalent
-  * of a Pandas UDF over mapInPandas: one kernel invocation per batch),
-  * and partitioning.
+  * Feature extraction ([[extractFeatures]]) is REAL for payloads whose
+  * sample content is readable — grayscale PNG (Inflater + scanline
+  * unfilter) and 16-bit PCM WAV (LE sample reads) via
+  * `MediaCodecs.decodeContent` — emitting exact statistics of the
+  * decoded samples. What remains fake and declared as such: the feature
+  * tail for JPEG/MP4 payloads (header-only containers carry no samples;
+  * a real entropy decoder is out of scope offline) and the legacy
+  * length-derived [[decode_meta]] (kept as the schema template / for
+  * payloads that are not real containers). The rest of the surface is
+  * the Spark-side contract a production decoder plugs into: the schema,
+  * binary column handling, batch-shaped mapPartitions execution (the
+  * Scala equivalent of a Pandas UDF over mapInPandas: one kernel
+  * invocation per batch), and partitioning.
   */
 object Multimodal {
 
@@ -130,10 +135,16 @@ object Multimodal {
   /** Batch-shaped feature extraction — the mapPartitions contract a real
     * model-inference kernel (ONNX/JNI) plugs into: the kernel sees a
     * buffered BATCH of payloads (here 64) per invocation, amortizing model
-    * dispatch, and emits fixed-width float vectors.
+    * dispatch, and emits fixed-width 8-float vectors.
     *
-    * FAKE KERNEL: 8 floats derived from XXH64 of the payload —
-    * deterministic, so tests can assert exact plumbing behavior.
+    * REAL where the payload's samples are readable (grayscale PNG pixels,
+    * PCM WAV samples — `MediaCodecs.decodeContent`): features are exact
+    * statistics of the DECODED samples
+    * `[mean, rms, variance, log1p(n), 0, 0, 0, 1]` (tag 1 = real).
+    * FAKE (declared) elsewhere — JPEG/MP4 header payloads and opaque
+    * blobs get the deterministic XXH64-derived vector with tag 0, so
+    * tests can assert exact plumbing behavior for every input and
+    * consumers can filter on the honesty tag.
     */
   def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeature] = {
     val spark = media.sparkSession
@@ -143,9 +154,19 @@ object Multimodal {
         // one "model call" per batch (the real kernel would run inference
         // on the whole batch here)
         batch.iterator.map { row =>
-          val base = Hashing.hashBytes(row.payload)
-          val feat = Array.tabulate(8) { i =>
-            (Hashing.mix64(base + i).toDouble / Long.MaxValue.toDouble).toFloat
+          val feat = MediaCodecs.decodeContent(row.payload) match {
+            case Some(s) if s.n > 0 =>
+              val mean = s.sum.toDouble / s.n
+              val rms = math.sqrt(s.sumsq.toDouble / s.n)
+              val variance = s.sumsq.toDouble / s.n - mean * mean
+              Array(mean.toFloat, rms.toFloat, variance.toFloat,
+                math.log1p(s.n.toDouble).toFloat, 0f, 0f, 0f, 1f)
+            case _ =>
+              val base = Hashing.hashBytes(row.payload)
+              Array.tabulate(8) { i =>
+                if (i == 7) 0f
+                else (Hashing.mix64(base + i).toDouble / Long.MaxValue.toDouble).toFloat
+              }
           }
           MediaFeature(row.media_id, feat)
         }

@@ -131,6 +131,167 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeMeta(ok).get.durationMs === 1000L)
   }
 
+  test("PNG content: decoded pixel stats are exact and ImageIO agrees pixel-by-pixel") {
+    for ((w, h, seed) <- Seq((1, 1, 0L), (17, 3, 5L), (200, 150, 1234L), (640, 480, 99L))) {
+      val pixel = (x: Int, y: Int) => ((seed + x * 3 + y * 7) & 0xff).toInt
+      val bytes = MediaCodecs.encodePng(w, h, pixel)
+      // brute-force expectation straight from the formula
+      var n = 0L; var sum = 0L; var sumsq = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = pixel(x, y); n += 1; sum += v; sumsq += v.toLong * v
+      }
+      assert(MediaCodecs.decodePngGray(bytes) ===
+        Some(MediaCodecs.ContentStats("png", n, sum, sumsq)), s"$w x $h seed=$seed")
+      // independent decoder: every reconstructed sample matches — this
+      // pins BOTH our Up-filter encoding and our unfilter against ImageIO
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val raster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w)
+        assert(raster.getSample(x, y, 0) === pixel(x, y), s"pixel ($x,$y)")
+    }
+  }
+
+  test("PNG content: all five standard filter types unfilter correctly") {
+    // hand-build the raw stream with one scanline per filter type and
+    // deflate it into a valid PNG, so Sub/Average/Paeth paths (which our
+    // encoder never emits) are exercised against ImageIO's reference
+    val w = 13
+    val h = 5
+    val pix = Array.tabulate(h, w)((y, x) => (x * 11 + y * 29 + 3) & 0xff)
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      val filter = y % 5
+      raw.write(filter)
+      for (x <- 0 until w) {
+        val v = pix(y)(x)
+        val left = if (x == 0) 0 else pix(y)(x - 1)
+        val up = if (y == 0) 0 else pix(y - 1)(x)
+        val upLeft = if (x == 0 || y == 0) 0 else pix(y - 1)(x - 1)
+        val predicted = filter match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) >> 1
+          case 4 =>
+            val p = left + up - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - upLeft)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft
+        }
+        raw.write((v - predicted) & 0xff)
+      }
+    }
+    // reuse the encoder's container by splicing our IDAT: rebuild chunks
+    val out = new java.io.ByteArrayOutputStream()
+    val ref = MediaCodecs.encodePng(w, h) // signature + IHDR template
+    out.write(ref, 0, 8 + 25) // signature + full IHDR chunk (4+4+13+4)
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw.toByteArray); deflater.finish()
+    val buf = new Array[Byte](8192)
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) idat.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    def writeChunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(Array[Byte]((len >>> 24).toByte, (len >>> 16).toByte,
+        (len >>> 8).toByte, len.toByte))
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(tb); crc.update(data)
+      val c = crc.getValue.toInt
+      out.write(Array[Byte]((c >>> 24).toByte, (c >>> 16).toByte,
+        (c >>> 8).toByte, c.toByte))
+    }
+    writeChunk("IDAT", idat.toByteArray)
+    writeChunk("IEND", Array.emptyByteArray)
+    val bytes = out.toByteArray
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO rejected the multi-filter PNG")
+    var sum = 0L; var sumsq = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      assert(img.getRaster.getSample(x, y, 0) === pix(y)(x), s"ImageIO pixel ($x,$y)")
+      sum += pix(y)(x); sumsq += pix(y)(x).toLong * pix(y)(x)
+    }
+    assert(MediaCodecs.decodePngGray(bytes) ===
+      Some(MediaCodecs.ContentStats("png", w.toLong * h, sum, sumsq)))
+  }
+
+  test("WAV content: decoded sample stats are exact and javax.sound agrees") {
+    for ((ch, rate, samples, seed) <- Seq((1, 8000, 8000, 7L), (2, 44100, 1000, 42L))) {
+      val sample = (j: Long) => (((seed + j) % 201) - 100).toShort
+      val bytes = MediaCodecs.encodeWav(ch, rate, samples, sample)
+      val total = samples.toLong * ch
+      var sum = 0L; var sumsq = 0L
+      (0L until total).foreach { j =>
+        val s = sample(j); sum += s; sumsq += s.toLong * s
+      }
+      assert(MediaCodecs.decodeWavSamples(bytes) ===
+        Some(MediaCodecs.ContentStats("wav", total, sum, sumsq)))
+      // independent decoder reads the identical PCM bytes
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val pcm = ais.readAllBytes()
+      assert(pcm.length === total * 2)
+      (0L until total).foreach { j =>
+        val off = (j * 2).toInt
+        val v = ((pcm(off) & 0xff) | (pcm(off + 1) << 8)).toShort
+        assert(v === sample(j), s"sample $j")
+      }
+    }
+  }
+
+  test("content decode: None for header-only containers, corrupt pixels, wrong formats") {
+    assert(MediaCodecs.decodeContent(MediaCodecs.encodeJpegHeader(10, 10)) === None)
+    assert(MediaCodecs.decodeContent(MediaCodecs.encodeMp4Header(10, 10, 1000L)) === None)
+    assert(MediaCodecs.decodeContent("not media".getBytes("UTF-8")) === None)
+    assert(MediaCodecs.decodeContent(null) === None)
+    val png = MediaCodecs.encodePng(20, 20, (x, y) => x + y)
+    // truncated IDAT: drop the tail (inflate cannot complete)
+    assert(MediaCodecs.decodePngGray(png.take(png.length - 20)) === None)
+    // non-grayscale color type rejected for content decode
+    assert(MediaCodecs.decodePngGray(png.updated(25, 2.toByte)) === None)
+    // a non-PCM (format 3 = float) WAV is rejected
+    val wav = MediaCodecs.encodeWav(1, 8000, 100, j => j.toShort)
+    val nonPcm = wav.clone(); nonPcm(20) = 3
+    assert(MediaCodecs.decodeWavSamples(nonPcm) === None)
+    assert(MediaCodecs.decodeWavSamples(wav.take(50)).get.n < 100,
+      "truncated data chunk clamps to available bytes")
+  }
+
+  test("media_encode content formulas: stats reproducible from (id, dims) alone") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // the cross-engine contract: PNG pixel(x,y) = (id + y) mod 256,
+    // WAV sample(j) = (id mod 64) + (j mod 16) — recompute both ways
+    for (id <- Seq(0L, 6L, 123456L)) {
+      val w = 32 + ((id * 7919) % 608).toInt
+      val h = 32 + ((id * 4241) % 448).toInt
+      val png = graft.expr.MediaKernels.encode(UTF8String.fromString("image"),
+        id * 2, w, h, 0L) // even variant -> PNG
+      val expSum = w.toLong * (0 until h).map(y => (id * 2 + y) % 256).sum
+      val expSq = w.toLong * (0 until h).map { y =>
+        val v = (id * 2 + y) % 256; v * v
+      }.sum
+      assert(MediaCodecs.decodePngGray(png) ===
+        Some(MediaCodecs.ContentStats("png", w.toLong * h, expSum, expSq)), s"png id=$id")
+
+      val ms = 1000L + (id * 31) % 60000L
+      val n = ms * 8
+      val wav = graft.expr.MediaKernels.encode(UTF8String.fromString("audio"),
+        id, 0, 0, ms)
+      val base = id % 64
+      val expWSum = (0 until 16).map { r =>
+        val cnt = n / 16 + (if (r < n % 16) 1 else 0)
+        cnt * (base + r)
+      }.sum
+      val expWSq = (0 until 16).map { r =>
+        val cnt = n / 16 + (if (r < n % 16) 1 else 0)
+        cnt * (base + r) * (base + r)
+      }.sum
+      assert(MediaCodecs.decodeWavSamples(wav) ===
+        Some(MediaCodecs.ContentStats("wav", n, expWSum, expWSq)), s"wav id=$id")
+    }
+  }
+
   test("property: random dimensions/durations round-trip exactly for all four formats") {
     val rnd = new scala.util.Random(2026)
     (1 to 200).foreach { _ =>

@@ -845,4 +845,32 @@ class OpsSpec extends SparkTestBase {
     val videoIds = media.filter(col("kind") === "video").count()
     assert(frames.select("media_id").distinct().count() === videoIds)
   }
+
+  test("multimodal REAL features: decoded-sample statistics for PNG/WAV, tagged fake elsewhere") {
+    val media = Multimodal.attachRealMedia(docs, "doc_id").as[Multimodal.MediaRow]
+    val feats = Multimodal.extractFeatures(media, batchSize = 16)
+      .collect().map(f => f.media_id -> f.feature).toMap
+    val payloads = media.collect().map(r => r.media_id -> (r.kind, r.payload)).toMap
+    assert(feats.keySet === payloads.keySet)
+    payloads.foreach { case (id, (kind, payload)) =>
+      val f = feats(id)
+      MediaCodecs.decodeContent(payload) match {
+        case Some(s) =>
+          // real path: exact statistics of the DECODED samples, tag 1
+          assert(kind === "audio" || (kind == "image" && id % 2 == 0))
+          val mean = s.sum.toDouble / s.n
+          assert(f(0) === mean.toFloat, s"mean id=$id")
+          assert(f(1) === math.sqrt(s.sumsq.toDouble / s.n).toFloat, s"rms id=$id")
+          assert(f(2) === (s.sumsq.toDouble / s.n - mean * mean).toFloat, s"var id=$id")
+          assert(f(3) === math.log1p(s.n.toDouble).toFloat && f(7) === 1f)
+        case None =>
+          // JPEG/MP4 header payloads: the declared fake, tag 0
+          assert(kind === "video" || (kind == "image" && id % 2 == 1))
+          assert(f(7) === 0f)
+      }
+    }
+    // every modality exercises both branches somewhere in the corpus
+    assert(payloads.count { case (_, (_, p)) => MediaCodecs.decodeContent(p).isDefined } > 0)
+    assert(payloads.count { case (_, (_, p)) => MediaCodecs.decodeContent(p).isEmpty } > 0)
+  }
 }
