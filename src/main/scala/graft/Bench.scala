@@ -299,27 +299,51 @@ object Bench {
       } finally s.stop()
     }
 
-    val samples = scala.collection.mutable.Map[Int, Vector[Double]]()
-      .withDefaultValue(Vector.empty)
-    var probeSamples = Vector.empty[Double]
-    // one warmup sweep (JIT) then `reps` interleaved measured sweeps,
-    // each sweep ending with a probe pass (>= 5 probe samples total)
+    // CONTENTION-AWARE sweep: each attempt = interleaved build sweeps +
+    // probe passes + the pure-CPU ceiling probe, all inside ONE window so
+    // the ceiling reading diagnoses the same minutes the build medians
+    // sampled. If the ceiling reads pathological (< 0.3 — even sha256
+    // would not scale; BENCH_r04 recorded a 0.033 window that halved the
+    // c32 build number), the whole sweep re-runs, bounded. The REPORTED
+    // numbers come from the attempt with the healthiest ceiling; every
+    // attempt's reading is recorded so the artifact shows its own
+    // retries instead of silently laundering a bad window.
+    final case class Sweep(
+        tp: Map[Int, Double], probeTp: Double, cpuEff: Double)
+    val probesPerSweep = math.max(1, (5 + reps - 1) / reps)
+    def runSweep(): Sweep = {
+      val samples = scala.collection.mutable.Map[Int, Vector[Double]]()
+        .withDefaultValue(Vector.empty)
+      var probeSamples = Vector.empty[Double]
+      (1 to reps).foreach { _ =>
+        levels.foreach { c => samples(c) = samples(c) :+ buildOnce(c, n) }
+        (1 to probesPerSweep).foreach(_ => probeSamples = probeSamples :+ probeOnce())
+      }
+      // hardware scaling ceiling (pure CPU), interleaved medians, read
+      // INSIDE the attempt window
+      val cpuTp = cpuProbeInterleaved(Seq(8, 32), reps)
+      Sweep(
+        levels.map(c => c -> n / median(samples(c))).toMap,
+        n / median(probeSamples),
+        cpuTp(32) / (4.0 * cpuTp(8)))
+    }
+    // one warmup sweep (JIT) before the first attempt only
     levels.foreach(c => buildOnce(c, math.min(n, 20000000L)))
     probeOnce() // warm the probe codegen path too
-    val probesPerSweep = math.max(1, (5 + reps - 1) / reps)
-    (1 to reps).foreach { _ =>
-      levels.foreach { c => samples(c) = samples(c) :+ buildOnce(c, n) }
-      (1 to probesPerSweep).foreach(_ => probeSamples = probeSamples :+ probeOnce())
+    val maxAttempts =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEP_RETRIES", "3").toInt)
+    var attempts = Vector.empty[Sweep]
+    while (attempts.isEmpty ||
+        (attempts.last.cpuEff < 0.3 && attempts.size < maxAttempts)) {
+      attempts :+= runSweep()
     }
-    val tp = levels.map(c => c -> n / median(samples(c))).toMap
-    val probeTp = n / median(probeSamples)
+    val best = attempts.maxBy(_.cpuEff)
+    val tp = best.tp
+    val probeTp = best.probeTp
+    val cpuEff = best.cpuEff
 
     def eff(lo: Int, hi: Int): Double =
       if (tp.contains(lo) && tp.contains(hi)) tp(hi) / ((hi.toDouble / lo) * tp(lo)) else -1
-
-    // hardware scaling ceiling (pure CPU), interleaved medians
-    val cpuTp = cpuProbeInterleaved(Seq(8, 32), reps)
-    val cpuEff = cpuTp(32) / (4.0 * cpuTp(8))
 
     // single-core kernel numbers (BASELINE §1 comparison), best-of-3 —
     // cheap (~10 s), makes the recorded JSON self-contained, and is the
@@ -342,6 +366,9 @@ object Bench {
         s""""scaling_efficiency_2_to_8":${"%.3f".format(eff(2, 8))},""" +
         s""""scaling_efficiency_8_to_32":${"%.3f".format(eff(8, 32))},""" +
         s""""cpu_probe_efficiency_8_to_32":${"%.3f".format(cpuEff)},""" +
+        s""""sweep_attempts":${attempts.size},""" +
+        s""""cpu_probe_attempt_readings":${
+          attempts.map(a => "%.3f".format(a.cpuEff)).mkString("[", ",", "]")},""" +
         s""""probe_keys_per_sec":${probeTp.toLong},""" +
         s""""kernel":$kernel,""" +
         s""""empirical_fpr":$fpr,"fpr_target":0.01,"fpr_bound_ok":${fpr <= 0.0105},"zero_fn":$fnOk}"""

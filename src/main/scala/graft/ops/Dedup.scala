@@ -239,56 +239,70 @@ object Dedup {
     val rows = k / bands
 
     val base = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-    val withSig = base.select(col("id"),
-      graft.functions.minhash_signature(
-        graft.functions.shingle_hashes(col("t"), shingleN), k).as("sig"))
 
-    // band hash over the band's signature slice (builtin hash() is fine
-    // for bucketing — candidate verification is exact anyway). ONLY
-    // (band, band_hash, id) triples are shuffled — never document content.
-    val banded = withSig.select(
-      col("id"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
+    // signature -> banding -> bucket -> pair extraction, parameterized on
+    // the source so auto mode can run it over an OBSERVED base (corpus
+    // row count rides the signature pass — no second corpus scan)
+    def candidatePipeline(src: DataFrame): DataFrame = {
+      val withSig = src.select(col("id"),
+        graft.functions.minhash_signature(
+          graft.functions.shingle_hashes(col("t"), shingleN), k).as("sig"))
 
-    // bucket candidates; cap pathological buckets to bound skew
-    val buckets = banded.groupBy(col("band"), col("band_hash"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(bucketFilter(size(col("ids")), maxBucket, droppedBuckets))
+      // band hash over the band's signature slice (builtin hash() is fine
+      // for bucketing — candidate verification is exact anyway). ONLY
+      // (band, band_hash, id) triples are shuffled — never document content.
+      val banded = withSig.select(
+        col("id"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_hash")
 
-    val candidatesPlain = buckets.select(explode(expr(
-      """filter(
-        |  flatten(transform(ids, (a, i) ->
-        |    transform(slice(ids, i + 2, size(ids)), b ->
-        |      struct(least(a, b) AS id_a, greatest(a, b) AS id_b)))),
-        |  p -> p.id_a <> p.id_b)""".stripMargin)).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      // bucket candidates; cap pathological buckets to bound skew
+      val buckets = banded.groupBy(col("band"), col("band_hash"))
+        .agg(collect_list(col("id")).as("ids"))
+        .filter(bucketFilter(size(col("ids")), maxBucket, droppedBuckets))
+
+      buckets.select(explode(expr(
+        """filter(
+          |  flatten(transform(ids, (a, i) ->
+          |    transform(slice(ids, i + 2, size(ids)), b ->
+          |      struct(least(a, b) AS id_a, greatest(a, b) AS id_b)))),
+          |  p -> p.id_a <> p.id_b)""".stripMargin)).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+    }
     // when the verify side is candidate-pruned, the pair table is
     // consumed twice (candidate-id set + verify join) — persist it
     // (small, bounded by the bucket cap; lineage kept so lost blocks
     // recompute safely) or the whole LSH pipeline would re-run
-    def persisted() =
-      candidatesPlain.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def persisted(cands: DataFrame) =
+      cands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (candidates, pruneVerify) = verifyOnlyCandidates match {
-      case Some(false) => (candidatesPlain, false)
-      case Some(true) => (persisted(), true)
+      case Some(false) => (candidatePipeline(base), false)
+      case Some(true) => (persisted(candidatePipeline(base)), true)
       case None =>
         // auto: candidate ids <= 2 x pairs; prune when that bound sits
         // under half the corpus — the regime where the pruned shingle
         // pass + shuffle beat a corpus-wide one. Counting the persisted
-        // pair table runs the LSH stage once, eagerly; when pruning, both
-        // later consumers hit the cache. When NOT pruning the result has
-        // a single consumer — release the cache immediately (lazily; the
-        // one consumption recomputes through the normal lineage) so
-        // repeated auto calls do not accumulate session-lifetime cache
-        // entries.
-        val cands = persisted()
+        // pair table runs the LSH stage once, eagerly; the corpus row
+        // count rides that SAME job via observe/CollectMetrics (exactly-
+        // once, codegen-preserving — not a ScalaUDF accumulator, and no
+        // extra corpus scan). The observed node sits only on the
+        // candidate side, so the verify query (which reads base through
+        // an unobserved plan) never duplicates the metric name. When
+        // pruning, both later consumers hit the cache. When NOT pruning
+        // the result has a single consumer — release the cache
+        // immediately (lazily; the one consumption recomputes through
+        // the normal lineage) so repeated auto calls do not accumulate
+        // session-lifetime cache entries.
+        val obs = new org.apache.spark.sql.Observation()
+        val cands = persisted(candidatePipeline(
+          base.observe(obs, count(lit(1)).as("rows"))))
         val nPairs = cands.count()
-        val prune = 2 * nPairs < base.count() / 2
+        val corpusRows = obs.get("rows").asInstanceOf[Long]
+        val prune = 2 * nPairs < corpusRows / 2
         if (!prune) cands.unpersist(blocking = false)
         (cands, prune)
     }

@@ -234,6 +234,90 @@ object Similarity {
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** [[writeIndex]] with int8-QUANTIZED bucket vectors: the index stores
+    * a `vec8` blob (scale + codes, ~4x smaller than the float array)
+    * instead of the raw vector column — the same serving-footprint lever
+    * as [[writeIvfIndexQuantized]], composed with the bucket row-group
+    * pruning. Serve with [[lshTopKQuantized]] / [[lshTopKQuantizedBatch]].
+    */
+  def writeIndexQuantized(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nPlanes: Int,
+      path: String,
+      partitions: Int = 0): Unit = {
+    val buckets = lshBuckets(df, vecCol, idCol, nPlanes)
+      .withColumn("vec8", graft.functions.vec8_quantize(col(vecCol)))
+      .drop(vecCol)
+    val p = if (partitions > 0) partitions
+      else math.max(1, df.rdd.getNumPartitions)
+    buckets.repartitionByRange(p, col("bucket"))
+      .sortWithinPartitions("bucket")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** ANN top-k over a QUANTIZED LSH index ([[writeIndexQuantized]]):
+    * bucket probes push down to the parquet scan, candidates ranked by
+    * the approximate dot `(scale_q * scale_m) * int_dot` (exact integer
+    * dots, deterministic ties by id). The query is quantized driver-side
+    * with the same kernel, so executor scoring reads only int8 codes.
+    */
+  def lshTopKQuantized(
+      index: DataFrame,
+      query: Seq[Double],
+      k: Int,
+      nPlanes: Int = 12): DataFrame = {
+    val qBlob = graft.expr.VectorKernels.quantize8(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(query.toArray),
+      isFloat = false)
+    index.filter(col("bucket").isin(probeBuckets(query, nPlanes): _*))
+      .select(col("id"),
+        ((graft.functions.vec8_scale(lit(qBlob)) *
+          graft.functions.vec8_scale(col("vec8"))) *
+          graft.functions.vec8_dot(lit(qBlob), col("vec8"))).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .select(col("id"), col("score"))
+  }
+
+  /** BATCHED serving over a QUANTIZED LSH index: the [[lshTopKBatch]]
+    * plan shape (distributed signatures -> broadcast probe equi-join ->
+    * bounded topk_agg) with int8 scoring — per query identical to
+    * [[lshTopKQuantized]] on that query's vector. Output:
+    * (query_id, id, score).
+    */
+  def lshTopKQuantizedBatch(
+      index: DataFrame,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      nPlanes: Int = 12,
+      maxQueryRows: Long = 1000000L): DataFrame = {
+    val nQueries = queries.count()
+    require(nQueries <= maxQueryRows,
+      s"lshTopKQuantizedBatch broadcasts the query side: $nQueries query " +
+        s"rows exceed maxQueryRows=$maxQueryRows — chunk the query table")
+    val q = queries.select(
+      col(queryIdCol).cast("long").as("query_id"),
+      graft.functions.vec8_quantize(col(queryVecCol)).as("qb"),
+      graft.functions.lsh_signature(col(queryVecCol), nPlanes).as("qsig"))
+    val probes = q.select(col("query_id"), col("qb"), explode(concat(
+      array(col("qsig")),
+      transform(sequence(lit(0), lit(nPlanes - 1)),
+        b => col("qsig").bitwiseXOR(
+          call_function("shiftleft", lit(1L), b.cast("int"))))))
+      .as("bucket"))
+    val scored = index.join(broadcast(probes), "bucket")
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        ((graft.functions.vec8_scale(col("qb")) *
+          graft.functions.vec8_scale(col("vec8"))) *
+          graft.functions.vec8_dot(col("qb"), col("vec8"))).as("score"))
+    perQueryTopK(scored, k)
+      .select(col("query_id"), col("neighbor_id").as("id"), col("score"))
+  }
+
   /** ANN top-k against a persisted index from [[writeIndex]]: bucket
     * probes push down to the parquet scan, exact re-rank on survivors.
     */

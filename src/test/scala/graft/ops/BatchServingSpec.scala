@@ -190,6 +190,39 @@ class BatchServingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("quantized LSH index: <0.5x footprint, batch == single-query, probe pushdown") {
+    val data = randVecs(400, 16, seed = 13)
+    val df = data.toDF("vec_id", "embedding").repartition(4)
+    val base = java.nio.file.Files.createTempDirectory("graft-qlsh").toString
+    Similarity.writeIndexQuantized(df, "embedding", "vec_id", nPlanes = 8, s"$base/q")
+    Similarity.writeIndex(df, "embedding", "vec_id", nPlanes = 8, s"$base/f")
+    def bytesUnder(p: String): Long =
+      new java.io.File(p).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val qBytes = bytesUnder(s"$base/q")
+    val fBytes = bytesUnder(s"$base/f")
+    assert(qBytes < fBytes / 2, s"quantized index $qBytes vs float $fBytes")
+    val index = Similarity.readIndex(spark, s"$base/q")
+    assert(index.columns.contains("vec8") && !index.columns.contains("embedding"))
+    // bucket probes still push down to the parquet scan
+    val plan = index.filter(col("bucket").isin(0L, 1L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("bucket"),
+      s"bucket probe not pushed:\n$plan")
+    // batch serving == per-query serving on the identical index
+    val queries = df.filter(col("vec_id") % 100 === 11)
+    val batch = Similarity.lshTopKQuantizedBatch(
+      index, queries, "vec_id", "embedding", k = 10, nPlanes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(t => (-t._2, t._1)).toSeq).toMap
+    data.filter(_._1 % 100 == 11).foreach { case (qid, qv) =>
+      val single = Similarity.lshTopKQuantized(index, qv, k = 10, nPlanes = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(t => (-t._2, t._1)).toSeq
+      assert(batch(qid) == single, s"query $qid")
+      assert(single.nonEmpty)
+    }
+  }
+
   test("query-side guards refuse oversized query tables loudly") {
     val df = randVecs(50, 8).toDF("vec_id", "embedding")
     val err = intercept[IllegalArgumentException] {

@@ -119,6 +119,27 @@ class OpsSpec extends SparkTestBase {
     assert(Dedup.minhashPairs(low, "text", "doc_id", threshold = 0.7,
       verifyOnlyCandidates = Some(false))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === lowPairs)
+
+    // the auto decision costs exactly ONE eager execution (the candidate
+    // count; the corpus row count rides it via observe) — a regression
+    // to a separate base.count() would plan a second execution
+    val execs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execs.incrementAndGet()
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Dedup.minhashPairsWithMode(low, "text", "doc_id", 3, 128, 32, 0.7, 1000, None, None)
+      org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(execs.get() === 1,
+      s"auto verify-mode decision planned ${execs.get()} executions — " +
+        "the corpus count must ride the candidate-count job via observe")
   }
 
   test("DataSplit: deterministic, partition-invariant, fraction-accurate, salt-sensitive") {
