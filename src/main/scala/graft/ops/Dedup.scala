@@ -301,8 +301,25 @@ object Dedup {
         val cands = persisted(candidatePipeline(
           base.observe(obs, count(lit(1)).as("rows"))))
         val nPairs = cands.count()
-        val corpusRows = obs.get("rows").asInstanceOf[Long]
-        val prune = 2 * nPairs < corpusRows / 2
+        // GOTCHA: when the candidate set is EMPTY (e.g. every bucket hit
+        // the maxBucket cap), AQE's runtime empty-relation propagation
+        // can replace the executed subtree — CollectMetrics node
+        // included — with an empty LocalTableScan, and Spark then
+        // completes the observation with an EMPTY row (ObservationManager
+        // .tryComplete reports Row.empty when the logical plan has the
+        // node but the executed plan lost it). With zero pairs the prune
+        // decision is moot (both verify modes return the empty result),
+        // so take the pruned path (semi-join against an empty id set)
+        // without touching the metric. For nPairs > 0 the observed stage
+        // provably produced rows, so the metric is present; the
+        // base.count() fallback is belt-and-braces, not a planned job.
+        val prune =
+          if (nPairs == 0L) true
+          else {
+            val corpusRows = obs.get.get("rows").map(_.asInstanceOf[Long])
+              .getOrElse(base.count())
+            2 * nPairs < corpusRows / 2
+          }
         if (!prune) cands.unpersist(blocking = false)
         (cands, prune)
     }
