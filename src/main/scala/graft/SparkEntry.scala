@@ -1050,6 +1050,23 @@ object SparkEntry {
         .orderBy(col("split"))
     },
 
+    // SEQUENCE PACKING for training-data assembly: every document gets
+    // the bin where its first token lands on the global doc_id-ordered
+    // token stream (bin = start_offset div 512). The Spark side is a
+    // two-level distributed prefix sum (t-digest range buckets ->
+    // per-bucket offsets -> within-bucket window); DuckDB recomputes the
+    // identical assignment with one global window — pure integer
+    // arithmetic, exact match.
+    "sequence_packing" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+      graft.ops.Packing.packSequences(docs, "tokens", "doc_id",
+          binTokens = 512, buckets = 8)
+        .select(col("doc_id"), col("tokens"), col("start_offset"), col("bin"))
+        .orderBy(col("doc_id"))
+    },
+
     // Near-dup CLUSTERS: pairs are not a dedup decision — duplicates are
     // transitive — so the minhash pairs feed connected components and
     // every doc maps to its component-min representative. DuckDB
@@ -1630,6 +1647,23 @@ object SparkEntry {
          |count(*) AS cnt, bit_xor(doc_id) AS id_xor
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
     },
+
+    // packing is a pure function of (key order, token counts): DuckDB's
+    // single global window must reproduce the distributed prefix sum
+    // bit-exactly
+    "sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, tokens,
+        |    CAST(COALESCE(SUM(tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_offset
+        |  FROM t)
+        |SELECT doc_id, tokens, start_offset,
+        |       CAST(start_offset // 512 AS BIGINT) AS bin
+        |FROM o ORDER BY doc_id""".stripMargin,
 
     // exact similarity join: the oracle IS the definition — all-pairs
     // 3-gram Jaccard >= 0.6 — and must match exactly (guaranteed recall,
