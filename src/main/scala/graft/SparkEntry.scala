@@ -1050,6 +1050,21 @@ object SparkEntry {
         .orderBy(col("split"))
     },
 
+    // STRATIFIED deterministic sampling: per-event-type keep rates as a
+    // pure function of (event_id, salt) — the downsample-the-common,
+    // keep-the-rare primitive. DuckDB recomputes the identical sha256
+    // threshold decisions, so counts AND the xor of kept ids must match
+    // exactly.
+    "stratified_sample" -> { (s, dir) =>
+      val events = table(s, dir, "events")
+      graft.ops.DataSplit.stratifiedSample(events, "event_id", "event_type",
+          Map("click" -> 0.1, "view" -> 0.25, "purchase" -> 0.5, "error" -> 1.0),
+          defaultRate = 0.05, salt = "graft")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), expr("bit_xor(event_id)").as("id_xor"))
+        .orderBy(col("event_type"))
+    },
+
     // SEQUENCE PACKING for training-data assembly: every document gets
     // the bin where its first token lands on the global doc_id-ordered
     // token stream (bin = start_offset div 512). The Spark side is a
@@ -1646,6 +1661,22 @@ object SparkEntry {
          |  ELSE 'test' END AS split,
          |count(*) AS cnt, bit_xor(doc_id) AS id_xor
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+    },
+
+    // the oracle recomputes the per-stratum sha256 threshold decision
+    // (keep iff sha256(id||salt) < hex(rate)) — exact, like dataset_split
+    "stratified_sample" -> {
+      def t(r: Double) = graft.ops.DataSplit.hexThreshold(r)
+      s"""SELECT event_type, count(*) AS cnt, bit_xor(event_id) AS id_xor
+         |FROM events
+         |WHERE event_id IS NOT NULL AND CASE
+         |  WHEN event_type = 'click'    THEN sha256(CAST(event_id AS VARCHAR) || 'graft') < '${t(0.1)}'
+         |  WHEN event_type = 'view'     THEN sha256(CAST(event_id AS VARCHAR) || 'graft') < '${t(0.25)}'
+         |  WHEN event_type = 'purchase' THEN sha256(CAST(event_id AS VARCHAR) || 'graft') < '${t(0.5)}'
+         |  WHEN event_type = 'error'    THEN TRUE
+         |  ELSE sha256(CAST(event_id AS VARCHAR) || 'graft') < '${t(0.05)}'
+         |END
+         |GROUP BY event_type ORDER BY event_type""".stripMargin
     },
 
     // packing is a pure function of (key order, token counts): DuckDB's

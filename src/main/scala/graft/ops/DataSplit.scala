@@ -85,4 +85,48 @@ object DataSplit {
     require(fractions.exists(_._1 == label), s"unknown split label $label")
     assign(df, keyCol, fractions, salt).filter(col("split") === label).drop("split")
   }
+
+  /** The deterministic keep/drop decision for Bernoulli sampling at
+    * `rate`: true iff `sha2(key || salt) < hexThreshold(rate)`. Pure
+    * function of (key, salt, rate) — same properties as [[splitColumn]]:
+    * partition/order/cluster-size invariant, reproducible in any engine
+    * with sha256, and MONOTONE in rate (raising the rate only ADDS rows
+    * to the sample; the rows kept at 1% are exactly the first ones kept
+    * at 10%), so nested samples of the same keyspace are free. NULL keys
+    * are never sampled.
+    */
+  def sampleColumn(key: Column, rate: Double, salt: String = ""): Column = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0, 1], got $rate")
+    if (rate == 0.0) lit(false)
+    else if (rate == 1.0) key.isNotNull
+    else sha2(concat(key.cast("string"), lit(salt)), 256) < lit(hexThreshold(rate))
+  }
+
+  /** Deterministic STRATIFIED sampling: each row keeps/drops by
+    * [[sampleColumn]] at its stratum's rate — the downsample-the-spam,
+    * keep-all-the-rare-class primitive of training-data curation, with
+    * none of `sampleBy`'s seeded-RNG fragility (re-runs on reshuffled or
+    * grown 100 TB inputs keep the same rows, and per-row work is one
+    * codegen'd sha256: no shuffle, no per-stratum pass).
+    *
+    * @param rates stratum value -> rate in [0, 1]
+    * @param defaultRate rate for stratum values not in `rates` (and for
+    *        NULL strata); default 1.0 = keep unknown strata whole
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0,
+      salt: String = ""): DataFrame = {
+    require(rates.nonEmpty, "at least one stratum rate required")
+    val keep = rates.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+      case (acc, (stratum, rate)) =>
+        val cond = col(strataCol) === lit(stratum)
+        val take = sampleColumn(col(keyCol), rate, salt)
+        Some(acc.fold(when(cond, take))(_.when(cond, take)))
+    }.get.otherwise(sampleColumn(col(keyCol), defaultRate, salt))
+    df.filter(keep)
+  }
 }

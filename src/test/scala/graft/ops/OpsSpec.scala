@@ -169,6 +169,59 @@ class OpsSpec extends SparkTestBase {
     assert(train.collect().map(_.getLong(0)).toSet === a.collect { case (k, "train") => k }.toSet)
   }
 
+  test("stratifiedSample: deterministic, monotone in rate, rate-accurate, default + null strata") {
+    val n = 10000
+    val rows = (0 until n).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    val s1 = ids(DataSplit.stratifiedSample(rows, "id", "stratum",
+      Map("a" -> 0.1, "b" -> 0.5), salt = "z"))
+    // partition/order invariance
+    val s2 = ids(DataSplit.stratifiedSample(
+      rows.repartition(13).orderBy(col("id").desc), "id", "stratum",
+      Map("a" -> 0.1, "b" -> 0.5), salt = "z"))
+    assert(s1 === s2)
+    // per-stratum sizes within 4-sigma binomial bounds
+    val aKept = s1.count(_ % 2 == 0)
+    val bKept = s1.count(_ % 2 == 1)
+    assert(math.abs(aKept - n / 2 * 0.1) <= 4 * math.sqrt(n / 2 * 0.1 * 0.9), s"a: $aKept")
+    assert(math.abs(bKept - n / 2 * 0.5) <= 4 * math.sqrt(n / 2 * 0.25), s"b: $bKept")
+    // monotone: the 10% sample of stratum a is a SUBSET of the 40% sample
+    val s3 = ids(DataSplit.stratifiedSample(rows, "id", "stratum",
+      Map("a" -> 0.4, "b" -> 0.5), salt = "z"))
+    assert(s1.filter(_ % 2 == 0).subsetOf(s3))
+    // the scala-side sha256 recompute agrees exactly (engine-independence)
+    val thr = DataSplit.hexThreshold(0.1)
+    val expectA = (0 until n by 2).filter { i =>
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"${i}z".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString < thr
+    }.map(_.toLong).toSet
+    assert(s1.filter(_ % 2 == 0) === expectA)
+    // unknown stratum -> defaultRate (1.0 keeps whole, 0.0 drops all)
+    val mixed = (0 until 100).map(i => (i.toLong, if (i < 50) "a" else "zzz"))
+      .toDF("id", "stratum")
+    assert(ids(DataSplit.stratifiedSample(mixed, "id", "stratum", Map("a" -> 0.0)))
+      === (50L until 100L).toSet)
+    assert(ids(DataSplit.stratifiedSample(mixed, "id", "stratum",
+      Map("a" -> 1.0), defaultRate = 0.0)) === (0L until 50L).toSet)
+    // NULL stratum takes defaultRate; NULL key never sampled
+    val withNulls = Seq((Some(1L), Some("a")), (Some(2L), None), (None, Some("a")))
+      .toDF("id", "stratum")
+    val kept = DataSplit.stratifiedSample(withNulls, "id", "stratum",
+      Map("a" -> 1.0), defaultRate = 1.0)
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    assert(kept === Set(Some(1L), Some(2L)))
+    // rate 1.0 keeps every non-null key even at the hex boundary
+    assert(ids(DataSplit.stratifiedSample(rows, "id", "stratum",
+      Map("a" -> 1.0, "b" -> 1.0))).size === n)
+    intercept[IllegalArgumentException](
+      DataSplit.stratifiedSample(rows, "id", "stratum", Map("a" -> 1.5)))
+    intercept[IllegalArgumentException](
+      DataSplit.stratifiedSample(rows, "id", "stratum", Map.empty[String, Double]))
+  }
+
   test("DataSplit: hex thresholds and validation") {
     assert(DataSplit.hexThreshold(0.5) === "8" * 1 + "0" * 63)
     assert(DataSplit.hexThreshold(0.25) === "4" + "0" * 63)
