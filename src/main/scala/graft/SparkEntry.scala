@@ -1050,6 +1050,24 @@ object SparkEntry {
         .orderBy(col("split"))
     },
 
+    // PII REDACTION: deterministic synthetic PII (email/IPv4/long digit
+    // run derived from doc_id) planted identically in both engines, then
+    // redacted by the shared Java-regex ∩ RE2 pattern set. The oracle
+    // recomputes the REDACTED TEXT byte-for-byte (sha256), not just the
+    // match counts — redaction is auditable only if the bytes agree.
+    "text_redact" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val aug = docs.select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0.1 ref "), (col("doc_id") + 900000000L).cast("string")).as("text"))
+      graft.ops.TextAnalysis.redactPii(aug, "text")
+        .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_longnum"),
+          sha2(col("redacted"), 256).as("redacted_sha"))
+        .orderBy(col("doc_id"))
+    },
+
     // STRATIFIED deterministic sampling: per-event-type keep rates as a
     // pure function of (event_id, salt) — the downsample-the-common,
     // keep-the-rare primitive. DuckDB recomputes the identical sha256
@@ -1661,6 +1679,29 @@ object SparkEntry {
          |  ELSE 'test' END AS split,
          |count(*) AS cnt, bit_xor(doc_id) AS id_xor
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+    },
+
+    // same pattern strings, same sequential order, same global
+    // replacement — the engines must agree on every redacted byte
+    "text_redact" -> {
+      val Seq((_, emailP, emailR), (_, ipP, ipR), (_, numP, numR)) =
+        graft.ops.TextAnalysis.piiPatterns
+      s"""WITH aug AS (
+         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+         |    || '.0.1 ref ' || CAST(doc_id + 900000000 AS VARCHAR) AS t
+         |  FROM documents),
+         |s1 AS (SELECT doc_id,
+         |  len(regexp_extract_all(t, '$emailP')) AS n_email,
+         |  regexp_replace(t, '$emailP', '$emailR', 'g') AS t FROM aug),
+         |s2 AS (SELECT doc_id, n_email,
+         |  len(regexp_extract_all(t, '$ipP')) AS n_ipv4,
+         |  regexp_replace(t, '$ipP', '$ipR', 'g') AS t FROM s1),
+         |s3 AS (SELECT doc_id, n_email, n_ipv4,
+         |  len(regexp_extract_all(t, '$numP')) AS n_longnum,
+         |  regexp_replace(t, '$numP', '$numR', 'g') AS t FROM s2)
+         |SELECT doc_id, n_email, n_ipv4, n_longnum, sha256(t) AS redacted_sha
+         |FROM s3 ORDER BY doc_id""".stripMargin
     },
 
     // the oracle recomputes the per-stratum sha256 threshold decision

@@ -27,6 +27,44 @@ object TextAnalysis {
   def regex_token_count(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]"), lit(0)))
 
+  /** PII redaction patterns, applied IN ORDER: (name, regex, replacement).
+    * The regexes are deliberately in the Java-regex ∩ RE2 common subset
+    * (character classes, bounded/unbounded repetition, `\b`, `\d` — no
+    * backreferences, no lookaround, no ordered alternation), and for each
+    * of them leftmost-greedy (Java) and leftmost-longest (RE2) matching
+    * coincide — so ANY engine reproduces the identical redaction
+    * byte-for-byte, which is what makes redaction auditable: the oracle
+    * recomputes the redacted text, not just the counts.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("longnum", "\\b\\d{9,}\\b", "<NUM>"))
+
+  /** `df` plus a `redacted` text column and one `n_<pattern>` count per
+    * [[piiPatterns]] entry. Patterns apply sequentially; each count is
+    * taken on the text state BEFORE that pattern's replacement (so digits
+    * inside an already-redacted email are not double-counted). Pure
+    * per-row codegen built-ins (`regexp_extract_all` + `regexp_replace`)
+    * — no UDF, no shuffle, embarrassingly parallel at any scale. NULL
+    * text propagates to NULL redacted/counts.
+    */
+  def redactPii(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      patterns: Seq[(String, String, String)] = piiPatterns)
+      : org.apache.spark.sql.DataFrame = {
+    require(patterns.nonEmpty, "at least one pattern required")
+    val out = patterns.foldLeft(df.withColumn("redacted", col(textCol))) {
+      case (acc, (name, pat, repl)) =>
+        acc
+          .withColumn(s"n_$name",
+            size(regexp_extract_all(col("redacted"), lit(pat), lit(0))).cast("long"))
+          .withColumn("redacted", regexp_replace(col("redacted"), pat, repl))
+    }
+    out
+  }
+
   /** Quality-score components, all deterministic arithmetic over counts so
     * an exact SQL oracle exists: alpha ratio, digit ratio, punctuation
     * ratio, whitespace ratio, mean token length.

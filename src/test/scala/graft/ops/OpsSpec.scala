@@ -169,6 +169,43 @@ class OpsSpec extends SparkTestBase {
     assert(train.collect().map(_.getLong(0)).toSet === a.collect { case (k, "train") => k }.toSet)
   }
 
+  test("redactPii: sequential patterns, exact counts, java-regex reference agreement") {
+    val rows = Seq(
+      (1L, "write to jane.doe+spam@mail-host.co.uk or 10.0.0.255 now"),
+      (2L, "card 4111111111111111 and ssn 123456789 but short 12345678"),
+      (3L, "email inside digits 123456789a@b.io 999999999"),
+      (4L, "no pii here at all"),
+      (5L, "1.2.3.4 5.6.7.8 two ips, and 300.300.300.300 is still redacted by pattern"))
+      .toDF("id", "text")
+    val got = TextAnalysis.redactPii(rows, "text")
+      .select("id", "redacted", "n_email", "n_ipv4", "n_longnum")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // independent reference: java.util.regex applied the same way
+    def ref(t: String): (String, Long, Long, Long) = {
+      var s = t
+      val counts = TextAnalysis.piiPatterns.map { case (_, p, repl) =>
+        val m = java.util.regex.Pattern.compile(p).matcher(s)
+        var c = 0L
+        while (m.find()) c += 1
+        s = s.replaceAll(p, repl)
+        c
+      }
+      (s, counts(0), counts(1), counts(2))
+    }
+    rows.collect().foreach { r =>
+      assert(got(r.getLong(0)) === ref(r.getString(1)), s"id=${r.getLong(0)}")
+    }
+    // spot-check semantics: email swallowed its digits (not double-counted)
+    assert(got(3L) === (("email inside digits <EMAIL> <NUM>", 1L, 0L, 1L)))
+    assert(got(2L)._4 === 2L) // both long digit runs, not the 8-digit one
+    assert(got(5L)._3 === 3L) // syntactic ipv4, including out-of-range octets
+    // NULL text propagates
+    val n = TextAnalysis.redactPii(Seq((1L, null: String)).toDF("id", "text"), "text")
+      .select("redacted", "n_email").collect()(0)
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
   test("stratifiedSample: deterministic, monotone in rate, rate-accurate, default + null strata") {
     val n = 10000
     val rows = (0 until n).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
