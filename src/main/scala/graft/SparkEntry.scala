@@ -1050,6 +1050,26 @@ object SparkEntry {
         .orderBy(col("split"))
     },
 
+    // INTRA-DOC REPETITION signals (Gopher repetition-filter family):
+    // exact integer n-gram counts from the codegen kernel, plus the
+    // published bigram filter decision (top 2-gram > 18% of 2-grams) as
+    // pure integer arithmetic. DuckDB recomputes every count from
+    // first principles (split -> n-gram lists -> group counts).
+    "text_repetition" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("r", graft.ops.TextAnalysis.text_repetition(col("text")))
+        .select(col("doc_id"),
+          col("r.n_words").as("n_words"),
+          col("r.n_distinct_words").as("n_distinct_words"),
+          col("r.top_bigram_count").as("top_bigram_count"),
+          col("r.n_bigrams").as("n_bigrams"),
+          col("r.dup_trigram_occurrences").as("dup_trigram_occurrences"),
+          col("r.n_trigrams").as("n_trigrams"),
+          (col("r.top_bigram_count") * 100 > col("r.n_bigrams") * 18)
+            .as("gopher_bigram_reject"))
+        .orderBy(col("doc_id"))
+    },
+
     // PII REDACTION: deterministic synthetic PII (email/IPv4/long digit
     // run derived from doc_id) planted identically in both engines, then
     // redacted by the shared Java-regex ∩ RE2 pattern set. The oracle
@@ -1680,6 +1700,43 @@ object SparkEntry {
          |count(*) AS cnt, bit_xor(doc_id) AS id_xor
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
     },
+
+    // every repetition count recomputed from first principles: split ->
+    // 1-based n-gram lists -> per-doc group counts; integer-only output
+    "text_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |         CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words
+        |  FROM w),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS g FROM w),
+        |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+        |bga AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count,
+        |               CAST(sum(c) AS BIGINT) AS n_bigrams
+        |        FROM bgc GROUP BY doc_id),
+        |tg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g FROM w),
+        |tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g),
+        |tga AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+        |            AS dup_trigram_occurrences,
+        |          CAST(sum(c) AS BIGINT) AS n_trigrams
+        |        FROM tgc GROUP BY doc_id)
+        |SELECT b.doc_id, n_words, n_distinct_words,
+        |  COALESCE(top_bigram_count, 0) AS top_bigram_count,
+        |  COALESCE(n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(dup_trigram_occurrences, 0) AS dup_trigram_occurrences,
+        |  COALESCE(n_trigrams, 0) AS n_trigrams,
+        |  COALESCE(top_bigram_count, 0) * 100 > COALESCE(n_bigrams, 0) * 18
+        |    AS gopher_bigram_reject
+        |FROM base b
+        |LEFT JOIN bga USING (doc_id) LEFT JOIN tga USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // same pattern strings, same sequential order, same global
     // replacement — the engines must agree on every redacted byte

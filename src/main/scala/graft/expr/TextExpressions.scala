@@ -41,6 +41,61 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](UTF8String.fromString(lang), conf))
   }
+
+  /** Intra-document repetition signals (the Gopher repetition-filter
+    * family: Rae et al. 2021, appendix A1.1, adapted to single-line word
+    * streams): exact integer counts so a SQL oracle can recompute every
+    * field. One pass, three hash maps over EXACT string keys (no hashing
+    * shortcut — the counts must be collision-free exact). Words are
+    * whitespace runs of the trimmed text; n-gram keys join words with a
+    * single space (injective: words contain no whitespace).
+    *
+    * Fields: n_words, n_distinct_words, top_bigram_count (occurrences of
+    * the most frequent word 2-gram; 0 when < 2 words), n_bigrams,
+    * dup_trigram_occurrences (occurrences belonging to 3-grams seen more
+    * than once), n_trigrams. Filters derive ratios downstream, e.g.
+    * Gopher drops docs with top_bigram_count/n_bigrams > 0.18.
+    */
+  def repetitionStats(s: UTF8String): InternalRow = {
+    val words = s.toString.trim.split("\\s+").filter(_.nonEmpty)
+    val nWords = words.length.toLong
+    val wc = new java.util.HashMap[String, Integer]()
+    var i = 0
+    while (i < words.length) {
+      wc.merge(words(i), Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+      i += 1
+    }
+    var topBigram = 0L
+    var nBigrams = 0L
+    if (words.length >= 2) {
+      val bc = new java.util.HashMap[String, Integer]()
+      i = 0
+      while (i < words.length - 1) {
+        bc.merge(words(i) + " " + words(i + 1), Integer.valueOf(1),
+          (a, b) => Integer.valueOf(a + b))
+        i += 1
+      }
+      nBigrams = words.length - 1L
+      val it = bc.values().iterator()
+      while (it.hasNext) { val c = it.next().toLong; if (c > topBigram) topBigram = c }
+    }
+    var dupTri = 0L
+    var nTri = 0L
+    if (words.length >= 3) {
+      val tc = new java.util.HashMap[String, Integer]()
+      i = 0
+      while (i < words.length - 2) {
+        tc.merge(words(i) + " " + words(i + 1) + " " + words(i + 2),
+          Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+        i += 1
+      }
+      nTri = words.length - 2L
+      val it = tc.values().iterator()
+      while (it.hasNext) { val c = it.next().toLong; if (c > 1L) dupTri += c }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, wc.size().toLong, topBigram, nBigrams, dupTri, nTri))
+  }
 }
 
 /** `doc_fingerprint(text) -> long`: min XXH64 over sliding character
@@ -93,4 +148,41 @@ case class LangId(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): LangId =
     copy(child = newChild)
   override def prettyName: String = "lang_id"
+}
+
+/** `text_repetition(text) -> struct<n_words, n_distinct_words,
+  * top_bigram_count, n_bigrams, dup_trigram_occurrences, n_trigrams>`:
+  * exact intra-document repetition counts (see
+  * [[TextKernels.repetitionStats]]). Native expression: the whole
+  * Gopher-repetition filter stays inside whole-stage codegen, one kernel
+  * call per row, embarrassingly parallel at any corpus size.
+  */
+case class TextRepetition(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = TextRepetition.schema
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"text_repetition expects STRING, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.repetitionStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextKernels.repetitionStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TextRepetition =
+    copy(child = newChild)
+  override def prettyName: String = "text_repetition"
+}
+
+object TextRepetition {
+  val schema: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_distinct_words", LongType, nullable = false),
+    StructField("top_bigram_count", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("dup_trigram_occurrences", LongType, nullable = false),
+    StructField("n_trigrams", LongType, nullable = false)))
 }

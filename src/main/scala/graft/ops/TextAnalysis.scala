@@ -180,6 +180,13 @@ object TextAnalysis {
     org.apache.spark.sql.GraftBridge.column(
       graft.expr.DocFingerprint(org.apache.spark.sql.GraftBridge.expression(text)))
 
+  /** Intra-document repetition signals (Gopher repetition-filter family):
+    * exact integer counts — see [[graft.expr.TextKernels.repetitionStats]].
+    */
+  def text_repetition(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expr.TextRepetition(org.apache.spark.sql.GraftBridge.expression(text)))
+
   /** Top-m most frequent whitespace tokens across a corpus, via the
     * Misra-Gries heavy-hitters aggregate over the exploded token stream —
     * the canonical "vocabulary head" question a training-data pipeline

@@ -140,6 +140,10 @@ object Registry {
       require(args.size == 1, "lang_id(text)")
       LangId(args.head)
     },
+    "text_repetition" -> { args =>
+      require(args.size == 1, "text_repetition(text)")
+      TextRepetition(args.head)
+    },
     "shingle_hashes" -> { args =>
       require(args.size == 2, "shingle_hashes(text, n)")
       ShingleHashes(args(0), foldableInt(args(1), "n"))

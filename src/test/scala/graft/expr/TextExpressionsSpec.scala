@@ -98,4 +98,51 @@ class TextExpressionsSpec extends SparkTestBase {
     }
     assert(err.getMessage.toLowerCase.contains("string"))
   }
+
+  test("text_repetition matches a brute-force n-gram reference") {
+    def ref(t: String): (Long, Long, Long, Long, Long, Long) = {
+      val ws = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val bi = ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val tri = ws.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      val biCounts = bi.groupBy(identity).view.mapValues(_.size).toMap
+      val triCounts = tri.groupBy(identity).view.mapValues(_.size).toMap
+      (ws.size.toLong, ws.distinct.size.toLong,
+        if (biCounts.isEmpty) 0L else biCounts.values.max.toLong, bi.size.toLong,
+        triCounts.values.filter(_ > 1).sum.toLong, tri.size.toLong)
+    }
+    val cases = Seq(
+      "a b a b a b a b",                       // heavy bigram repetition
+      "x y z x y z x y z",                     // repeated trigram
+      "all distinct words in this one here",   // no repetition
+      "solo",                                  // 1 word: no n-grams
+      "two words",                             // bigram but no trigram
+      "",                                      // blank
+      "  padded   with   runs  of spaces  ",   // whitespace runs
+      "a a a a a a a a a a")                   // single repeated word
+    val got = cases.toDF("t").repartition(2)
+      .select(col("t"), TextAnalysis.text_repetition(col("t")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getStruct(1)).toMap
+    cases.foreach { t =>
+      val e = ref(t)
+      val g = got(t)
+      assert((g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3),
+        g.getLong(4), g.getLong(5)) === e, s"text='$t'")
+    }
+    // NULL propagates; SQL name registered; codegen stage survives
+    val r = Seq[String](null).toDF("t")
+      .select(TextAnalysis.text_repetition(col("t"))).head()
+    assert(r.isNullAt(0))
+    cases.toDF("t").createOrReplaceTempView("text_rep_t")
+    val viaSql = spark.sql(
+      "SELECT text_repetition(t).n_words AS n FROM text_rep_t").collect()
+    assert(viaSql.map(_.getLong(0)).sum === cases.map(c => ref(c)._1).sum)
+    // collect() first: AQE finalizes stages lazily, and the pre-execution
+    // executedPlan string carries no WholeStageCodegen markers
+    val planDf = cases.toDF("t").repartition(2)
+      .select(TextAnalysis.text_repetition(col("t")))
+    planDf.collect()
+    val plan = planDf.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expected codegen stage in:\n$plan")
+    assert(!plan.contains("ScalaUDF"))
+  }
 }
