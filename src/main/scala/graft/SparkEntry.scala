@@ -960,7 +960,9 @@ object SparkEntry {
     "ann_batch_serving" -> { (s, dir) =>
       import s.implicits._
       val df = clusteredEmbeddings(s, dir)
-      val queries = df.filter(col("vec_id") % 50 === 3)
+      // persist: nQ below plus the broadcast guard count inside EACH
+      // batch API would otherwise re-derive the query table three times
+      val queries = df.filter(col("vec_id") % 50 === 3).persist()
       val nQ = queries.count()
       val k = 10
       val base = java.nio.file.Files.createTempDirectory("graft-abs").toString
@@ -1008,6 +1010,7 @@ object SparkEntry {
       }
       ivfBatch.unpersist(blocking = false)
       lshBatch.unpersist(blocking = false)
+      queries.unpersist(blocking = false)
       Seq((nQ, ivfQ == nQ && ivfKOk, ivfMatches, lshQ == nQ, lshMatches))
         .toDF("n_queries", "ivf_all_queries_k", "ivf_batch_matches_single",
           "lsh_all_queries_answered", "lsh_batch_matches_single")
@@ -1705,7 +1708,12 @@ object SparkEntry {
     // 1-based n-gram lists -> per-doc group counts; integer-only output
     "text_repetition" ->
       """WITH w AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  -- separator class pinned to the kernel's explicit [ \t\n\f\r]+
+        |  -- (never \s: Java and RE2 disagree on U+000B), empty edge
+        |  -- tokens filtered (trim() semantics differ across engines)
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'),
+        |                x -> x <> '') AS ws
         |  FROM documents),
         |base AS (
         |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,

@@ -55,9 +55,15 @@ object TextKernels {
     * dup_trigram_occurrences (occurrences belonging to 3-grams seen more
     * than once), n_trigrams. Filters derive ratios downstream, e.g.
     * Gopher drops docs with top_bigram_count/n_bigrams > 0.18.
+    *
+    * The separator class is PINNED to the explicit `[ \t\n\f\r]+` (not
+    * `\s`, whose membership differs between Java regex — which adds
+    * U+000B — and RE2/other engines), so any sha-exact oracle can
+    * reproduce the tokenization; empty edge tokens are filtered rather
+    * than trimmed away (trim() semantics also differ across engines).
     */
   def repetitionStats(s: UTF8String): InternalRow = {
-    val words = s.toString.trim.split("\\s+").filter(_.nonEmpty)
+    val words = s.toString.split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty)
     val nWords = words.length.toLong
     val wc = new java.util.HashMap[String, Integer]()
     var i = 0

@@ -32,12 +32,18 @@ final class TopKBuffer(val k: Int) {
   val ids: Array[Long] = new Array[Long](k)
   val payloads: Array[Long] = new Array[Long](k)
 
-  /** true if (s1, i1) ranks strictly better than (s2, i2). NaN scores
-    * never rank better than anything (they sink, never surface). */
+  /** true if (s1, i1) ranks strictly better than (s2, i2). */
   @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
     s1 > s2 || (s1 == s2 && i1 < i2)
 
   def insert(score: Double, id: Long, payload: Long): Unit = {
+    // NaN scores are REJECTED outright. Merely "ranking them last" is not
+    // enough: a NaN that slipped into a not-yet-full buffer would compare
+    // better(x, NaN) = false against every later row, parking itself in
+    // the worst slot and blocking all further inserts — making the result
+    // insertion-order dependent, which breaks the merge-order invariance
+    // this buffer exists to guarantee.
+    if (score != score) return
     if (size == k && !better(score, id, scores(size - 1), ids(size - 1))) return
     // binary search for the insertion point (first slot this entry beats)
     var lo = 0
@@ -100,7 +106,8 @@ object TopKBuffer {
 
 /** `topk_agg(score, id, payload, k) -> array<struct<score, id, payload>>`:
   * the k best (score DESC, id ASC) rows of the group, best first.
-  * Rows with a NULL score or id are skipped (a NULL payload reads as 0).
+  * Rows with a NULL or NaN score or a NULL id are skipped (a NULL
+  * payload reads as 0).
   */
 case class TopKAgg(
     score: Expression,

@@ -189,7 +189,12 @@ object MediaCodecs {
     try {
       while (off < raw.length && !inflater.finished()) {
         val got = inflater.inflate(raw, off, raw.length - off)
-        if (got == 0 && inflater.needsInput()) return None // truncated
+        // bail on truncated input AND on a preset-dictionary request
+        // (FDICT zlib streams): inflate then returns 0 with
+        // needsInput()==false forever — without the needsDictionary
+        // check a crafted IDAT would wedge the task in this loop
+        if (got == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+          return None
         off += got
       }
     } catch { case _: java.util.zip.DataFormatException => return None }

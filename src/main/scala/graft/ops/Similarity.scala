@@ -126,13 +126,7 @@ object Similarity {
       queries: DataFrame,
       k: Int,
       maxQueryRows: Long = 100000L): DataFrame = {
-    // the query side is broadcast — refuse silently-huge query frames
-    // (same row-guard pattern as embeddingPairsExact) instead of letting
-    // the broadcast collect OOM the driver
-    val nQueries = queries.count()
-    require(nQueries <= maxQueryRows,
-      s"quantizedTopK broadcasts the query side: $nQueries query rows exceed " +
-        s"maxQueryRows=$maxQueryRows — batch the queries or raise the guard")
+    requireQueryRows(queries, maxQueryRows, "quantizedTopK")
     val cq = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       graft.functions.vec8_quantize(col(vecCol)).as("cb"))
     val qq = queries.select(col(idCol).cast("long").as("query_id"),
@@ -165,6 +159,32 @@ object Similarity {
       .select(col("query_id"), col("e.id").as("neighbor_id"),
         col("e.score").as("score"), col("e.payload").as("qdot"))
   }
+
+  /** Broadcast guard shared by every batched serving path: the query
+    * side is collected to a broadcast relation, so a silently-huge query
+    * table must fail loudly, not OOM the driver.
+    */
+  private def requireQueryRows(
+      queries: DataFrame, maxQueryRows: Long, fn: String): Unit = {
+    val nQueries = queries.count()
+    require(nQueries <= maxQueryRows,
+      s"$fn broadcasts the query side: $nQueries query rows exceed " +
+        s"maxQueryRows=$maxQueryRows — chunk the query table")
+  }
+
+  /** The ONE multiprobe policy, shared by every batched LSH path: a
+    * query probes its own bucket plus all `nPlanes` one-bit flips — the
+    * distributed mirror of the driver-side [[probeBuckets]]. Changing
+    * the policy here changes float-batch and quantized-batch serving
+    * together (they must stay per-query identical to the single-query
+    * paths).
+    */
+  private def multiprobeBuckets(qsig: Column, nPlanes: Int): Column =
+    explode(concat(
+      array(qsig),
+      transform(sequence(lit(0), lit(nPlanes - 1)),
+        b => qsig.bitwiseXOR(
+          call_function("shiftleft", lit(1L), b.cast("int"))))))
 
   /** Bucket table: (id, embedding, bucket) for `nPlanes`-bit hyperplane
     * signatures. One distributed pass, no driver-side jobs. `nPlanes`
@@ -295,20 +315,13 @@ object Similarity {
       k: Int,
       nPlanes: Int = 12,
       maxQueryRows: Long = 1000000L): DataFrame = {
-    val nQueries = queries.count()
-    require(nQueries <= maxQueryRows,
-      s"lshTopKQuantizedBatch broadcasts the query side: $nQueries query " +
-        s"rows exceed maxQueryRows=$maxQueryRows — chunk the query table")
+    requireQueryRows(queries, maxQueryRows, "lshTopKQuantizedBatch")
     val q = queries.select(
       col(queryIdCol).cast("long").as("query_id"),
       graft.functions.vec8_quantize(col(queryVecCol)).as("qb"),
       graft.functions.lsh_signature(col(queryVecCol), nPlanes).as("qsig"))
-    val probes = q.select(col("query_id"), col("qb"), explode(concat(
-      array(col("qsig")),
-      transform(sequence(lit(0), lit(nPlanes - 1)),
-        b => col("qsig").bitwiseXOR(
-          call_function("shiftleft", lit(1L), b.cast("int"))))))
-      .as("bucket"))
+    val probes = q.select(col("query_id"), col("qb"),
+      multiprobeBuckets(col("qsig"), nPlanes).as("bucket"))
     val scored = index.join(broadcast(probes), "bucket")
       .select(col("query_id"), col("id").as("neighbor_id"),
         ((graft.functions.vec8_scale(col("qb")) *
@@ -362,22 +375,13 @@ object Similarity {
       k: Int,
       nPlanes: Int = 12,
       maxQueryRows: Long = 1000000L): DataFrame = {
-    val nQueries = queries.count()
-    require(nQueries <= maxQueryRows,
-      s"lshTopKBatch broadcasts the query side: $nQueries query rows exceed " +
-        s"maxQueryRows=$maxQueryRows — chunk the query table")
+    requireQueryRows(queries, maxQueryRows, "lshTopKBatch")
     val q = queries.select(
       col(queryIdCol).cast("long").as("query_id"),
       toDoubleArr(col(queryVecCol)).as("qv"),
       graft.functions.lsh_signature(col(queryVecCol), nPlanes).as("qsig"))
-    // own bucket + all one-bit flips (multiprobe) — same probe set as
-    // the driver-side probeBuckets
-    val probes = q.select(col("query_id"), explode(concat(
-      array(col("qsig")),
-      transform(sequence(lit(0), lit(nPlanes - 1)),
-        b => col("qsig").bitwiseXOR(
-          call_function("shiftleft", lit(1L), b.cast("int"))))))
-      .as("bucket"))
+    val probes = q.select(col("query_id"),
+      multiprobeBuckets(col("qsig"), nPlanes).as("bucket"))
     val candidates = index.join(broadcast(probes), "bucket")
       .select(col("query_id"), col("id").as("neighbor_id"), col(vecCol))
       .join(broadcast(q.select(col("query_id"), col("qv"))), "query_id")
@@ -618,10 +622,7 @@ object Similarity {
       k: Int,
       nprobe: Int = 2,
       maxQueryRows: Long = 1000000L): DataFrame = {
-    val nQueries = queries.count()
-    require(nQueries <= maxQueryRows,
-      s"ivfTopKQuantizedBatch broadcasts the query side: $nQueries query " +
-        s"rows exceed maxQueryRows=$maxQueryRows — chunk the query table")
+    requireQueryRows(queries, maxQueryRows, "ivfTopKQuantizedBatch")
     val probes = queries.select(
       col(queryIdCol).cast("long").as("query_id"),
       graft.functions.vec8_quantize(col(queryVecCol)).as("qb"),

@@ -131,40 +131,39 @@ case class SketchPartialAggExec(
         // at creation, so the empty-buffer estimate behind
         // effectiveThreshold can under-count live bytes by orders of
         // magnitude. Every SampleEvery rows, re-estimate the map's
-        // footprint from ONE entry's current serialized size (the
-        // LinkedHashMap's head = oldest entry, the one updated longest)
-        // and flush if the byte budget is genuinely exceeded. One
-        // serialize per 8192 rows is noise; the guard is what keeps the
-        // "bounded memory" contract true for adaptive sketch families.
+        // footprint from the just-updated (hot) group and the head
+        // (oldest) entry, and flush if the byte budget is genuinely
+        // exceeded. Two serializes per 8192 rows is noise; the guard is
+        // what keeps the "bounded memory" contract true for adaptive
+        // sketch families.
         private val SampleEvery = 8192
         private var rowsSinceSample = 0
 
-        private def liveBytesExceeded(): Boolean = {
+        private def liveBytesExceeded(hot: Array[Any]): Boolean = {
           rowsSinceSample = 0
-          // sample the MAX serialized size over a few spread entries, not
-          // the head alone: the oldest group can be atypically small
-          // (e.g. early keys saw few rows) and a head-only estimate would
-          // undershoot the live footprint while later groups grow. The
-          // walk is CAPPED at SampleEvery linked-list steps so the sample
-          // cost stays bounded by the update work since the last sample.
-          val n = math.min(map.size(), SampleEvery)
-          val probeAt = Array(0, n / 2, n - 1)
-          var perGroup = 128L
-          val it = map.entrySet().iterator()
-          var idx = 0
-          var p = 0
-          while (it.hasNext && p < probeAt.length) {
-            val e = it.next()
-            if (idx == probeAt(p)) {
-              var bytes = 128L
-              var i = 0
-              while (i < funcs.length) {
-                bytes += funcs(i).serialize(e.getValue()(i)).length; i += 1
-              }
-              if (bytes > perGroup) perGroup = bytes
-              while (p < probeAt.length && idx >= probeAt(p)) p += 1
+          // estimate per-group bytes as the MAX of (a) the JUST-UPDATED
+          // group's serialized size — hot groups get sampled in
+          // proportion to their update rate, which is exactly where
+          // growable sketches balloon — and (b) the head (oldest) entry,
+          // which covers long-lived groups that grew steadily but are no
+          // longer hot. Both probes are O(1). A positional walk over the
+          // LinkedHashMap cannot win here: capping its depth makes every
+          // probe land in the oldest entries (undershooting precisely on
+          // high-cardinality partials), and not capping it costs
+          // O(groups) per sample.
+          def groupBytes(bufs: Array[Any]): Long = {
+            var bytes = 128L
+            var i = 0
+            while (i < funcs.length) {
+              bytes += funcs(i).serialize(bufs(i)).length; i += 1
             }
-            idx += 1
+            bytes
+          }
+          var perGroup = groupBytes(hot)
+          val head = map.entrySet().iterator().next().getValue()
+          if (!(head eq hot)) {
+            val hb = groupBytes(head)
+            if (hb > perGroup) perGroup = hb
           }
           perGroup * map.size() > maxBytes
         }
@@ -193,7 +192,7 @@ case class SketchPartialAggExec(
             }
             rowsSinceSample += 1
             if (map.size() >= effectiveThreshold ||
-                (rowsSinceSample >= SampleEvery && liveBytesExceeded())) {
+                (rowsSinceSample >= SampleEvery && liveBytesExceeded(bufs))) {
               numFlushes += 1
               flush = true
             }

@@ -101,7 +101,7 @@ class TextExpressionsSpec extends SparkTestBase {
 
   test("text_repetition matches a brute-force n-gram reference") {
     def ref(t: String): (Long, Long, Long, Long, Long, Long) = {
-      val ws = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val ws = t.split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty).toSeq
       val bi = ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
       val tri = ws.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
       val biCounts = bi.groupBy(identity).view.mapValues(_.size).toMap
@@ -118,6 +118,7 @@ class TextExpressionsSpec extends SparkTestBase {
       "two words",                             // bigram but no trigram
       "",                                      // blank
       "  padded   with   runs  of spaces  ",   // whitespace runs
+      "\ttab\nand newline\r\nseparated x\ttab",// pinned separator class
       "a a a a a a a a a a")                   // single repeated word
     val got = cases.toDF("t").repartition(2)
       .select(col("t"), TextAnalysis.text_repetition(col("t")).as("r"))

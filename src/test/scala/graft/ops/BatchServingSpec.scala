@@ -75,6 +75,25 @@ class BatchServingSpec extends AnyFunSuite with SparkTestBase {
     assert(viaSql.values.forall(_ == 5))
   }
 
+  test("TopKBuffer rejects NaN scores: order-invariant, never blocks later inserts") {
+    // regression: a NaN parked in the worst slot of a not-yet-full buffer
+    // used to compare better(x, NaN) = false and block every later row,
+    // making the result insertion-order dependent
+    val entries = Seq(
+      (Double.NaN, 9L, 0L), (1.0, 1L, 10L), (2.0, 2L, 20L), (Double.NaN, 8L, 0L))
+    (0 until entries.size).foreach { r =>
+      val buf = new TopKBuffer(2)
+      (entries.drop(r) ++ entries.take(r)).foreach { case (s, i, p) => buf.insert(s, i, p) }
+      val got = (0 until buf.size).map(j => (buf.scores(j), buf.ids(j)))
+      assert(got == Seq((2.0, 2L), (1.0, 1L)), s"rotation $r")
+    }
+    // and through the aggregate
+    val df = Seq((Double.NaN, 9L), (1.0, 1L), (2.0, 2L)).toDF("s", "id")
+    val agg = df.agg(graft.functions.topk_agg(col("s"), col("id"), lit(0L), 2).as("tk"))
+      .select(explode(col("tk")).as("e")).select(col("e.id")).collect().map(_.getLong(0))
+    assert(agg.toSeq == Seq(2L, 1L))
+  }
+
   test("topk_agg skips null scores/ids, payload null reads as 0") {
     val df = Seq(
       (Some(3.0), Some(1L), Some(10L)),

@@ -118,6 +118,36 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeMeta(overflowWav) === None)
   }
 
+  test("PNG content: FDICT zlib stream bails out None instead of spinning forever") {
+    // regression: Inflater.inflate returns 0 with needsInput()==false and
+    // finished()==false when the stream requests a preset dictionary —
+    // without the needsDictionary() bail-out the decode loop never exits.
+    val png = MediaCodecs.encodePng(10, 10)
+    // find the IDAT chunk and rewrite the zlib FLG byte: CMF=0x78 stays,
+    // FLG=0x20 sets FDICT with a valid header check ((0x7820 % 31) == 0)
+    val idat = {
+      var i = 8
+      var pos = -1
+      while (pos < 0 && i + 8 <= png.length) {
+        val len = ((png(i) & 0xff) << 24) | ((png(i + 1) & 0xff) << 16) |
+          ((png(i + 2) & 0xff) << 8) | (png(i + 3) & 0xff)
+        if (new String(png, i + 4, 4, "US-ASCII") == "IDAT") pos = i
+        else i += 12 + len
+      }
+      pos
+    }
+    assert(idat > 0, "IDAT chunk not found")
+    assert(png(idat + 8) === 0x78.toByte) // zlib CMF as expected
+    val dict = png.clone()
+    dict(idat + 9) = 0x20.toByte
+    val done = new java.util.concurrent.CompletableFuture[Option[_]]()
+    val t = new Thread(() => done.complete(MediaCodecs.decodeContent(dict)))
+    t.setDaemon(true)
+    t.start()
+    val res = done.get(30, java.util.concurrent.TimeUnit.SECONDS) // was: infinite loop
+    assert(res === None)
+  }
+
   test("media_encode rejects audio durations whose sample count would wrap") {
     import org.apache.spark.unsafe.types.UTF8String
     val err = intercept[IllegalArgumentException] {
