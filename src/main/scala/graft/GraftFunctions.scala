@@ -303,6 +303,18 @@ object functions {
   def vec8_dot(a: Column, b: Column): Column = toCol(Vec8Dot(toExpr(a), toExpr(b)))
   /** The quantization scale stored in a vec8 blob. */
   def vec8_scale(a: Column): Column = toCol(Vec8Scale(toExpr(a)))
+  /** PQ code assignment: nearest-codeword index per subspace (training). */
+  def pq_assign(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    toCol(PqAssign(toExpr(vec), codebooks))
+  /** Product-quantization code: one unsigned byte per subspace. */
+  def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    toCol(PqEncode(toExpr(vec), codebooks))
+  /** Per-query ADC lookup table (sub-dot-products vs every codeword). */
+  def pq_lut(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    toCol(PqLut(toExpr(vec), codebooks))
+  /** ADC score: m LUT lookups approximating dot(query, candidate). */
+  def pq_adc_score(codes: Column, lut: Column, ncodes: Int): Column =
+    toCol(PqAdcScore(toExpr(codes), toExpr(lut), ncodes))
 
   // ------------------------------------------------------- media kernels
 

@@ -1016,6 +1016,61 @@ object SparkEntry {
           "lsh_all_queries_answered", "lsh_batch_matches_single")
     },
 
+    // IVF-PQ: the extreme-compression serving index — coarse k-means
+    // lists whose members store ONLY an m-byte product-quantization code
+    // (8 bytes/vector here vs 256 raw float bytes, 32x), served by ADC
+    // lookup-table scoring + the bounded per-query top-k. Checks: every
+    // query answered with exactly k neighbors; the persisted code width
+    // IS m bytes; batch serving per-query identical to the single-query
+    // path; and >= 90% of returned neighbors carry the query's own
+    // cluster label — the scale-invariant accuracy claim (inter-cluster
+    // margins are what PQ resolves; intra-cluster noise ranking is below
+    // quantization error at ANY corpus size, so a fixed-k recall number
+    // would not survive sf changes but label purity does).
+    "ann_ivf_pq" -> { (s, dir) =>
+      import s.implicits._
+      val df = clusteredEmbeddings(s, dir)
+      val labels = table(s, dir, "embeddings").select(col("vec_id"), col("label"))
+      val queries = df.filter(col("vec_id") % 50 === 3).persist()
+      val nQ = queries.count()
+      val k = 10
+      val base = java.nio.file.Files.createTempDirectory("graft-pq").toString
+      val (cents, cb) = graft.ops.Similarity.writeIvfPqIndex(
+        df, "embedding", "vec_id", kLists = 8, m = 8, s"$base/ivfpq",
+        ncodes = 32, kmIters = 3, pqIters = 3)
+      val (index, _, _) = graft.ops.Similarity.readIvfPqIndex(s, s"$base/ivfpq")
+      val batch = graft.ops.Similarity.ivfTopKPqBatch(
+        index, queries, "vec_id", "embedding", cents, cb, k, nprobe = 2)
+        .persist()
+      val counts = batch.groupBy(col("query_id")).count()
+      val allK = counts.count() == nQ &&
+        counts.filter(col("count") =!= k).count() == 0
+      val codeBytes = index.select(length(col("pqcode"))).distinct()
+        .collect().map(_.getInt(0)).toSeq == Seq(8)
+      val purity = batch
+        .join(labels.toDF("query_id", "qlab"), "query_id")
+        .join(labels.toDF("id", "nlab"), "id")
+        .agg(avg((col("qlab") === col("nlab")).cast("double")))
+        .head().getDouble(0)
+      val sampleIds = queries.select(col("vec_id")).orderBy(col("vec_id"))
+        .limit(5).collect().map(_.getLong(0))
+      val sampleVecs = df.filter(col("vec_id").isin(sampleIds: _*))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val matches = sampleIds.forall { qid =>
+        val single = graft.ops.Similarity.ivfTopKPq(
+          index, sampleVecs(qid), cents, cb, k, nprobe = 2)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+        val b = batch.filter(col("query_id") === qid)
+          .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+        b == single
+      }
+      batch.unpersist(blocking = false)
+      queries.unpersist(blocking = false)
+      Seq((nQ, allK, codeBytes, purity >= 0.9, matches))
+        .toDF("n_queries", "all_queries_k", "pq_code_is_m_bytes",
+          "label_purity_at_least_090", "batch_matches_single")
+    },
+
     // INCREMENTAL dedup against an existing corpus: a planted new batch
     // (near-dup suffix edits that must be dropped + reversed texts that
     // must survive) anti-joined against the documents corpus via the
@@ -1648,6 +1703,17 @@ object SparkEntry {
         |CAST(1 AS BOOLEAN) AS ivf_batch_matches_single,
         |CAST(1 AS BOOLEAN) AS lsh_all_queries_answered,
         |CAST(1 AS BOOLEAN) AS lsh_batch_matches_single""".stripMargin,
+
+    // consistency/coverage/purity booleans are Spark-verified (PQ
+    // codebooks are k-means state DuckDB cannot recompute); the query
+    // count anchors the input shape cross-engine
+    "ann_ivf_pq" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 50 = 3) AS BIGINT)
+        |  AS n_queries,
+        |CAST(1 AS BOOLEAN) AS all_queries_k,
+        |CAST(1 AS BOOLEAN) AS pq_code_is_m_bytes,
+        |CAST(1 AS BOOLEAN) AS label_purity_at_least_090,
+        |CAST(1 AS BOOLEAN) AS batch_matches_single""".stripMargin,
 
     // survivors = new rows with NO corpus match at jaccard >= 0.6; the
     // exact join's recall guarantee makes NOT EXISTS an exact oracle

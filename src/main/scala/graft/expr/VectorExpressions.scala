@@ -184,6 +184,138 @@ object VectorKernels {
   def quantize8Checked(vec: ArrayData, isFloat: Boolean): Array[Byte] =
     quantize8(DedupKernels.requireNoNulls(vec, "vec8_quantize"), isFloat)
 
+  // ---- Product quantization (PQ) ----------------------------------
+  //
+  // Codebooks are Array[subspace][code][subdim] doubles, trained by
+  // [[graft.ops.Similarity.pqTrain]]. A vector of dimension D splits
+  // into m = codebooks.length contiguous subvectors; each subvector is
+  // replaced by the index of its nearest codeword (squared L2, ties to
+  // the lower index). The encoded form is ONE BYTE per subspace — for a
+  // 64-dim float embedding with m=8 that is 8 bytes against 256 raw
+  // (32x), the storage lever that makes a 100 TB embedding table
+  // serveable from memory-sized inverted lists. Scoring uses ADC
+  // (asymmetric distance computation): the query stays full-precision,
+  // a per-query lookup table of sub-dot-products is built once, and
+  // each candidate costs m table lookups instead of D multiplies.
+
+  private def subspaceOffsets(codebooks: Array[Array[Array[Double]]]): Array[Int] = {
+    val offs = new Array[Int](codebooks.length + 1)
+    var s = 0
+    while (s < codebooks.length) {
+      offs(s + 1) = offs(s) + codebooks(s)(0).length; s += 1
+    }
+    offs
+  }
+
+  /** PQ code assignment: the nearest-codeword index per subspace
+    * (squared L2, ties to the lower index), as an int array — the
+    * training-loop form (groupable). Summation is ascending-dimension,
+    * mirroring [[nearestCentroid]].
+    */
+  def pqAssign(vec: ArrayData, codebooks: Array[Array[Array[Double]]],
+      isFloat: Boolean): ArrayData = {
+    val m = codebooks.length
+    val offs = subspaceOffsets(codebooks)
+    if (vec.numElements() != offs(m))
+      throw new IllegalArgumentException(
+        s"pq_assign: vector dimension ${vec.numElements()} != codebook total ${offs(m)}")
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val base = offs(s)
+      val subDim = cb(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cw = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val x = elem(vec, base + i, isFloat) - cw(i); d += x * x; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def pqAssignChecked(vec: ArrayData, codebooks: Array[Array[Array[Double]]],
+      isFloat: Boolean): ArrayData =
+    pqAssign(DedupKernels.requireNoNulls(vec, "pq_assign"), codebooks, isFloat)
+
+  /** PQ encoding: the [[pqAssign]] codes packed one UNSIGNED byte per
+    * subspace (codebooks are capped at 256 codewords).
+    */
+  def pqEncode(vec: ArrayData, codebooks: Array[Array[Array[Double]]],
+      isFloat: Boolean): Array[Byte] = {
+    val codes = pqAssign(vec, codebooks, isFloat)
+    val out = new Array[Byte](codes.numElements())
+    var s = 0
+    while (s < out.length) { out(s) = (codes.getInt(s) & 0xff).toByte; s += 1 }
+    out
+  }
+
+  def pqEncodeChecked(vec: ArrayData, codebooks: Array[Array[Array[Double]]],
+      isFloat: Boolean): Array[Byte] =
+    pqEncode(DedupKernels.requireNoNulls(vec, "pq_encode"), codebooks, isFloat)
+
+  /** Per-query ADC lookup table: LUT[s * ncodes + c] = dot(query
+    * subvector s, codeword c of subspace s), ascending-dimension
+    * summation. ncodes is the (uniform) codebook size.
+    */
+  def pqLut(vec: ArrayData, codebooks: Array[Array[Array[Double]]],
+      isFloat: Boolean): ArrayData = {
+    val m = codebooks.length
+    val offs = subspaceOffsets(codebooks)
+    if (vec.numElements() != offs(m))
+      throw new IllegalArgumentException(
+        s"pq_lut: vector dimension ${vec.numElements()} != codebook total ${offs(m)}")
+    val ncodes = codebooks(0).length
+    val out = new Array[Double](m * ncodes)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val base = offs(s)
+      val subDim = cb(0).length
+      var c = 0
+      while (c < cb.length) {
+        val cw = cb(c)
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) { acc += elem(vec, base + i, isFloat) * cw(i); i += 1 }
+        out(s * ncodes + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def pqLutChecked(vec: ArrayData, codebooks: Array[Array[Array[Double]]],
+      isFloat: Boolean): ArrayData =
+    pqLut(DedupKernels.requireNoNulls(vec, "pq_lut"), codebooks, isFloat)
+
+  /** ADC score of a PQ-coded candidate against a query LUT: m lookups,
+    * summed ascending-subspace — approximates dot(query, candidate).
+    */
+  def pqAdc(codes: Array[Byte], lut: ArrayData, ncodes: Int): Double = {
+    if (lut.numElements() != codes.length * ncodes)
+      throw new IllegalArgumentException(
+        s"pq_adc_score: LUT length ${lut.numElements()} != " +
+          s"${codes.length} subspaces x $ncodes codes")
+    var acc = 0.0
+    var s = 0
+    while (s < codes.length) {
+      acc += lut.getDouble(s * ncodes + (codes(s) & 0xff)); s += 1
+    }
+    acc
+  }
+
   /** Exact integer dot product of two quantized vectors. */
   def dot8(a: Array[Byte], b: Array[Byte]): Long = {
     if (a.length < 8 || b.length < 8)
@@ -418,6 +550,130 @@ case class Vec8Dot(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Vec8Dot =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "vec8_dot"
+}
+
+/** Shared shape checks for the PQ expressions' codebook constant. */
+private[expr] object PqCodebooks {
+  def validate(codebooks: Array[Array[Array[Double]]], fn: String): Unit = {
+    require(codebooks.nonEmpty, s"$fn: codebooks must be non-empty")
+    val ncodes = codebooks(0).length
+    require(ncodes >= 1 && ncodes <= 256,
+      s"$fn: codebook size must be in [1, 256] (one byte per code), got $ncodes")
+    require(codebooks.forall(_.length == ncodes),
+      s"$fn: all subspaces must have the same codebook size")
+    require(codebooks.forall(cb => cb.nonEmpty && cb.forall(_.length == cb(0).length)),
+      s"$fn: codewords within a subspace must share one dimension")
+  }
+}
+
+/** `pq_assign(vec) -> array<int>`: nearest-codeword index per subspace —
+  * the PQ training-loop assignment (groupable by (subspace, code)). The
+  * codebook tensor rides the expression as a task-binary reference
+  * object, like [[NearestCentroid]]'s centroids.
+  */
+case class PqAssign(child: Expression, codebooks: Array[Array[Array[Double]]])
+  extends UnaryExpression with VectorArgExpression {
+  PqCodebooks.validate(codebooks, "pq_assign")
+
+  override protected def fnName: String = "pq_assign"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    if (mayHaveNullElements)
+      VectorKernels.pqAssignChecked(input.asInstanceOf[ArrayData], codebooks, isFloat)
+    else VectorKernels.pqAssign(input.asInstanceOf[ArrayData], codebooks, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    val fn = if (mayHaveNullElements) "pqAssignChecked" else "pqAssign"
+    defineCodeGen(ctx, ev, c => s"graft.expr.VectorKernels.$fn($c, $cbRef, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAssign =
+    copy(child = newChild)
+  override def prettyName: String = "pq_assign"
+}
+
+/** `pq_encode(vec) -> binary`: product-quantization code, ONE unsigned
+  * byte per subspace — the extreme-compression index form (a 64-dim
+  * float embedding at m=8 stores 8 bytes, 32x smaller; vec8 is 4x).
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+  extends UnaryExpression with VectorArgExpression {
+  PqCodebooks.validate(codebooks, "pq_encode")
+
+  override protected def fnName: String = "pq_encode"
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(input: Any): Any =
+    if (mayHaveNullElements)
+      VectorKernels.pqEncodeChecked(input.asInstanceOf[ArrayData], codebooks, isFloat)
+    else VectorKernels.pqEncode(input.asInstanceOf[ArrayData], codebooks, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    val fn = if (mayHaveNullElements) "pqEncodeChecked" else "pqEncode"
+    defineCodeGen(ctx, ev, c => s"graft.expr.VectorKernels.$fn($c, $cbRef, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+  override def prettyName: String = "pq_encode"
+}
+
+/** `pq_lut(vec) -> array<double>`: the per-query ADC lookup table
+  * (LUT[s * ncodes + c] = dot of query subvector s with codeword c).
+  * Computed ONCE per query; each candidate then costs m lookups.
+  */
+case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
+  extends UnaryExpression with VectorArgExpression {
+  PqCodebooks.validate(codebooks, "pq_lut")
+
+  override protected def fnName: String = "pq_lut"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    if (mayHaveNullElements)
+      VectorKernels.pqLutChecked(input.asInstanceOf[ArrayData], codebooks, isFloat)
+    else VectorKernels.pqLut(input.asInstanceOf[ArrayData], codebooks, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    val fn = if (mayHaveNullElements) "pqLutChecked" else "pqLut"
+    defineCodeGen(ctx, ev, c => s"graft.expr.VectorKernels.$fn($c, $cbRef, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+  override def prettyName: String = "pq_lut"
+}
+
+/** `pq_adc_score(codes, lut) -> double`: ADC lookup-sum — the PQ serving
+  * kernel (m table reads per candidate, no per-candidate multiplies).
+  */
+case class PqAdcScore(left: Expression, right: Expression, ncodes: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(ncodes >= 1 && ncodes <= 256, "ncodes must be in [1, 256]")
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_score expects (binary codes, array<double> lut), got (${l.sql}, ${r.sql})")
+    }
+
+  override protected def nullSafeEval(codes: Any, lut: Any): Any =
+    VectorKernels.pqAdc(codes.asInstanceOf[Array[Byte]], lut.asInstanceOf[ArrayData], ncodes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) => s"graft.expr.VectorKernels.pqAdc($c, $l, $ncodes)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcScore =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_adc_score"
 }
 
 /** `vec8_scale(a) -> double`: the stored quantization scale. */

@@ -637,6 +637,240 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id").as("id"), col("score"))
   }
 
+  // ---- Product quantization (IVF-PQ) ---------------------------------
+
+  @inline private def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+    d
+  }
+
+  /** Train PQ codebooks: m per-subspace k-means over contiguous
+    * `dim / m` slices, `ncodes` codewords each (<= 256 — codes pack one
+    * byte per subspace). Fully distributed like [[kmeansCentroids]]: the
+    * assignment pass is the `pq_assign` codegen kernel, the averaging
+    * pass shuffles only (subspace, code, dim, partial sums); ONLY the
+    * m x ncodes x subdim codebook tensor (by design tiny) reaches the
+    * driver. Initialization is farthest-point traversal PER SUBSPACE
+    * over the 8 x ncodes vectors with the smallest mix64(id): a plain
+    * smallest-mix64 pick (the [[kmeansCentroids]] init) collapses when
+    * the corpus has fewer clusters than draws land in — duplicate
+    * codewords tie to the lower index, the duplicates' cells go empty,
+    * and Lloyd iterations can never split them (measured: 56x the
+    * converged distortion on a 4-cluster corpus). Farthest-first spreads
+    * the init across the data's modes, stays deterministic (ties to the
+    * earlier sample), and costs one tiny driver-side pass. Empty cells
+    * keep their previous codeword.
+    *
+    * PQ rides raw vectors, not IVF residuals — codes are independent of
+    * the coarse quantizer, so one codebook serves any list layout and
+    * the single-query/batch paths stay mirror-identical. (Residual PQ
+    * buys accuracy at the cost of coupling codes to centroids; this
+    * engine prefers the decoupled form + exact re-rank when needed.)
+    */
+  def pqTrain(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int,
+      ncodes: Int = 256,
+      iters: Int = 5): Array[Array[Array[Double]]] = {
+    require(m >= 1, "m must be >= 1")
+    require(ncodes >= 1 && ncodes <= 256, "ncodes must be in [1, 256]")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      toDoubleArr(col(vecCol)).as("v"))
+    val sample = base
+      .withColumn("mx", graft.functions.mix64(col("id")))
+      .orderBy(col("mx"), col("id")).limit(8 * ncodes)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqTrain: input is empty")
+    val dim = sample(0).length
+    require(dim % m == 0, s"pqTrain: dimension $dim not divisible by m=$m")
+    val subDim = dim / m
+    // farthest-point init per subspace over the sample's slices: start
+    // from slice 0, then repeatedly take the slice maximizing its min
+    // squared distance to the chosen set (ties -> earlier sample index).
+    // Short samples (< ncodes slices) repeat cyclically once every
+    // remaining min-distance is 0 — duplicates then tie to lower index
+    // at assignment and the spares simply stay empty.
+    var codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      val slices = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      val chosen = new Array[Array[Double]](ncodes)
+      chosen(0) = slices(0)
+      // minD(i) = min squared distance from slices(i) to the chosen set
+      val minD = slices.map(sl => dist2(sl, slices(0)))
+      var c = 1
+      while (c < ncodes) {
+        var best = 0
+        var i = 1
+        while (i < slices.length) {
+          if (minD(i) > minD(best)) best = i
+          i += 1
+        }
+        chosen(c) = slices(best)
+        i = 0
+        while (i < slices.length) {
+          val d = dist2(slices(i), slices(best))
+          if (d < minD(i)) minD(i) = d
+          i += 1
+        }
+        c += 1
+      }
+      chosen
+    }
+    for (_ <- 1 to iters) {
+      val updates = base
+        .withColumn("codes", graft.functions.pq_assign(col("v"), codebooks))
+        .select(col("codes"), posexplode(col("v")))
+        .select(
+          (col("pos") / subDim).cast("int").as("s"),
+          element_at(col("codes"), (col("pos") / subDim).cast("int") + 1).as("c"),
+          (col("pos") % subDim).cast("int").as("i"),
+          col("col").as("x"))
+        .groupBy(col("s"), col("c"), col("i"))
+        .agg(avg(col("x")).as("mean"))
+        .collect()
+      val next = codebooks.map(_.map(_.clone()))
+      updates.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      codebooks = next
+    }
+    codebooks
+  }
+
+  /** Persist a complete IVF-PQ index: coarse k-means lists like
+    * [[writeIvfIndex]], but each list member stores ONLY its PQ code —
+    * m BYTES per vector (32x smaller than a 64-dim float array; the
+    * quantized-IVF vec8 form is 4x). `path/lists` is range-partitioned
+    * and sorted by `list` (row-group pruning), `path/centroids` and
+    * `path/codebooks` hold the two quantizers. Returns both so the
+    * building session can serve immediately.
+    *
+    * This is the memory-resident-index shape for a 100 TB corpus: 1e9
+    * vectors x (8 id + 8 code) bytes = 16 GB of lists — a broadcast-able
+    * sliver of the raw table.
+    */
+  def writeIvfPqIndex(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      kLists: Int,
+      m: Int,
+      path: String,
+      ncodes: Int = 256,
+      kmIters: Int = 5,
+      pqIters: Int = 5,
+      partitions: Int = 0): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val spark = df.sparkSession
+    val centroids = kmeansCentroids(df, vecCol, idCol, kLists, kmIters)
+    val codebooks = pqTrain(df, vecCol, idCol, m, ncodes, pqIters)
+    val idx = df.select(
+      col(idCol).cast("long").as("id"),
+      graft.functions.vec_nearest_centroid(col(vecCol), centroids).as("list"),
+      graft.functions.pq_encode(col(vecCol), codebooks).as("pqcode"))
+    val p = if (partitions > 0) partitions
+      else math.max(1, df.rdd.getNumPartitions)
+    idx.repartitionByRange(p, col("list"))
+      .sortWithinPartitions("list")
+      .write.mode("overwrite").parquet(s"$path/lists")
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    codebooks.zipWithIndex
+      .flatMap { case (cb, s) =>
+        cb.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }
+      }.toSeq
+      .toDF("subspace", "code", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    (centroids, codebooks)
+  }
+
+  /** Load a persisted IVF-PQ index: (lists table, centroids, codebooks). */
+  def readIvfPqIndex(spark: SparkSession, path: String)
+      : (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("list")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val cbRows = spark.read.parquet(s"$path/codebooks")
+      .orderBy(col("subspace"), col("code")).collect()
+    val codebooks = cbRows.groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      }
+    (spark.read.parquet(s"$path/lists"), centroids, codebooks)
+  }
+
+  /** Single-query ANN over an IVF-PQ index: probe the `nprobe` nearest
+    * lists, ADC-score members (m LUT lookups each — the query's LUT is
+    * computed once, driver-side), deterministic ties by id. Output
+    * (id, score): score approximates dot(query, candidate).
+    */
+  def ivfTopKPq(
+      index: DataFrame,
+      query: Seq[Double],
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val lists = probeLists(query, centroids, nprobe)
+    val lut = graft.expr.VectorKernels.pqLut(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(query.toArray),
+      codebooks, isFloat = false)
+    val lutLit = typedLit((0 until lut.numElements()).map(lut.getDouble))
+    index.filter(col("list").isin(lists: _*))
+      .select(col("id"),
+        graft.functions.pq_adc_score(
+          col("pqcode"), lutLit, codebooks(0).length).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .select(col("id"), col("score"))
+  }
+
+  /** BATCHED ANN serving over an IVF-PQ index: a query TABLE instead of
+    * one driver-side vector. Probe lists assign distributedly
+    * (`vec_probe_lists`), each query's ADC LUT is computed ONCE by the
+    * `pq_lut` kernel and broadcast-joined to candidates by query_id (the
+    * LUT never rides the per-probe explosion), scoring is m lookups per
+    * candidate, and the bounded [[graft.functions.topk_agg]] keeps k
+    * rows per (query, partition) — no per-query sort of the candidate
+    * set anywhere. Per query identical to [[ivfTopKPq]].
+    *
+    * maxQueryRows sizing note: a broadcast query row carries its LUT —
+    * m x ncodes doubles (16 KB at m=8, ncodes=256) — so chunk batches an
+    * order of magnitude smaller than the vec8 paths.
+    */
+  def ivfTopKPqBatch(
+      index: DataFrame,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      k: Int,
+      nprobe: Int = 2,
+      maxQueryRows: Long = 100000L): DataFrame = {
+    requireQueryRows(queries, maxQueryRows, "ivfTopKPqBatch")
+    val q = queries.select(
+      col(queryIdCol).cast("long").as("query_id"),
+      graft.functions.pq_lut(col(queryVecCol), codebooks).as("lut"),
+      graft.functions.vec_probe_lists(
+        col(queryVecCol), centroids, nprobe).as("probe_lists"))
+    val probes = q.select(col("query_id"), explode(col("probe_lists")).as("list"))
+    val scored = index.join(broadcast(probes), "list")
+      .join(broadcast(q.select(col("query_id"), col("lut"))), "query_id")
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        graft.functions.pq_adc_score(
+          col("pqcode"), col("lut"), codebooks(0).length).as("score"))
+    perQueryTopK(scored, k)
+      .select(col("query_id"), col("neighbor_id").as("id"), col("score"))
+  }
+
   /** Recall of the ANN result against the exact top-k (evaluation helper). */
   def recallAtK(ann: DataFrame, exact: DataFrame): Double = {
     val a = ann.select("id").collect().map(_.getLong(0)).toSet
