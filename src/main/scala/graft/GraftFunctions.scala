@@ -303,6 +303,8 @@ object functions {
   def vec8_dot(a: Column, b: Column): Column = toCol(Vec8Dot(toExpr(a), toExpr(b)))
   /** The quantization scale stored in a vec8 blob. */
   def vec8_scale(a: Column): Column = toCol(Vec8Scale(toExpr(a)))
+  /** L2 normalization: x / |x| as ARRAY<DOUBLE> (zeros stay zeros). */
+  def vec_normalize(vec: Column): Column = toCol(VecNormalize(toExpr(vec)))
   /** PQ code assignment: nearest-codeword index per subspace (training). */
   def pq_assign(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     toCol(PqAssign(toExpr(vec), codebooks))

@@ -1329,6 +1329,25 @@ object SparkEntry {
     // planted dups (x2-scaled copies -> cosine exactly 1.0, so every table
     // buckets them together deterministically) must surface, and nothing
     // else sits above 0.95 in this corpus, so both sides agree exactly.
+    // SEMANTIC dedup (SemDeDup shape): normalize -> k-means cluster ->
+    // within-cluster cosine pairs -> min-id-wins drops. The oracle is
+    // EXACT and independent of the clustering: the drop rule is a pure
+    // function of the all-pairs cosine predicate, planted x2-scaled
+    // copies normalize to bit-identical vectors (they can never straddle
+    // a cluster boundary), and nothing natural sits above 0.95 in this
+    // corpus — so DuckDB's global all-pairs replay equals the
+    // cluster-scoped computation row for row.
+    "dedup_semantic" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(2.0f)))
+      graft.ops.Dedup.dedupSemantic(
+        emb.unionByName(planted), "embedding", "vec_id", k = 16, threshold = 0.95)
+        .filter(!col("kept")).select(col("id").as("dropped_id"))
+        .orderBy(col("dropped_id"))
+    },
+
     "embedding_pairs" -> { (s, dir) =>
       val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val planted = emb.filter(col("vec_id") % 10 === 0)
@@ -1981,6 +2000,20 @@ object SparkEntry {
     "ann_ivf_recall" ->
       """SELECT CAST(1 AS BOOLEAN) AS recall_at_least_080,
         |CAST(1 AS BOOLEAN) AS returned_k""".stripMargin,
+    // the drop rule replayed globally: dropped iff SOME smaller id has
+    // cosine >= 0.95 (cluster-scoping changes nothing on this corpus —
+    // see the query comment)
+    "dedup_semantic" ->
+      """WITH aug AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+        |  FROM embeddings WHERE vec_id % 10 = 0)
+        |SELECT DISTINCT b.vec_id AS dropped_id
+        |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+        |ORDER BY dropped_id""".stripMargin,
+
     "embedding_pairs" ->
       """WITH aug AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -184,6 +184,30 @@ object VectorKernels {
   def quantize8Checked(vec: ArrayData, isFloat: Boolean): Array[Byte] =
     quantize8(DedupKernels.requireNoNulls(vec, "vec8_quantize"), isFloat)
 
+  /** L2 normalization: x / |x| (ascending-dimension norm accumulation;
+    * an all-zero vector stays all-zero). Scaled copies normalize to
+    * BIT-IDENTICAL vectors: (c*x_i) / sqrt(sum (c*x_i)^2) for c a power
+    * of two is exactly x_i / |x| under IEEE (exact scaling, exact sqrt
+    * of 4^k * s, correctly-rounded division of equal reals) — the
+    * property that pins semantic dedup's planted-duplicate co-clustering.
+    */
+  def normalize(vec: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = vec.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = elem(vec, i, isFloat); s += x * x; i += 1 }
+    val norm = math.sqrt(s)
+    val out = new Array[Double](n)
+    if (norm > 0.0) {
+      i = 0
+      while (i < n) { out(i) = elem(vec, i, isFloat) / norm; i += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  def normalizeChecked(vec: ArrayData, isFloat: Boolean): ArrayData =
+    normalize(DedupKernels.requireNoNulls(vec, "vec_normalize"), isFloat)
+
   // ---- Product quantization (PQ) ----------------------------------
   //
   // Codebooks are Array[subspace][code][subdim] doubles, trained by
@@ -550,6 +574,30 @@ case class Vec8Dot(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Vec8Dot =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "vec8_dot"
+}
+
+/** `vec_normalize(vec) -> array<double>`: x / |x| (zeros stay zeros) —
+  * the cosine-world projection for scale-invariant clustering.
+  */
+case class VecNormalize(child: Expression)
+  extends UnaryExpression with VectorArgExpression {
+
+  override protected def fnName: String = "vec_normalize"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    if (mayHaveNullElements)
+      VectorKernels.normalizeChecked(input.asInstanceOf[ArrayData], isFloat)
+    else VectorKernels.normalize(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (mayHaveNullElements) "normalizeChecked" else "normalize"
+    defineCodeGen(ctx, ev, c => s"graft.expr.VectorKernels.$fn($c, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecNormalize =
+    copy(child = newChild)
+  override def prettyName: String = "vec_normalize"
 }
 
 /** Shared shape checks for the PQ expressions' codebook constant. */

@@ -924,6 +924,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** SEMANTIC deduplication (the SemDeDup shape): embeddings are L2-
+    * normalized, k-means-clustered, and near-duplicate detection runs
+    * ONLY within each cluster — the coarse quantizer turns the O(n^2)
+    * cosine problem into O(sum cluster_i^2), with `k` the knob trading
+    * recall (cross-cluster pairs are invisible BY DESIGN) against cost.
+    * Returns one row per input id: (id, cluster, kept).
+    *
+    * Drop rule, deterministic and engine-recomputable: an id is dropped
+    * iff some SMALLER id in its cluster has cosine >= threshold to it
+    * (regardless of that neighbor's own fate) — the same min-id-wins
+    * convention as [[dedupExact]], but defined on the raw pair
+    * predicate so an independent engine can replay it with no knowledge
+    * of the clustering (when, as in the harness corpus, every
+    * qualifying pair is within-cluster).
+    *
+    * Scale shape: normalization and assignment are one codegen pass; the
+    * pair stage is a co-partitioned self-join on `cluster` (one shuffle
+    * of (id, normalized vector) each side, never all-pairs across
+    * clusters). Normalizing FIRST makes clustering scale-invariant —
+    * and scaled copies normalize to bit-identical vectors (see
+    * [[graft.expr.VectorKernels.normalize]]), so exact duplicates can
+    * never straddle a cluster boundary. Skew observability: the largest
+    * cluster is checked against `maxClusterSize` and the job fails
+    * loudly (raise `k`) instead of silently running a quadratic task.
+    */
+  def dedupSemantic(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      threshold: Double,
+      iters: Int = 3,
+      maxClusterSize: Long = 100000L): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      graft.functions.vec_normalize(col(vecCol)).as("v"))
+    val centroids = Similarity.kmeansCentroids(base, "v", "id", k, iters)
+    // NOT persisted: the assignment pass (normalize + nearest-centroid)
+    // is one shuffle-free codegen scan and recomputes more cheaply than
+    // a corpus-sized cache entry lives (the jaccardPairs cache-lifetime
+    // footgun); callers looping over batches should persist `df` upstream
+    val assigned = base.withColumn("cluster",
+      graft.functions.vec_nearest_centroid(col("v"), centroids))
+    val biggest = assigned.groupBy(col("cluster")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    require(biggest <= maxClusterSize,
+      s"dedupSemantic: largest cluster has $biggest members > " +
+        s"maxClusterSize=$maxClusterSize — raise k (more, smaller clusters) " +
+        "or the cap; a quadratic pair stage at this size is a scale bug")
+    val a = assigned.select(col("cluster"),
+      col("id").as("id_a"), col("v").as("va"))
+    val b = assigned.select(col("cluster"),
+      col("id").as("id_b"), col("v").as("vb"))
+    val dropped = a.join(b, "cluster")
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as("did")).distinct()
+    assigned.join(dropped, col("id") === col("did"), "left")
+      .select(col("id"), col("cluster"), col("did").isNull.as("kept"))
+  }
+
   // ------------------------------------------------ cluster representatives
 
   /** Connected components over a near-duplicate PAIR table: pairs alone do

@@ -984,4 +984,73 @@ class OpsSpec extends SparkTestBase {
     assert(payloads.count { case (_, (_, p)) => MediaCodecs.decodeContent(p).isDefined } > 0)
     assert(payloads.count { case (_, (_, p)) => MediaCodecs.decodeContent(p).isEmpty } > 0)
   }
+
+  // -------------------------------------------------------- semantic dedup
+
+  test("vec_normalize: unit norm, zeros stay zeros, scaled copies bit-identical") {
+    import graft.expr.VectorKernels
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(9)
+    (0 until 30).foreach { _ =>
+      val v = Array.fill(16)(rnd.nextFloat() * 4 - 2)
+      val n = VectorKernels.normalize(
+        new GenericArrayData(v.map(_.toDouble)), isFloat = false)
+      val mag = math.sqrt((0 until 16).map(i => n.getDouble(i) * n.getDouble(i)).sum)
+      assert(math.abs(mag - 1.0) < 1e-12)
+      // x and 2x normalize to the SAME doubles (exact IEEE argument in
+      // the kernel scaladoc) — the planted-duplicate co-clustering pin
+      val n2 = VectorKernels.normalize(
+        new GenericArrayData(v.map(x => (x * 2.0f).toDouble)), isFloat = false)
+      assert((0 until 16).forall(i => n.getDouble(i) == n2.getDouble(i)))
+    }
+    val z = VectorKernels.normalize(
+      new GenericArrayData(Array.fill(4)(0.0)), isFloat = false)
+    assert((0 until 4).forall(i => z.getDouble(i) == 0.0))
+  }
+
+  test("dedupSemantic drops planted scaled copies, keeps the rest, caps cluster size") {
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(5)(Array.fill(12)(rnd.nextDouble() * 4 - 2))
+    val corpus = (0 until 150).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(_ + rnd.nextDouble() * 0.45).toSeq)
+    }
+    // planted: x3-scaled copies of every 10th vector (cosine exactly 1)
+    val planted = corpus.filter(_._1 % 10 == 0)
+      .map { case (id, v) => (id + 1000, v.map(_ * 3.0)) }
+    val df = (corpus ++ planted).toDF("vec_id", "embedding").repartition(6)
+    val res = Dedup.dedupSemantic(df, "embedding", "vec_id", k = 5,
+      threshold = 0.999, iters = 3)
+    val rows = res.collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(rows.length == corpus.length + planted.length)
+    val dropped = rows.filterNot(_._3).map(_._1).toSet
+    // every planted copy is dropped (its source has the smaller id);
+    // natural near-ties above 0.999 may add more drops but never remove
+    assert(planted.map(_._1).toSet.subsetOf(dropped))
+    assert(!dropped.exists(_ < 1000) || {
+      // any natural drop must genuinely have a smaller-id 0.999-neighbor
+      val vecs = corpus.toMap
+      dropped.filter(_ < 1000).forall { id =>
+        corpus.exists { case (oid, ov) =>
+          oid < id && {
+            val v = vecs(id)
+            val dot = v.zip(ov).map { case (a, b) => a * b }.sum
+            val na = math.sqrt(v.map(x => x * x).sum)
+            val nb = math.sqrt(ov.map(x => x * x).sum)
+            dot / (na * nb) >= 0.9985 // generous slack for engine rounding
+          }
+        }
+      }
+    })
+    // a copy lands in the SAME cluster as its source (bit-identical after
+    // normalization)
+    val byId = rows.map(r => r._1 -> r._2).toMap
+    planted.foreach { case (cid, _) => assert(byId(cid) == byId(cid - 1000)) }
+    // the size guard is loud
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupSemantic(df, "embedding", "vec_id", k = 2,
+        threshold = 0.9, maxClusterSize = 10)
+    }
+    assert(e.getMessage.contains("raise k"))
+  }
 }
