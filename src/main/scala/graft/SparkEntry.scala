@@ -2062,10 +2062,13 @@ object SparkEntry {
         |    p.w * sum(((p.doc_id + y.y) % 256) * ((p.doc_id + y.y) % 256)) AS sq
         |  FROM png p JOIN generate_series(0, 478) AS y(y) ON y.y < p.h
         |  GROUP BY p.doc_id, p.w, p.h),
+        |-- audio (WAV) and video (MP4 'twos' PCM sound track) carry the
+        |-- SAME sample formula: sample(j) = (id % 64) + (j % 16) over
+        |-- n = duration_ms * 8 (16 residue classes with exact counts)
         |wav AS (
         |  SELECT doc_id, (1000 + (doc_id*31) % 60000) * 8 AS n,
         |         doc_id % 64 AS base
-        |  FROM m WHERE kind = 'audio'),
+        |  FROM m WHERE kind IN ('audio', 'video')),
         |wav_stats AS (
         |  SELECT w.doc_id, CAST(w.n AS BIGINT) AS n,
         |    sum((w.n // 16 + CASE WHEN r.r < w.n % 16 THEN 1 ELSE 0 END)

@@ -26,17 +26,18 @@ object MediaKernels {
   /** Deterministic synthesis of a REAL container payload per row:
     * image -> spec-valid PNG (even variant) or JPEG marker stream (odd),
     * audio -> spec-valid 16-bit PCM WAV at 8 kHz whose duration is
-    * exactly `durationMs`, video -> ISO BMFF (MP4) ftyp+moov header with
-    * mvhd duration and tkhd presentation size, anything else -> an
-    * opaque tagged blob that [[decodeMeta]] reports as unparseable.
+    * exactly `durationMs`, video -> COMPLETE ISO BMFF (MP4) file (header
+    * boxes + mdat + full sample tables) with a real 'twos' PCM sound
+    * track, anything else -> an opaque tagged blob that [[decodeMeta]]
+    * reports as unparseable.
     *
-    * PNG and WAV carry REAL id-derived content (not silence/zeros):
+    * PNG, WAV, and MP4 carry REAL id-derived content (not silence):
     * PNG pixel(x, y) = (variant + y) mod 256 (scanline-constant, encoded
     * through the Up filter so decoding is an actual unfilter pass); WAV
-    * sample(j) = (variant mod 64) + (j mod 16). Both formulas are
-    * integer-exact and SQL-expressible, so a cross-engine oracle can
-    * recompute the content statistics [[decodeContentStats]] reads back
-    * from the bytes.
+    * and MP4 sample(j) = (variant mod 64) + (j mod 16) over
+    * n = durationMs * 8. All formulas are integer-exact and
+    * SQL-expressible, so a cross-engine oracle can recompute the content
+    * statistics [[decodeContentStats]] reads back from the bytes.
     */
   def encode(kind: UTF8String, variant: Long, width: Int, height: Int,
       durationMs: Long): Array[Byte] =
@@ -54,7 +55,13 @@ object MediaKernels {
         MediaCodecs.encodeWav(1, 8000, (durationMs * 8L).toInt,
           j => ((variant & 63L) + (j % 16L)).toShort)
       case "video" =>
-        MediaCodecs.encodeMp4Header(width, height, durationMs)
+        // complete MP4: header boxes + a REAL 'twos' PCM sound track
+        // whose samples follow the SAME formula as the WAV synth (8 kHz
+        // media timescale, so n = durationMs * 8 reproduces exactly)
+        require(durationMs >= 0 && durationMs <= Int.MaxValue / 16L,
+          s"video duration_ms out of range: $durationMs")
+        MediaCodecs.encodeMp4(width, height, durationMs,
+          j => ((variant & 63L) + (j % 16L)).toShort)
       case _ =>
         val tag = s"GRAFTRAW:$variant:$width:$height:$durationMs"
         tag.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -20,10 +20,13 @@ import java.util.zip.{CRC32, Deflater}
   *    chunk-walking parser computing duration from data size / byte
   *    rate.
   *
-  *  - MP4 (ISO BMFF): ftyp+moov(mvhd+trak(tkhd)) header synthesis and a
-  *    box-walk parser (duration from mvhd/timescale, presentation size
-  *    from tkhd 16.16 fixed point). Header-only like JPEG — sample
-  *    tables/codec payloads need an encoder, honestly out of scope.
+  *  - MP4 (ISO BMFF): header synthesis/parse (mvhd duration, tkhd
+  *    16.16 presentation size) PLUS a complete file form
+  *    ([[encodeMp4]]) carrying a REAL uncompressed 'twos' PCM sound
+  *    track — mdat samples addressed by full stts/stsc/stsz/stco
+  *    sample tables that [[decodeMp4Pcm]] walks like a real demuxer.
+  *    Compressed VIDEO payloads remain the one declared fake (an
+  *    entropy decoder is out of scope offline).
   *
   * [[decodeMeta]] returns None for unknown/corrupt payloads so callers
   * can fall back loudly or by policy — never an exception.
@@ -526,6 +529,146 @@ object MediaCodecs {
     out.toByteArray
   }
 
+  /** COMPLETE ISO BMFF (MP4) file with a REAL audio sample table:
+    * `ftyp` + `mdat` (16-bit big-endian PCM at 8 kHz) + `moov(mvhd +
+    * video trak(tkhd) + audio trak(tkhd + mdia(mdhd + hdlr('soun') +
+    * minf(smhd + dinf(dref url) + stbl(stsd 'twos' + stts + stsc +
+    * stsz + stco)))))` per ISO/IEC 14496-12 box layouts. The sound
+    * track is fully decodable without any codec ('twos' = uncompressed
+    * big-endian PCM): [[decodeMp4Pcm]] walks the REAL sample tables
+    * (stsd format/width, stts sample count, stsc chunk mapping, stsz
+    * sizes, stco offsets) to read the samples back. The video trak
+    * remains tkhd-only (presentation size for header parsing) — a
+    * compressed video payload would need an entropy decoder, which
+    * stays the one declared fake of the media surface.
+    */
+  def encodeMp4(width: Int, height: Int, durationMs: Long,
+      sample: Int => Short): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 65535 && height <= 65535,
+      "MP4 dimensions must be in [1, 65535]")
+    // movie timescale 1000 (mvhd duration is ms); media timescale 8000
+    // (8 samples per ms, like the WAV synth) -> n reproduces durationMs
+    require(durationMs >= 0 && durationMs <= Int.MaxValue / 16L,
+      s"MP4 duration_ms out of range: $durationMs")
+    val n = (durationMs * 8L).toInt
+    val header = encodeMp4Header(width, height, durationMs)
+    // split the header into its ftyp and moov(mvhd + video trak) parts
+    val ftypLen = readBe32(header, 0)
+    val ftyp = java.util.Arrays.copyOfRange(header, 0, ftypLen)
+    val videoMoovPayload =
+      java.util.Arrays.copyOfRange(header, ftypLen + 8, header.length)
+
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val size = 8 + payload.map(_.length).sum
+      val out = new ByteArrayOutputStream(size)
+      out.write(be32(size))
+      out.write(typ.getBytes(StandardCharsets.US_ASCII))
+      payload.foreach(out.write)
+      out.toByteArray
+    }
+    def fullBox0(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream(12 + payload.length)
+      out.write(be32(12 + payload.length))
+      out.write(typ.getBytes(StandardCharsets.US_ASCII))
+      out.write(be32(0)) // version 0, flags 0
+      out.write(payload)
+      out.toByteArray
+    }
+
+    // mdat carries the PCM; its payload offset is fixed by ftyp's length
+    val mdatPayloadOff = ftyp.length + 8
+    val pcm = new Array[Byte](2 * n)
+    var j = 0
+    while (j < n) {
+      val s = sample(j)
+      pcm(2 * j) = (s >> 8).toByte // 'twos': big-endian int16
+      pcm(2 * j + 1) = s.toByte
+      j += 1
+    }
+    val mdat = box("mdat", pcm)
+
+    val audioTkhd = {
+      val b = new ByteArrayOutputStream(84)
+      b.write(be32(0x000007)) // version 0, enabled|in_movie|in_preview
+      b.write(be32(0)); b.write(be32(0)) // creation, modification
+      b.write(be32(2)) // track_ID (video header uses 1)
+      b.write(be32(0)) // reserved
+      b.write(be32(durationMs.toInt)) // movie-timescale duration
+      b.write(new Array[Byte](8)) // reserved
+      b.write(0); b.write(0) // layer
+      b.write(0); b.write(0) // alternate_group
+      b.write(0x01); b.write(0x00) // volume 1.0 (audio track)
+      b.write(0); b.write(0) // reserved
+      // identity matrix
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(v => b.write(be32(v)))
+      b.write(be32(0)); b.write(be32(0)) // width/height 0 for audio
+      box("tkhd", b.toByteArray)
+    }
+    val mdhd = {
+      val b = new ByteArrayOutputStream(20)
+      b.write(be32(0)); b.write(be32(0)) // creation, modification
+      b.write(be32(8000)) // media timescale = sample rate
+      b.write(be32(n)) // media duration in samples
+      b.write(0x55); b.write(0xc4) // language 'und'
+      b.write(0); b.write(0) // pre_defined
+      fullBox0("mdhd", b.toByteArray)
+    }
+    val hdlr = {
+      val name = "SoundHandler".getBytes(StandardCharsets.US_ASCII)
+      val b = new ByteArrayOutputStream(21 + name.length)
+      b.write(be32(0)) // pre_defined
+      b.write("soun".getBytes(StandardCharsets.US_ASCII))
+      b.write(new Array[Byte](12)) // reserved
+      b.write(name)
+      b.write(0) // null-terminated handler name
+      fullBox0("hdlr", b.toByteArray)
+    }
+    val smhd = fullBox0("smhd", Array[Byte](0, 0, 0, 0)) // balance + reserved
+    val dinf = {
+      // one self-contained 'url ' entry (flags bit 0 set)
+      val url = {
+        val out = new ByteArrayOutputStream(12)
+        out.write(be32(12))
+        out.write("url ".getBytes(StandardCharsets.US_ASCII))
+        out.write(be32(1))
+        out.toByteArray
+      }
+      val dref = fullBox0("dref", be32(1) ++ url)
+      box("dinf", dref)
+    }
+    val stsd = {
+      // AudioSampleEntry 'twos' (uncompressed big-endian PCM)
+      val entry = {
+        val b = new ByteArrayOutputStream(36)
+        b.write(be32(36))
+        b.write("twos".getBytes(StandardCharsets.US_ASCII))
+        b.write(new Array[Byte](6)) // reserved
+        b.write(0); b.write(1) // data_reference_index = 1
+        b.write(new Array[Byte](8)) // version/revision/vendor
+        b.write(0); b.write(1) // channelcount = 1
+        b.write(0); b.write(16) // samplesize = 16
+        b.write(new Array[Byte](4)) // compression_id + packet_size
+        b.write(be32(8000 << 16)) // samplerate 16.16
+        b.toByteArray
+      }
+      fullBox0("stsd", be32(1) ++ entry)
+    }
+    val stts = fullBox0("stts", be32(1) ++ be32(n) ++ be32(1))
+    val stsc = fullBox0("stsc", be32(1) ++ be32(1) ++ be32(n) ++ be32(1))
+    val stsz = fullBox0("stsz", be32(2) ++ be32(n)) // uniform 2-byte samples
+    val stco = fullBox0("stco", be32(1) ++ be32(mdatPayloadOff))
+    val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+    val minf = box("minf", smhd, dinf, stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val audioTrak = box("trak", audioTkhd, mdia)
+    val moov = box("moov", videoMoovPayload, audioTrak)
+
+    val out = new ByteArrayOutputStream(ftyp.length + mdat.length + moov.length)
+    out.write(ftyp); out.write(mdat); out.write(moov)
+    out.toByteArray
+  }
+
   private def isMp4(b: Array[Byte]): Boolean =
     b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
 
@@ -603,6 +746,142 @@ object MediaCodecs {
     else Some(MediaMeta("mp4", width, height, 0, durationMs))
   }
 
+  /** REAL MP4 audio decode through the full ISO BMFF sample tables: find
+    * the first sound track (hdlr 'soun'), require an uncompressed PCM
+    * sample entry ('twos' big-endian or 'sowt' little-endian, 16-bit),
+    * then read every sample by walking stts (count), stsc (chunk
+    * mapping), stsz (sizes) and stco (chunk offsets) — the same walk a
+    * real demuxer does. None for files without a decodable sound track
+    * (compressed audio, header-only structures) or with malformed/
+    * truncated tables — the loud-fallback policy of [[decodeMeta]].
+    */
+  def decodeMp4Pcm(b: Array[Byte]): Option[ContentStats] = {
+    if (!isMp4(b)) return None
+    var bigEndian = true
+    var channels = 0
+    var sampleBits = 0
+    var totalSamples = -1L // from stts
+    var uniformSize = -1 // stsz sample_size (0 = per-sample table)
+    var stszCount = -1L
+    var stscRuns: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
+    var chunkOffsets: Array[Long] = null
+    var found = false
+
+    walkBoxes(b, 0, b.length) { (typ, from, to) =>
+      if (typ == "moov") {
+        walkBoxes(b, from, to) { (t2, f2, t2end) =>
+          if (t2 == "trak" && !found) {
+            // locate mdia -> (hdlr, minf -> stbl)
+            walkBoxes(b, f2, t2end) { (t3, f3, t3end) =>
+              if (t3 == "mdia") {
+                var isSound = false
+                walkBoxes(b, f3, t3end) { (t4, f4, t4end) =>
+                  if (t4 == "hdlr" && t4end - f4 >= 12) {
+                    val handler = new String(b, f4 + 8, 4, StandardCharsets.US_ASCII)
+                    isSound = handler == "soun"
+                  } else if (t4 == "minf" && isSound) {
+                    walkBoxes(b, f4, t4end) { (t5, f5, t5end) =>
+                      if (t5 == "stbl") {
+                        walkBoxes(b, f5, t5end) { (t6, f6, t6end) =>
+                          t6 match {
+                            case "stsd" if t6end - f6 >= 8 =>
+                              val nEntries = readBe32(b, f6 + 4)
+                              if (nEntries >= 1 && t6end - f6 >= 8 + 36) {
+                                val e = f6 + 8
+                                val fmt = new String(b, e + 4, 4, StandardCharsets.US_ASCII)
+                                if (fmt == "twos" || fmt == "sowt") {
+                                  bigEndian = fmt == "twos"
+                                  channels = readBe16(b, e + 16 + 8)
+                                  sampleBits = readBe16(b, e + 16 + 10)
+                                }
+                              }
+                            case "stts" if t6end - f6 >= 8 =>
+                              val n = readBe32(b, f6 + 4)
+                              if (t6end - f6 >= 8 + 8L * n) {
+                                var tot = 0L
+                                var k = 0
+                                while (k < n) {
+                                  tot += readBe32(b, f6 + 8 + 8 * k).toLong & 0xffffffffL
+                                  k += 1
+                                }
+                                totalSamples = tot
+                              }
+                            case "stsc" if t6end - f6 >= 8 =>
+                              val n = readBe32(b, f6 + 4)
+                              if (n >= 0 && t6end - f6 >= 8 + 12L * n) {
+                                stscRuns = Array.tabulate(n) { k =>
+                                  (readBe32(b, f6 + 8 + 12 * k).toLong & 0xffffffffL,
+                                    readBe32(b, f6 + 12 + 12 * k).toLong & 0xffffffffL)
+                                }
+                              }
+                            case "stsz" if t6end - f6 >= 12 =>
+                              uniformSize = readBe32(b, f6 + 4)
+                              stszCount = readBe32(b, f6 + 8).toLong & 0xffffffffL
+                            case "stco" if t6end - f6 >= 8 =>
+                              val n = readBe32(b, f6 + 4)
+                              if (n >= 0 && t6end - f6 >= 8 + 4L * n) {
+                                chunkOffsets = Array.tabulate(n)(k =>
+                                  readBe32(b, f6 + 8 + 4 * k).toLong & 0xffffffffL)
+                              }
+                            case _ =>
+                          }
+                          true
+                        }
+                        found = channels > 0
+                      }
+                      true
+                    }
+                  }
+                  true
+                }
+              }
+              true
+            }
+          }
+          true
+        }
+      }
+      true
+    }
+    // decodable = 16-bit mono/stereo PCM with complete, consistent tables
+    if (!found || sampleBits != 16 || channels < 1 || channels > 2 ||
+        totalSamples < 0 || stscRuns == null || stscRuns.isEmpty ||
+        chunkOffsets == null || chunkOffsets.isEmpty ||
+        uniformSize < 0) return None
+    val bytesPerSample = 2L * channels
+    if (uniformSize != 0 && uniformSize != bytesPerSample) return None
+    if (stszCount != totalSamples) return None
+    var sum = 0L
+    var sumsq = 0L
+    var read = 0L
+    var run = 0
+    var chunk = 1L // 1-based chunk index
+    while (read < totalSamples && chunk <= chunkOffsets.length) {
+      while (run + 1 < stscRuns.length && stscRuns(run + 1)._1 <= chunk) run += 1
+      val inChunk = math.min(stscRuns(run)._2, totalSamples - read)
+      val base = chunkOffsets(chunk.toInt - 1)
+      if (base < 0 || base + inChunk * bytesPerSample > b.length) return None
+      var k = 0L
+      while (k < inChunk) {
+        var c = 0
+        while (c < channels) {
+          val off = (base + k * bytesPerSample + 2 * c).toInt
+          val s =
+            if (bigEndian) (((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)).toShort.toInt
+            else (((b(off + 1) & 0xff) << 8) | (b(off) & 0xff)).toShort.toInt
+          sum += s
+          sumsq += s.toLong * s
+          c += 1
+        }
+        k += 1
+      }
+      read += inChunk
+      chunk += 1
+    }
+    if (read != totalSamples) return None
+    Some(ContentStats("mp4", totalSamples * channels, sum, sumsq))
+  }
+
   // ------------------------------------------------------------- dispatch
 
   /** Parse any supported container's header; None for unknown/corrupt
@@ -628,5 +907,6 @@ object MediaCodecs {
     if (payload == null || payload.length < 12) None
     else if (isPng(payload)) decodePngGray(payload)
     else if (isWav(payload)) decodeWavSamples(payload)
+    else if (isMp4(payload)) decodeMp4Pcm(payload)
     else None
 }

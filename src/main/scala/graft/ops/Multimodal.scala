@@ -16,21 +16,25 @@ import graft.core.Hashing
   *    codec library needed for dimensions.
   *  - audio: REAL — valid 16-bit PCM WAV synthesis + RIFF chunk parse
   *    (channels, duration from data size / byte rate).
-  *  - video: REAL header parse — ISO BMFF box walk (ftyp check, moov ->
-  *    mvhd duration/timescale, trak -> tkhd 16.16 presentation size);
-  *    synthesis is ftyp+moov header-only (no mdat — sample tables and
-  *    codec payloads need an encoder, honestly out of scope). For
-  *    unknown payloads `media_meta` returns NULL so any fallback is
-  *    explicit, never silent.
+  *  - video: REAL header parse (ISO BMFF box walk — ftyp, moov -> mvhd
+  *    duration/timescale, trak -> tkhd 16.16 presentation size) AND a
+  *    REAL sound track: [[attachRealMedia]]'s MP4s are complete files
+  *    whose mdat carries uncompressed 'twos' PCM addressed by real
+  *    stts/stsc/stsz/stco sample tables ([[MediaCodecs.encodeMp4]]);
+  *    the decode walks those tables like a demuxer. For unknown
+  *    payloads `media_meta` returns NULL so any fallback is explicit,
+  *    never silent.
   * Feature extraction ([[extractFeatures]]) is REAL for payloads whose
   * sample content is readable — grayscale PNG (Inflater + scanline
-  * unfilter) and 16-bit PCM WAV (LE sample reads) via
-  * `MediaCodecs.decodeContent` — emitting exact statistics of the
-  * decoded samples. What remains fake and declared as such: the feature
-  * tail for JPEG/MP4 payloads (header-only containers carry no samples;
-  * a real entropy decoder is out of scope offline) and the legacy
-  * length-derived [[decode_meta]] (kept as the schema template / for
-  * payloads that are not real containers). The rest of the surface is
+  * unfilter), 16-bit PCM WAV (LE sample reads), and MP4 PCM sound
+  * tracks — via `MediaCodecs.decodeContent`, emitting exact statistics
+  * of the decoded samples. What remains fake and declared as such: the
+  * feature tail for JPEG payloads (header-only marker streams carry no
+  * samples) and compressed VIDEO frame pixels (an entropy decoder is
+  * out of scope offline; the MP4s' video trak stays tkhd-only), plus
+  * the legacy length-derived [[decode_meta]] (kept as the schema
+  * template / for payloads that are not real containers). The rest of
+  * the surface is
   * the Spark-side contract a production decoder plugs into: the schema,
   * binary column handling, batch-shaped mapPartitions execution (the
   * Scala equivalent of a Pandas UDF over mapInPandas: one kernel

@@ -148,6 +148,67 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(res === None)
   }
 
+  test("MP4 with sample tables: meta parse unchanged, PCM decode walks stts/stsc/stsz/stco") {
+    val mp4 = MediaCodecs.encodeMp4(320, 240, 1500L, j => ((j % 16) + 7).toShort)
+    // header metadata still parses (video tkhd first, audio tkhd w/h=0)
+    val meta = MediaCodecs.decodeMeta(mp4).get
+    assert(meta.format == "mp4" && meta.width == 320 && meta.height == 240 &&
+      meta.durationMs == 1500L)
+    // content decode reads the REAL samples back through the tables
+    val n = 1500L * 8
+    val st = MediaCodecs.decodeMp4Pcm(mp4).get
+    assert(st.format == "mp4" && st.n == n)
+    val expSum = (0L until n).map(j => (j % 16) + 7).sum
+    val expSq = (0L until n).map(j => { val s = (j % 16) + 7; s * s }).sum
+    assert(st.sum == expSum && st.sumsq == expSq)
+    // dispatch goes through decodeContent too
+    assert(MediaCodecs.decodeContent(mp4) === Some(st))
+  }
+
+  test("MP4 PCM decode: sowt little-endian variant and malformed-table bail-outs") {
+    val mp4 = MediaCodecs.encodeMp4(64, 48, 100L, j => (j * 37 % 1000 - 500).toShort)
+    val st = MediaCodecs.decodeMp4Pcm(mp4).get
+
+    // patch 'twos' -> 'sowt' and byte-swap the mdat samples: stats equal
+    def findAscii(b: Array[Byte], s: String, from: Int = 0): Int = {
+      val pat = s.getBytes("US-ASCII")
+      (from to b.length - pat.length).find(i => pat.indices.forall(k => b(i + k) == pat(k))).getOrElse(-1)
+    }
+    val sowt = mp4.clone()
+    val fmtAt = findAscii(sowt, "twos")
+    assert(fmtAt > 0)
+    "sowt".getBytes("US-ASCII").zipWithIndex.foreach { case (c, k) => sowt(fmtAt + k) = c }
+    val ftypLen = ((sowt(0) & 0xff) << 24) | ((sowt(1) & 0xff) << 16) |
+      ((sowt(2) & 0xff) << 8) | (sowt(3) & 0xff)
+    val mdatPayload = ftypLen + 8
+    val nBytes = 100 * 8 * 2
+    (0 until nBytes by 2).foreach { k =>
+      val t = sowt(mdatPayload + k)
+      sowt(mdatPayload + k) = sowt(mdatPayload + k + 1)
+      sowt(mdatPayload + k + 1) = t
+    }
+    assert(MediaCodecs.decodeMp4Pcm(sowt) === Some(st))
+
+    // non-PCM sample entry -> None (no codec, honestly not decodable)
+    val mp4a = mp4.clone()
+    "mp4a".getBytes("US-ASCII").zipWithIndex.foreach { case (c, k) => mp4a(fmtAt + k) = c }
+    assert(MediaCodecs.decodeMp4Pcm(mp4a) === None)
+
+    // chunk offset past EOF -> None (truncated), never an exception
+    val bad = mp4.clone()
+    val stcoAt = findAscii(bad, "stco")
+    assert(stcoAt > 0)
+    // stco payload: ver/flags(4) + count(4) + offset(4)
+    val offAt = stcoAt + 4 + 8
+    bad(offAt) = 0x7f.toByte
+    assert(MediaCodecs.decodeMp4Pcm(bad) === None)
+
+    // header-only MP4 (no sample tables) stays metadata-only
+    val headerOnly = MediaCodecs.encodeMp4Header(64, 48, 100L)
+    assert(MediaCodecs.decodeMp4Pcm(headerOnly) === None)
+    assert(MediaCodecs.decodeMeta(headerOnly).isDefined)
+  }
+
   test("media_encode rejects audio durations whose sample count would wrap") {
     import org.apache.spark.unsafe.types.UTF8String
     val err = intercept[IllegalArgumentException] {

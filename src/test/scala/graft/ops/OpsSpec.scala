@@ -957,7 +957,7 @@ class OpsSpec extends SparkTestBase {
     assert(frames.select("media_id").distinct().count() === videoIds)
   }
 
-  test("multimodal REAL features: decoded-sample statistics for PNG/WAV, tagged fake elsewhere") {
+  test("multimodal REAL features: decoded-sample statistics for PNG/WAV/MP4, tagged fake elsewhere") {
     val media = Multimodal.attachRealMedia(docs, "doc_id").as[Multimodal.MediaRow]
     val feats = Multimodal.extractFeatures(media, batchSize = 16)
       .collect().map(f => f.media_id -> f.feature).toMap
@@ -967,20 +967,34 @@ class OpsSpec extends SparkTestBase {
       val f = feats(id)
       MediaCodecs.decodeContent(payload) match {
         case Some(s) =>
-          // real path: exact statistics of the DECODED samples, tag 1
-          assert(kind === "audio" || (kind == "image" && id % 2 == 0))
+          // real path: exact statistics of the DECODED samples, tag 1 —
+          // audio (WAV PCM), video (MP4 'twos' PCM sound track through
+          // the real sample tables), and even-id images (PNG pixels)
+          assert(kind === "audio" || kind === "video" ||
+            (kind == "image" && id % 2 == 0))
           val mean = s.sum.toDouble / s.n
           assert(f(0) === mean.toFloat, s"mean id=$id")
           assert(f(1) === math.sqrt(s.sumsq.toDouble / s.n).toFloat, s"rms id=$id")
           assert(f(2) === (s.sumsq.toDouble / s.n - mean * mean).toFloat, s"var id=$id")
           assert(f(3) === math.log1p(s.n.toDouble).toFloat && f(7) === 1f)
+          // MP4 samples follow the same formula as WAV at the same n:
+          // sample(j) = (id % 64) + (j % 16) over n = duration_ms * 8
+          if (kind == "video") {
+            val n = s.n
+            val base = id % 64
+            val per = n / 16
+            val rem = n % 16
+            val expSum = (0 until 16).map(r =>
+              (per + (if (r < rem) 1L else 0L)) * (base + r)).sum
+            assert(s.sum === expSum, s"mp4 sum id=$id")
+          }
         case None =>
-          // JPEG/MP4 header payloads: the declared fake, tag 0
-          assert(kind === "video" || (kind == "image" && id % 2 == 1))
+          // JPEG header payloads: the remaining declared fake, tag 0
+          assert(kind == "image" && id % 2 == 1)
           assert(f(7) === 0f)
       }
     }
-    // every modality exercises both branches somewhere in the corpus
+    // both branches are exercised somewhere in the corpus
     assert(payloads.count { case (_, (_, p)) => MediaCodecs.decodeContent(p).isDefined } > 0)
     assert(payloads.count { case (_, (_, p)) => MediaCodecs.decodeContent(p).isEmpty } > 0)
   }
