@@ -1128,6 +1128,55 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // GOPHER QUALITY FILTER: the full Rae et al. 2021 A1.1 rule set as
+    // exact integer signals from the one-pass codegen kernel + integer
+    // cross-multiplied thresholds (no float ratios anywhere). The corpus
+    // text has no newlines/symbols, so the query deterministically
+    // augments each doc from doc_id (same expression in both engines) to
+    // exercise the line/bullet/ellipsis/stopword/duplicate-line rules;
+    // DuckDB recomputes every signal from first principles.
+    "text_gopher_quality" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val aug = docs.select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 2 === 0,
+          lit("\nthe data have to be here")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          lit("\n- item one\n- item one\n* item two")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("\nsee more...\nsee more...")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("\n## header "), (col("doc_id") % 11).cast("string"),
+            lit(" … end…"))).otherwise(lit(""))).as("text"))
+      aug
+        .withColumn("g", graft.ops.TextAnalysis.gopher_signals(col("text")))
+        .withColumn("rr", graft.ops.TextAnalysis.gopherRejectReasons(col("g")))
+        .select(col("doc_id"),
+          col("g.n_words").as("n_words"),
+          col("g.sum_word_chars").as("sum_word_chars"),
+          col("g.n_alpha_words").as("n_alpha_words"),
+          col("g.n_stopwords_present").as("n_stopwords_present"),
+          col("g.n_hash").as("n_hash"),
+          col("g.n_ellipsis").as("n_ellipsis"),
+          col("g.n_lines").as("n_lines"),
+          col("g.n_bullet_lines").as("n_bullet_lines"),
+          col("g.n_ellipsis_lines").as("n_ellipsis_lines"),
+          col("g.n_dup_lines").as("n_dup_lines"),
+          col("g.dup_line_chars").as("dup_line_chars"),
+          col("g.sum_line_chars").as("sum_line_chars"),
+          col("rr.r_word_count").as("r_word_count"),
+          col("rr.r_mean_word_len").as("r_mean_word_len"),
+          col("rr.r_symbol_ratio").as("r_symbol_ratio"),
+          col("rr.r_bullet_lines").as("r_bullet_lines"),
+          col("rr.r_ellipsis_lines").as("r_ellipsis_lines"),
+          col("rr.r_alpha_words").as("r_alpha_words"),
+          col("rr.r_stopwords").as("r_stopwords"),
+          col("rr.r_dup_lines").as("r_dup_lines"),
+          col("rr.r_dup_line_chars").as("r_dup_line_chars"),
+          col("rr.reject").as("gopher_reject"))
+        .orderBy(col("doc_id"))
+    },
+
     // PII REDACTION: deterministic synthetic PII (email/IPv4/long digit
     // run derived from doc_id) planted identically in both engines, then
     // redacted by the shared Java-regex ∩ RE2 pattern set. The oracle
@@ -1829,6 +1878,98 @@ object SparkEntry {
         |    AS gopher_bigram_reject
         |FROM base b
         |LEFT JOIN bga USING (doc_id) LEFT JOIN tga USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // every signal recomputed from first principles on the identically
+    // augmented text; thresholds re-derived as the same integer
+    // cross-multiplications (never float division)
+    "text_gopher_quality" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 2 = 0
+        |         THEN chr(10) || 'the data have to be here' ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN chr(10) || '- item one' || chr(10) || '- item one'
+        |              || chr(10) || '* item two' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN chr(10) || 'see more...' || chr(10) || 'see more...'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN chr(10) || '## header ' || CAST(doc_id % 11 AS VARCHAR)
+        |              || ' … end…' ELSE '' END
+        |    AS text
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'),
+        |                x -> x <> '') AS ws
+        |  FROM aug),
+        |wu AS (SELECT doc_id, unnest(ws) AS w FROM w),
+        |wstats AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(length(w)) AS BIGINT) AS sum_word_chars,
+        |    CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]')
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words,
+        |    CAST(count(DISTINCT CASE WHEN lower(w) IN
+        |      ('the','be','to','of','and','that','have','with')
+        |      THEN lower(w) END) AS BIGINT) AS n_stopwords_present
+        |  FROM wu GROUP BY doc_id),
+        |sym AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      AS n_hash,
+        |    CAST((length(text) - length(replace(text, '…', '')))
+        |       + (length(text) - length(replace(text, '...', ''))) // 3
+        |      AS BIGINT) AS n_ellipsis
+        |  FROM aug),
+        |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        |      FROM aug),
+        |lstats AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(length(line)) AS BIGINT) AS sum_line_chars,
+        |    CAST(sum(CASE WHEN left(ltrim(line, ' ' || chr(9)), 1)
+        |                       IN ('-', '*', '•') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_bullet_lines,
+        |    CAST(sum(CASE WHEN right(rtrim(line, ' ' || chr(9)), 1) = '…'
+        |                    OR right(rtrim(line, ' ' || chr(9)), 3) = '...'
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis_lines
+        |  FROM l GROUP BY doc_id),
+        |lc AS (SELECT doc_id, line, count(*) AS c FROM l
+        |       GROUP BY doc_id, line),
+        |dstats AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+        |      AS n_dup_lines,
+        |    CAST(sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END)
+        |      AS BIGINT) AS dup_line_chars
+        |  FROM lc GROUP BY doc_id)
+        |SELECT w.doc_id, n_words, sum_word_chars, n_alpha_words,
+        |  n_stopwords_present, n_hash, n_ellipsis, n_lines, n_bullet_lines,
+        |  n_ellipsis_lines, n_dup_lines, dup_line_chars, sum_line_chars,
+        |  (n_words < 50 OR n_words > 100000) AS r_word_count,
+        |  (sum_word_chars < n_words * 3 OR sum_word_chars > n_words * 10)
+        |    AS r_mean_word_len,
+        |  ((n_hash + n_ellipsis) * 10 > n_words) AS r_symbol_ratio,
+        |  (n_bullet_lines * 10 > n_lines * 9) AS r_bullet_lines,
+        |  (n_ellipsis_lines * 10 > n_lines * 3) AS r_ellipsis_lines,
+        |  (n_alpha_words * 5 < n_words * 4) AS r_alpha_words,
+        |  (n_stopwords_present < 2) AS r_stopwords,
+        |  (n_dup_lines * 10 > n_lines * 3) AS r_dup_lines,
+        |  (dup_line_chars * 5 > sum_line_chars) AS r_dup_line_chars,
+        |  ((n_words < 50 OR n_words > 100000)
+        |   OR (sum_word_chars < n_words * 3 OR sum_word_chars > n_words * 10)
+        |   OR ((n_hash + n_ellipsis) * 10 > n_words)
+        |   OR (n_bullet_lines * 10 > n_lines * 9)
+        |   OR (n_ellipsis_lines * 10 > n_lines * 3)
+        |   OR (n_alpha_words * 5 < n_words * 4)
+        |   OR (n_stopwords_present < 2)
+        |   OR (n_dup_lines * 10 > n_lines * 3)
+        |   OR (dup_line_chars * 5 > sum_line_chars)) AS gopher_reject
+        |FROM wstats w
+        |JOIN sym USING (doc_id) JOIN lstats USING (doc_id)
+        |JOIN dstats USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // same pattern strings, same sequential order, same global

@@ -102,6 +102,149 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](nWords, wc.size().toLong, topBigram, nBigrams, dupTri, nTri))
   }
+
+  /** The Gopher stop-word list (Rae et al. 2021, appendix A1.1): a doc
+    * must contain at least two of these as whole whitespace words.
+    */
+  val GopherStopwords: Array[String] =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-quality signals (Rae et al. 2021, appendix A1.1):
+    * ONE pass each over words, raw characters, and lines, emitting only
+    * exact integer counts so a SQL oracle can recompute every field and
+    * every downstream threshold compares as pure integer arithmetic
+    * (cross-multiplication — no float ratios anywhere).
+    *
+    * Pinned semantics (cross-engine exactness beats configurability):
+    *  - words: runs of the explicit separator class `[ \t\n\f\r]+`
+    *    (same class [[repetitionStats]] pins; never `\s`), empty edge
+    *    tokens filtered;
+    *  - word length: Unicode CODE POINTS (DuckDB `length()` semantics,
+    *    not UTF-16 units);
+    *  - "alphabetic" is pinned to ASCII `[A-Za-z]`;
+    *  - stop-word match: ASCII-only lowercase equality against
+    *    [[GopherStopwords]] — a word containing any non-ASCII char can
+    *    never equal an all-ASCII stop word under either engine's
+    *    lowering, so ASCII folding is exact cross-engine;
+    *  - symbols: `#` occurrences plus non-overlapping left-greedy `...`
+    *    matches plus `…` occurrences (replace()-compatible
+    *    counting);
+    *  - lines: split on `\n` keeping ALL segments (n_lines = newline
+    *    count + 1, even for trailing newlines / empty text);
+    *  - bullet line: first char after stripping leading spaces/tabs is
+    *    `-`, `*`, or `•`;
+    *  - ellipsis line: after stripping trailing spaces/tabs, ends with
+    *    `...` or `…`;
+    *  - duplicate lines: occurrences belonging to line values seen more
+    *    than once (mirrors dup_trigram_occurrences), plus their code
+    *    points vs total line code points (the Gopher "duplicate line
+    *    fraction" / "duplicate line character fraction" numerators).
+    *
+    * Fields (all BIGINT): n_words, sum_word_chars, n_alpha_words,
+    * n_stopwords_present, n_hash, n_ellipsis, n_lines, n_bullet_lines,
+    * n_ellipsis_lines, n_dup_lines, dup_line_chars, sum_line_chars.
+    */
+  def gopherSignals(s: UTF8String): InternalRow = {
+    val text = s.toString
+    // ---- word-level signals
+    val words = text.split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty)
+    val nWords = words.length.toLong
+    var sumWordChars = 0L
+    var nAlphaWords = 0L
+    val stopHit = new Array[Boolean](GopherStopwords.length)
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      sumWordChars += w.codePointCount(0, w.length).toLong
+      var hasAlpha = false
+      var j = 0
+      while (!hasAlpha && j < w.length) {
+        val c = w.charAt(j)
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) hasAlpha = true
+        j += 1
+      }
+      if (hasAlpha) nAlphaWords += 1
+      var k = 0
+      while (k < GopherStopwords.length) {
+        if (!stopHit(k)) {
+          val sw = GopherStopwords(k)
+          if (w.length == sw.length) {
+            var m = 0
+            var eq = true
+            while (eq && m < w.length) {
+              var c = w.charAt(m)
+              if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+              if (c != sw.charAt(m)) eq = false
+              m += 1
+            }
+            if (eq) stopHit(k) = true
+          }
+        }
+        k += 1
+      }
+      i += 1
+    }
+    var nStop = 0L
+    i = 0
+    while (i < stopHit.length) { if (stopHit(i)) nStop += 1; i += 1 }
+    // ---- symbol counts over the raw text
+    var nHash = 0L
+    var nEllipsis = 0L
+    var p = 0
+    while (p < text.length) {
+      val c = text.charAt(p)
+      if (c == '#') { nHash += 1; p += 1 }
+      else if (c == '…') { nEllipsis += 1; p += 1 }
+      else if (c == '.' && p + 2 < text.length &&
+          text.charAt(p + 1) == '.' && text.charAt(p + 2) == '.') {
+        nEllipsis += 1; p += 3
+      } else p += 1
+    }
+    // ---- line-level signals
+    val lines = text.split("\n", -1)
+    val nLines = lines.length.toLong
+    var nBullet = 0L
+    var nEllLines = 0L
+    var sumLineChars = 0L
+    val lineLen = new java.util.HashMap[String, Long]()
+    val lineCnt = new java.util.HashMap[String, Integer]()
+    i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      val chars = l.codePointCount(0, l.length).toLong
+      sumLineChars += chars
+      lineLen.put(l, chars)
+      lineCnt.merge(l, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+      // bullet: first char after leading spaces/tabs
+      var a = 0
+      while (a < l.length && (l.charAt(a) == ' ' || l.charAt(a) == '\t')) a += 1
+      if (a < l.length) {
+        val c0 = l.charAt(a)
+        if (c0 == '-' || c0 == '*' || c0 == '•') nBullet += 1
+      }
+      // ellipsis end: last char(s) after trailing spaces/tabs
+      var z = l.length
+      while (z > 0 && (l.charAt(z - 1) == ' ' || l.charAt(z - 1) == '\t')) z -= 1
+      if ((z >= 1 && l.charAt(z - 1) == '…') ||
+          (z >= 3 && l.charAt(z - 1) == '.' && l.charAt(z - 2) == '.' &&
+            l.charAt(z - 3) == '.')) nEllLines += 1
+      i += 1
+    }
+    var nDupLines = 0L
+    var dupLineChars = 0L
+    val it = lineCnt.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.toLong
+      if (c > 1L) {
+        nDupLines += c
+        dupLineChars += c * lineLen.get(e.getKey)
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, sumWordChars, nAlphaWords, nStop, nHash, nEllipsis,
+        nLines, nBullet, nEllLines, nDupLines, dupLineChars, sumLineChars))
+  }
 }
 
 /** `doc_fingerprint(text) -> long`: min XXH64 over sliding character
@@ -191,4 +334,47 @@ object TextRepetition {
     StructField("n_bigrams", LongType, nullable = false),
     StructField("dup_trigram_occurrences", LongType, nullable = false),
     StructField("n_trigrams", LongType, nullable = false)))
+}
+
+/** `gopher_signals(text) -> struct<12 x bigint>`: exact integer
+  * document-quality signals for the Gopher filter family (see
+  * [[TextKernels.gopherSignals]] for the pinned semantics of every
+  * field). Native expression: the whole quality pass is one kernel call
+  * per row inside whole-stage codegen — no UDF, no intermediate arrays,
+  * embarrassingly parallel at any corpus size.
+  */
+case class GopherSignals(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = GopherSignals.schema
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gopher_signals expects STRING, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.gopherSignals(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextKernels.gopherSignals($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GopherSignals =
+    copy(child = newChild)
+  override def prettyName: String = "gopher_signals"
+}
+
+object GopherSignals {
+  val schema: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("sum_word_chars", LongType, nullable = false),
+    StructField("n_alpha_words", LongType, nullable = false),
+    StructField("n_stopwords_present", LongType, nullable = false),
+    StructField("n_hash", LongType, nullable = false),
+    StructField("n_ellipsis", LongType, nullable = false),
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_bullet_lines", LongType, nullable = false),
+    StructField("n_ellipsis_lines", LongType, nullable = false),
+    StructField("n_dup_lines", LongType, nullable = false),
+    StructField("dup_line_chars", LongType, nullable = false),
+    StructField("sum_line_chars", LongType, nullable = false)))
 }

@@ -187,6 +187,50 @@ object TextAnalysis {
     org.apache.spark.sql.GraftBridge.column(
       graft.expr.TextRepetition(org.apache.spark.sql.GraftBridge.expression(text)))
 
+  /** Exact integer Gopher document-quality signals — see
+    * [[graft.expr.TextKernels.gopherSignals]] for the pinned semantics.
+    */
+  def gopher_signals(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expr.GopherSignals(org.apache.spark.sql.GraftBridge.expression(text)))
+
+  /** The Gopher quality-filter rule set (Rae et al. 2021, appendix A1.1)
+    * over a [[gopher_signals]] struct, every threshold expressed as
+    * INTEGER cross-multiplication (no float ratios → bit-identical across
+    * engines). Returns a struct of per-rule booleans plus the overall
+    * `reject` OR. Thresholds: word count in [50, 100k]; mean word length
+    * in [3, 10] chars; symbol-to-word ratio (# + ellipses) <= 0.1; <= 90%
+    * bullet lines; <= 30% ellipsis-ending lines; >= 80% words with an
+    * alphabetic char; >= 2 of the 8 stop words; duplicate-line fraction
+    * <= 0.30; duplicate-line character fraction <= 0.20.
+    */
+  def gopherRejectReasons(signals: Column): Column = {
+    val r = signals
+    val wordCount = r.getField("n_words") < 50 || r.getField("n_words") > 100000L
+    val meanWordLen = r.getField("sum_word_chars") < r.getField("n_words") * 3 ||
+      r.getField("sum_word_chars") > r.getField("n_words") * 10
+    val symbolRatio =
+      (r.getField("n_hash") + r.getField("n_ellipsis")) * 10 > r.getField("n_words")
+    val bullet = r.getField("n_bullet_lines") * 10 > r.getField("n_lines") * 9
+    val ellipsis = r.getField("n_ellipsis_lines") * 10 > r.getField("n_lines") * 3
+    val alpha = r.getField("n_alpha_words") * 5 < r.getField("n_words") * 4
+    val stop = r.getField("n_stopwords_present") < 2
+    val dupLines = r.getField("n_dup_lines") * 10 > r.getField("n_lines") * 3
+    val dupChars = r.getField("dup_line_chars") * 5 > r.getField("sum_line_chars")
+    struct(
+      wordCount.as("r_word_count"),
+      meanWordLen.as("r_mean_word_len"),
+      symbolRatio.as("r_symbol_ratio"),
+      bullet.as("r_bullet_lines"),
+      ellipsis.as("r_ellipsis_lines"),
+      alpha.as("r_alpha_words"),
+      stop.as("r_stopwords"),
+      dupLines.as("r_dup_lines"),
+      dupChars.as("r_dup_line_chars"),
+      (wordCount || meanWordLen || symbolRatio || bullet || ellipsis ||
+        alpha || stop || dupLines || dupChars).as("reject"))
+  }
+
   /** Top-m most frequent whitespace tokens across a corpus, via the
     * Misra-Gries heavy-hitters aggregate over the exploded token stream —
     * the canonical "vocabulary head" question a training-data pipeline

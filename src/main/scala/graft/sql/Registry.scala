@@ -144,6 +144,10 @@ object Registry {
       require(args.size == 1, "text_repetition(text)")
       TextRepetition(args.head)
     },
+    "gopher_signals" -> { args =>
+      require(args.size == 1, "gopher_signals(text)")
+      GopherSignals(args.head)
+    },
     "shingle_hashes" -> { args =>
       require(args.size == 2, "shingle_hashes(text, n)")
       ShingleHashes(args(0), foldableInt(args(1), "n"))

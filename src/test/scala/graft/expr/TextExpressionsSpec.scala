@@ -146,4 +146,116 @@ class TextExpressionsSpec extends SparkTestBase {
     assert(plan.contains("*(1)"), s"expected codegen stage in:\n$plan")
     assert(!plan.contains("ScalaUDF"))
   }
+
+  test("gopher_signals matches a brute-force reference") {
+    // independent recomputation in collection-idiom Scala (the kernel is
+    // imperative single-pass): every field cross-checked per case
+    def ref(t: String): Seq[Long] = {
+      val ws = t.split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty).toSeq
+      val nWords = ws.size.toLong
+      val sumWordChars = ws.map(w => w.codePointCount(0, w.length).toLong).sum
+      val nAlpha = ws.count(_.exists(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toLong
+      val stops = TextKernels.GopherStopwords.toSet
+      val asciiLower = (w: String) =>
+        w.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      val nStop = ws.map(asciiLower).toSet.count(stops.contains).toLong
+      val nHash = t.count(_ == '#').toLong
+      // non-overlapping left-greedy scan for '...' plus '…' occurrences
+      var nEll = t.count(_ == '…').toLong
+      var i = 0
+      while (i <= t.length - 3) {
+        if (t.charAt(i) == '.' && t.charAt(i + 1) == '.' && t.charAt(i + 2) == '.') {
+          nEll += 1; i += 3
+        } else i += 1
+      }
+      val lines = t.split("\n", -1).toSeq
+      val nLines = lines.size.toLong
+      val strip = (s: String, fromEnd: Boolean) =>
+        if (fromEnd) s.reverse.dropWhile(c => c == ' ' || c == '\t').reverse
+        else s.dropWhile(c => c == ' ' || c == '\t')
+      val nBullet = lines.count { l =>
+        val s = strip(l, false)
+        s.nonEmpty && "-*•".contains(s.head)
+      }.toLong
+      val nEllLines = lines.count { l =>
+        val s = strip(l, true)
+        s.endsWith("…") || s.endsWith("...")
+      }.toLong
+      val lineChars = lines.map(l => l.codePointCount(0, l.length).toLong)
+      val sumLineChars = lineChars.sum
+      val counts = lines.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nDup = counts.values.filter(_ > 1).sum
+      val dupChars = counts.collect { case (l, c) if c > 1 =>
+        c * l.codePointCount(0, l.length).toLong }.sum
+      Seq(nWords, sumWordChars, nAlpha, nStop, nHash, nEll,
+        nLines, nBullet, nEllLines, nDup, dupChars, sumLineChars)
+    }
+    val cases = Seq(
+      "the data have to be analyzed with care and that is all",
+      "no stopword here just plain tokens",
+      "- bullet one\n- bullet one\n* bullet two\nplain line",
+      "trailing dots...\nand unicode ellipsis…\nand a … mid word",
+      "# one ## two ### three",
+      "....",                               // one '...' then a lone dot
+      "…...",                               // '…' then '...'
+      "..…..",                              // no '...' across the '…'
+      "dup line\ndup line\ndup line\nunique",
+      "  \t  ",                             // whitespace only
+      "",                                   // empty: 1 line, 0 words
+      "ends with newline\n",                // trailing empty line segment
+      "THE With HAVE of",                   // case-folded stopwords
+      "café • naïve…\n𝕏 astral 𝕏 astral")  // multibyte + astral chars
+    val got = cases.toDF("t").repartition(2)
+      .select(col("t"), TextAnalysis.gopher_signals(col("t")).as("g"))
+      .collect().map(r => r.getString(0) -> r.getStruct(1)).toMap
+    cases.foreach { t =>
+      val g = got(t)
+      val actual = (0 until 12).map(g.getLong)
+      assert(actual === ref(t), s"text='$t'")
+    }
+    // NULL propagates; SQL name registered; codegen stage survives
+    val r0 = Seq[String](null).toDF("t")
+      .select(TextAnalysis.gopher_signals(col("t"))).head()
+    assert(r0.isNullAt(0))
+    cases.toDF("t").createOrReplaceTempView("text_gopher_t")
+    val viaSql = spark.sql(
+      "SELECT gopher_signals(t).n_words AS n FROM text_gopher_t").collect()
+    assert(viaSql.map(_.getLong(0)).sum === cases.map(c => ref(c).head).sum)
+    val planDf = cases.toDF("t").repartition(2)
+      .select(TextAnalysis.gopher_signals(col("t")))
+    planDf.collect()
+    val plan = planDf.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expected codegen stage in:\n$plan")
+    assert(!plan.contains("ScalaUDF"))
+  }
+
+  test("gopherRejectReasons: integer-exact thresholds fire per rule") {
+    // 60 words, mean length in range, 2 distinct stopwords (the, and),
+    // no symbols/bullets: a document that passes every rule
+    val clean = "the and " + (1 to 58).map(i => "tok" + i).mkString(" ")
+    // boundary doc: exactly 50 words with exactly 2 stopwords -> keep;
+    // 49 words -> reject on word count
+    val fortyNine = "the data " + (1 to 47).map(i => "tok" + i).mkString(" ")
+    val fifty = fortyNine + " tok48"
+    // symbol-heavy doc: 50 words plus 6 '#' -> (6)*10 > 50 -> reject
+    val symbols = fifty + " " + ("#" * 6)
+    val df = Seq(clean, fortyNine, fifty, symbols).toDF("t")
+      .select(col("t"), TextAnalysis.gopherRejectReasons(
+        TextAnalysis.gopher_signals(col("t"))).as("rr"))
+    val byText = df.collect().map(r => r.getString(0) -> r.getStruct(1)).toMap
+    def field(t: String, name: String): Boolean = {
+      val s = byText(t)
+      s.getBoolean(s.schema.fieldIndex(name))
+    }
+    assert(!field(clean, "reject"), "clean doc must pass all rules")
+    assert(field(fortyNine, "r_word_count") && field(fortyNine, "reject"))
+    assert(!field(fifty, "r_word_count"))
+    assert(field(symbols, "r_symbol_ratio") && field(symbols, "reject"))
+    // stopword rule: 1 distinct stopword -> reject
+    val oneStop = "the " + (1 to 60).map(i => "tok" + i).mkString(" ")
+    val rr = Seq(oneStop).toDF("t").select(TextAnalysis.gopherRejectReasons(
+      TextAnalysis.gopher_signals(col("t"))).as("rr")).head().getStruct(0)
+    assert(rr.getBoolean(rr.schema.fieldIndex("r_stopwords")))
+  }
 }
