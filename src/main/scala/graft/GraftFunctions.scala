@@ -255,6 +255,9 @@ object functions {
   /** Sorted distinct XXH64 hashes of the word n-gram shingle set. */
   def shingle_hashes(text: Column, n: Int): Column =
     toCol(ShingleHashes(toExpr(text), n))
+  /** XXH64 per sliding w-code-point character window (index = position). */
+  def window_hashes(text: Column, w: Int): Column =
+    toCol(WindowHashes(toExpr(text), w))
   /** Kirsch-Mitzenmacher MinHash signature from a shingle-hash set. */
   def minhash_signature(hashes: Column, k: Int): Column =
     toCol(MinhashSignature(toExpr(hashes), k))

@@ -1397,6 +1397,31 @@ object SparkEntry {
         .orderBy(col("dropped_id"))
     },
 
+    // EXACT duplicate-substring coverage (ExactSubstr family, Lee et al.
+    // 2021): window hashes -> corpus-wide candidates -> substring-verified
+    // duplicates -> per-doc interval-union coverage. The corpus has no
+    // cross-doc substrings of window length, so boilerplate / footer /
+    // self-repeat segments are planted deterministically from doc_id
+    // (same expression both engines); DuckDB recomputes from first
+    // principles on ACTUAL substrings — exact by construction, so every
+    // count must hash-match.
+    "dedup_substrings" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val aug = docs.select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit(
+          " LICENSE: this work is provided as-is without warranty of any kind express or implied"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit(
+          " FOOTER: generated by the synthetic corpus pipeline for testing purposes"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 9 === 0, lit("xy" * 30)).otherwise(lit("")))
+        .as("text"))
+      graft.ops.Dedup.duplicateSpans(aug, "text", "doc_id", window = 40)
+        .withColumn("substr_reject", col("dup_chars") * 5 > col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     "embedding_pairs" -> { (s, dir) =>
       val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val planted = emb.filter(col("vec_id") % 10 === 0)
@@ -2154,6 +2179,45 @@ object SparkEntry {
         |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.95
         |ORDER BY dropped_id""".stripMargin,
+
+    // exact by construction: every 40-char window of the identically
+    // augmented corpus, global occurrence counts on the ACTUAL substring,
+    // per-doc interval union via the same lead() arithmetic
+    "dedup_substrings" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' LICENSE: this work is provided as-is without warranty of any kind express or implied' ELSE '' END
+        |    || CASE WHEN doc_id % 6 = 0 THEN ' FOOTER: generated by the synthetic corpus pipeline for testing purposes' ELSE '' END
+        |    || CASE WHEN doc_id % 9 = 0 THEN repeat('xy', 30) ELSE '' END
+        |    AS text
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+        |         FROM aug),
+        |pos AS (
+        |  SELECT doc_id, unnest(range(1, length(text) - 40 + 2)) AS p
+        |  FROM aug WHERE length(text) >= 40),
+        |sub AS (
+        |  SELECT pos.doc_id, p, substr(a.text, CAST(p AS BIGINT), 40) AS s
+        |  FROM pos JOIN aug a ON pos.doc_id = a.doc_id),
+        |cnt AS (SELECT s FROM (SELECT s, count(*) AS c FROM sub GROUP BY s)
+        |        WHERE c > 1),
+        |dup AS (SELECT doc_id, p FROM sub JOIN cnt USING (s)),
+        |cov AS (
+        |  SELECT doc_id, p,
+        |    lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS np
+        |  FROM dup),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+        |    CAST(sum(CASE WHEN np IS NULL THEN 40
+        |                  ELSE least(40, np - p) END) AS BIGINT) AS dup_chars
+        |  FROM cov GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_chars,
+        |  greatest(b.n_chars - 39, 0) AS n_windows,
+        |  COALESCE(n_dup_windows, 0) AS n_dup_windows,
+        |  COALESCE(dup_chars, 0) AS dup_chars,
+        |  COALESCE(dup_chars, 0) * 5 > b.n_chars AS substr_reject
+        |FROM base b LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "embedding_pairs" ->
       """WITH aug AS (

@@ -31,6 +31,9 @@ object DedupKernels {
     a
   }
 
+  def windowHashes(s: UTF8String, w: Int): ArrayData =
+    new GenericArrayData(graft.ops.Dedup.windowHashKernel(s.toString, w))
+
   def minhashSig(hashes: ArrayData, k: Int): ArrayData =
     new GenericArrayData(graft.ops.Dedup.minhashKernel(hashes.toLongArray(), k))
 
@@ -84,6 +87,33 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
   override def prettyName: String = "shingle_hashes"
+}
+
+/** `window_hashes(text, w) -> array<long>`: XXH64 of every sliding
+  * `w`-code-point character window, index = start position — the
+  * candidate generator for exact duplicate-substring detection
+  * ([[graft.ops.Dedup.duplicateSpans]]). Native expression so the
+  * per-document window pass stays inside whole-stage codegen.
+  */
+case class WindowHashes(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 2 && w <= 1024, "window size must be in [2, 1024]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"window_hashes expects STRING, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    DedupKernels.windowHashes(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.DedupKernels.windowHashes($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes =
+    copy(child = newChild)
+  override def prettyName: String = "window_hashes"
 }
 
 /** `minhash_signature(hashes, k) -> array<long>`: Kirsch-Mitzenmacher

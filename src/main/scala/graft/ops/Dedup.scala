@@ -113,6 +113,44 @@ object Dedup {
     if (wp == out.length) out else java.util.Arrays.copyOf(out, wp)
   }
 
+  /** XXH64 of every sliding `w`-CODE-POINT character window, one hash
+    * per start position (index i = window starting at code point i).
+    * Windows are slices of the UTF-8 byte encoding between code-point
+    * boundaries, so equal substrings hash equally regardless of where
+    * they sit — the candidate generator for [[duplicateSpans]]. Code
+    * points (not UTF-16 units) so positions line up with SQL `substring`
+    * semantics in Spark AND DuckDB. Returns empty for docs shorter than
+    * `w` code points.
+    */
+  def windowHashKernel(text: String, w: Int): Array[Long] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val nCp = text.codePointCount(0, text.length)
+    if (nCp < w) return Array.emptyLongArray
+    // byte offset of each code-point start (plus the end sentinel),
+    // derived from the bytes directly (ASCII fast path: 1:1)
+    val off = new Array[Int](nCp + 1)
+    if (bytes.length == nCp) {
+      var j = 0
+      while (j <= nCp) { off(j) = j; j += 1 }
+    } else {
+      var b = 0
+      var c = 0
+      while (b < bytes.length) {
+        // count only lead bytes (not 10xxxxxx continuations)
+        if ((bytes(b) & 0xC0) != 0x80) { off(c) = b; c += 1 }
+        b += 1
+      }
+      off(nCp) = bytes.length
+    }
+    val out = new Array[Long](nCp - w + 1)
+    var p = 0
+    while (p <= nCp - w) {
+      out(p) = Hashing.xxh64(bytes, off(p), off(p + w) - off(p), 0L)
+      p += 1
+    }
+    out
+  }
+
   /** MinHash signature from a document's shingle-hash set, using the
     * Kirsch-Mitzenmacher construction (h1 + j*h2) — O(|set| + k) hash work
     * per doc instead of O(|set| * k) independent hashes.
@@ -1145,5 +1183,111 @@ object Dedup {
     val reps = clusterRepresentatives(pairs, df.select(col(idCol)), idCol)
     shingleHandle.foreach(_.unpersist(blocking = false))
     df.join(reps.filter(col(idCol) === col("representative")).select(col(idCol)), Seq(idCol))
+  }
+
+  /** EXACT duplicate-substring coverage (the ExactSubstr family of Lee
+    * et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better" — suffix-array semantics re-expressed relationally): for
+    * every document, how many of its characters sit inside a
+    * `window`-code-point substring that occurs MORE THAN ONCE anywhere in
+    * the corpus (any document, any position — including self-overlap
+    * inside one document).
+    *
+    * Exactness without a suffix array: window hashes form candidates
+    * (equal substrings always hash equally -> full recall), then the
+    * candidate positions are verified by grouping on the ACTUAL
+    * substring, which removes any hash-collision false positives. A
+    * substring occurring >= 2 times has hash count >= 2, so every one of
+    * its positions survives the candidate filter — the verified counts
+    * are exact by construction, never probabilistic.
+    *
+    * Scale shape: the hash pass shuffles (id, pos, hash) — O(corpus code
+    * points) longs, the same asymptotics a distributed suffix array
+    * pays, with NO document text on the wire. Only candidate positions
+    * (bounded by the corpus duplication rate) are joined back to their
+    * documents for the `window`-char verify slices, and the final
+    * interval-union window sort is per-document (bounded by max doc
+    * length, never corpus-sized). For very large corpora,
+    * `sampleMod > 1` keeps only content-keyed sample windows
+    * (hash % sampleMod == 0): counts become lower bounds with recall on
+    * spans that contain a sampled window, and the shuffle shrinks by
+    * ~sampleMod; the sampling key is the content hash, so a duplicated
+    * substring is sampled identically at every occurrence (sampling
+    * never creates false positives).
+    *
+    * Returns one row per input document: id, n_chars (code points),
+    * n_windows, n_dup_windows, dup_chars (exact interval union of the
+    * duplicated windows' spans).
+    *
+    * Precondition: `idCol` values are unique and non-null.
+    */
+  def duplicateSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      window: Int = 40,
+      sampleMod: Int = 1): DataFrame =
+    duplicateSpansImpl(df, textCol, idCol, window, sampleMod, hashSquash = 0L)
+
+  /** `hashSquash > 0` reduces candidate hashes mod that value — a test
+    * hook that forces collisions to prove the substring verify restores
+    * exactness. Never use in production paths.
+    */
+  private[graft] def duplicateSpansImpl(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      window: Int,
+      sampleMod: Int,
+      hashSquash: Long): DataFrame = {
+    require(window >= 2 && window <= 1024,
+      s"window must be in [2, 1024], got $window")
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    import org.apache.spark.sql.expressions.Window
+
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+    val wh = base
+      .select(col("__id"),
+        graft.functions.window_hashes(col("__text"), window).as("__wh"))
+      .select(col("__id"), posexplode(col("__wh")).as(Seq("__pos", "__h")))
+    val sampled =
+      if (sampleMod > 1) wh.filter(pmod(col("__h"), lit(sampleMod.toLong)) === 0)
+      else wh
+    val keyed =
+      if (hashSquash > 0)
+        sampled.withColumn("__h", pmod(col("__h"), lit(hashSquash)))
+      else sampled
+    // corpus-wide hash counts; candidates = positions in groups seen twice
+    val dupHashes = keyed.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__hc")).filter(col("__hc") > 1).select(col("__h"))
+    val cand = keyed.join(dupHashes, Seq("__h")).select(col("__id"), col("__pos"))
+    // verify: slice the actual substring for candidate positions only and
+    // re-count on the string itself (kills collision false positives)
+    val withSub = cand
+      .join(base, Seq("__id"))
+      .select(col("__id"), col("__pos"),
+        expr(s"substring(__text, __pos + 1, $window)").as("__sub"))
+    val dupSubs = withSub.groupBy(col("__sub"))
+      .agg(count(lit(1)).as("__sc")).filter(col("__sc") > 1).select(col("__sub"))
+    val dupPos = withSub.join(dupSubs, Seq("__sub")).select(col("__id"), col("__pos"))
+    // exact interval union of equal-length spans [pos, pos+window):
+    // each position covers min(window, nextPos - pos) new characters
+    val byDoc = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    val covered = dupPos
+      .withColumn("__next", lead(col("__pos"), 1).over(byDoc))
+      .withColumn("__cov",
+        when(col("__next").isNull, lit(window.toLong))
+          .otherwise(least(lit(window.toLong),
+            (col("__next") - col("__pos")).cast("long"))))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_dup_windows"), sum(col("__cov")).as("dup_chars"))
+    base
+      .withColumn("n_chars", length(col("__text")).cast("long"))
+      .withColumn("n_windows",
+        greatest(col("n_chars") - lit(window - 1L), lit(0L)))
+      .join(covered, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_chars"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
   }
 }

@@ -152,6 +152,10 @@ object Registry {
       require(args.size == 2, "shingle_hashes(text, n)")
       ShingleHashes(args(0), foldableInt(args(1), "n"))
     },
+    "window_hashes" -> { args =>
+      require(args.size == 2, "window_hashes(text, w)")
+      WindowHashes(args(0), foldableInt(args(1), "w"))
+    },
     "minhash_signature" -> { args =>
       require(args.size == 2, "minhash_signature(hashes, k)")
       MinhashSignature(args(0), foldableInt(args(1), "k"))

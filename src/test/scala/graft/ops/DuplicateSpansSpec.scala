@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DuplicateSpansSpec extends SparkTestBase {
+
+  import SparkTestBase.spark.implicits._
+
+  /** Brute force on actual substrings: every w-code-point window of the
+    * corpus, global occurrence counts, per-doc duplicated positions,
+    * interval union by direct coverage marking (a different algorithm
+    * than the lead()-based union in the operator).
+    */
+  private def ref(corpus: Seq[(Long, String)], w: Int)
+      : Map[Long, (Long, Long, Long, Long)] = {
+    def cps(s: String): Array[Int] = s.codePoints.toArray
+    val subs = corpus.flatMap { case (id, t) =>
+      val c = cps(t)
+      (0 to c.length - w).map(p => (id, p, new String(c, p, w)))
+    }
+    val counts = subs.groupBy(_._3).view.mapValues(_.size).toMap
+    corpus.map { case (id, t) =>
+      val c = cps(t)
+      val nW = math.max(0, c.length - w + 1).toLong
+      val dupPos = subs.filter(s => s._1 == id && counts(s._3) > 1).map(_._2)
+      val marked = new Array[Boolean](c.length)
+      dupPos.foreach(p => (p until p + w).foreach(marked(_) = true))
+      (id, (c.length.toLong, nW, dupPos.size.toLong,
+        marked.count(identity).toLong))
+    }.toMap
+  }
+
+  private val boiler = "SHARED BOILERPLATE LICENSE SEGMENT"
+  private val corpus: Seq[(Long, String)] = Seq(
+    (1L, s"unique alpha text one $boiler tail a"),
+    (2L, s"unique beta body two ... $boiler tail b"),
+    (3L, "abcabcabcabcabcabcabc"),            // self-overlapping repeats
+    (4L, "wholly distinct content with nothing repeated anywhere at all"),
+    (5L, "short"),                            // below the window size
+    (6L, ""),                                 // empty
+    (7L, "𝕏é𝕏é𝕏é𝕏é𝕏é𝕏é𝕏é𝕏é tail seven"),  // multibyte self-repeat
+    (8L, "𝕏é𝕏é𝕏é𝕏é𝕏é𝕏é𝕏é𝕏é tail eight"), // shares the multibyte prefix
+    (9L, "wholly distinct content with nothing repeated anywhere at all"))
+    // 9 duplicates 4 exactly: every window of both is duplicated
+
+  private def collect(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, (Long, Long, Long, Long)] =
+    df.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+  test("duplicateSpans matches the brute-force substring reference") {
+    for (w <- Seq(5, 8, 12)) {
+      val got = collect(Dedup.duplicateSpans(
+        corpus.toDF("doc_id", "text"), "text", "doc_id", window = w))
+      assert(got === ref(corpus, w), s"window=$w")
+    }
+  }
+
+  test("forced hash collisions: substring verify keeps results exact") {
+    // hashSquash=4 maps every window hash into {0,1,2,3} — nearly all
+    // candidates are collision false positives; output must not change
+    val exact = collect(Dedup.duplicateSpans(
+      corpus.toDF("doc_id", "text"), "text", "doc_id", window = 8))
+    val squashed = collect(Dedup.duplicateSpansImpl(
+      corpus.toDF("doc_id", "text"), "text", "doc_id",
+      window = 8, sampleMod = 1, hashSquash = 4L))
+    assert(squashed === exact)
+  }
+
+  test("content-keyed sampling yields lower bounds, never false positives") {
+    val exact = collect(Dedup.duplicateSpans(
+      corpus.toDF("doc_id", "text"), "text", "doc_id", window = 5))
+    for (m <- Seq(2, 8)) {
+      val sampled = collect(Dedup.duplicateSpans(
+        corpus.toDF("doc_id", "text"), "text", "doc_id",
+        window = 5, sampleMod = m))
+      sampled.foreach { case (id, (nc, nw, ndup, cov)) =>
+        val (enc, enw, edup, ecov) = exact(id)
+        assert(nc === enc && nw === enw, s"totals must not change (id=$id)")
+        assert(ndup <= edup && cov <= ecov, s"sampled exceeds exact (id=$id)")
+        if (edup === 0L) assert(ndup === 0L, s"false positive (id=$id)")
+      }
+    }
+  }
+
+  test("window_hashes kernel: positions align with SQL substring, SQL name registered") {
+    val t = "abcdefgh abcdefgh 𝕏é tail"
+    val hs = Dedup.windowHashKernel(t, 6)
+    val cps = t.codePoints.toArray
+    assert(hs.length === cps.length - 5)
+    // position p hashes exactly the UTF-8 bytes of substring(p, 6)
+    (0 until hs.length).foreach { p =>
+      val sub = new String(cps, p, 6)
+      assert(hs(p) === graft.core.Hashing.hashBytes(
+        sub.getBytes(java.nio.charset.StandardCharsets.UTF_8)), s"pos=$p")
+    }
+    // short and empty inputs
+    assert(Dedup.windowHashKernel("abc", 6).isEmpty)
+    assert(Dedup.windowHashKernel("", 6).isEmpty)
+    // SQL registration + expression agrees with the kernel
+    Seq(t).toDF("t").createOrReplaceTempView("wh_t")
+    val viaSql = spark.sql("SELECT window_hashes(t, 6) AS h FROM wh_t")
+      .head().getSeq[Long](0)
+    assert(viaSql === hs.toSeq)
+  }
+
+  test("plan shape: codegen kernel, no ScalaUDF, no cartesian") {
+    val df = Dedup.duplicateSpans(
+      corpus.toDF("doc_id", "text").repartition(3), "text", "doc_id", window = 8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
