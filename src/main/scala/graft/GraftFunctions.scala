@@ -194,6 +194,25 @@ object functions {
   def hll_intersect_estimate(a: Column, b: Column): Column =
     toCol(HllIntersectEstimate(toExpr(a), toExpr(b)))
 
+  /** KMV bottom-k distinct sketch: EXACT below k, RSE ~ 1/sqrt(k-2) above. */
+  def kmv_agg(key: Column, k: Int): Column =
+    toCol(KmvAgg(AbloomKeyHash(toExpr(key)), lit(k)).toAggregateExpression())
+  def kmv_agg(key: Column): Column = kmv_agg(key, graft.core.Kmv.DefaultK)
+
+  def kmv_union_agg(sketches: Column): Column =
+    toCol(KmvUnionAgg(toExpr(sketches)).toAggregateExpression())
+
+  def kmv_estimate(sketch: Column): Column = toCol(KmvEstimate(toExpr(sketch)))
+
+  /** Theta-style intersection (single joint threshold — unlike HLL's
+    * inclusion-exclusion, the error does not compound from three
+    * estimates; exact while both sketches are unsaturated).
+    */
+  def kmv_intersect_estimate(a: Column, b: Column): Column =
+    toCol(KmvIntersectEstimate(toExpr(a), toExpr(b)))
+
+  def kmv_describe(sketch: Column): Column = toCol(KmvDescribe(toExpr(sketch)))
+
   /** Count-min frequency sketch: estimate in [true, true + eps*N] w.p. 1-delta. */
   def cms_agg(key: Column, eps: Double, delta: Double): Column =
     toCol(CmsAgg(AbloomKeyHash(toExpr(key)), lit(eps), lit(delta))

@@ -726,6 +726,43 @@ object SparkEntry {
         .toDF("n_overlap_exact", "intersect_est_ok")
     },
 
+    // KMV (bottom-k / theta) set algebra: k is sized from the data
+    // (customer count + slack), so the custkey sketches stay UNSATURATED
+    // and every estimate — filtered distinct, theta-intersection, union
+    // rollup — is EXACT and hash-matches DuckDB's COUNT(DISTINCT)s. One
+    // saturated sketch (k=256 over ~unique orderkeys) pins the
+    // (k-1)/theta estimator against its published RSE bound. The three
+    // filtered builds + count ride ONE aggregation pass (conditional
+    // aggregates, no per-estimate rescans).
+    "kmv_set_algebra" -> { (s, dir) =>
+      val orders = table(s, dir, "orders")
+      val kExact = (table(s, dir, "customer").count() + 16).toInt
+      val one = orders.agg(
+        kmv_agg(when(col("o_totalprice") > 200000, col("o_custkey")), kExact).as("a"),
+        kmv_agg(when(col("o_totalprice") < 400000, col("o_custkey")), kExact).as("b"),
+        kmv_agg(col("o_orderkey"), 256).as("sat"),
+        count(lit(1)).as("n_orders")).head()
+      val (aB, bB, satB, nOrders) = (one.getAs[Array[Byte]](0),
+        one.getAs[Array[Byte]](1), one.getAs[Array[Byte]](2), one.getLong(3))
+      val unionB = orders.groupBy(col("o_orderpriority"))
+        .agg(kmv_agg(col("o_custkey"), kExact).as("s"))
+        .agg(graft.functions.kmv_union_agg(col("s"))).head().getAs[Array[Byte]](0)
+      import s.implicits._
+      val r = Seq((aB, bB, unionB, satB)).toDF("a", "b", "u", "sat")
+        .select(
+          kmv_estimate(col("a")).as("e1"),
+          kmv_intersect_estimate(col("a"), col("b")).as("e2"),
+          kmv_estimate(col("u")).as("e3"),
+          kmv_estimate(col("sat")).as("e4"),
+          kmv_describe(col("sat")).getField("saturated").as("f")).head()
+      // o_orderkey is unique, so exact distinct == row count; 4x the
+      // published RSE 1/sqrt(k-2) is the bound the core spec pins
+      val satOk = r.getBoolean(4) &&
+        math.abs(r.getLong(3) - nOrders) <= 4.0 / math.sqrt(254.0) * nOrders
+      Seq((r.getLong(0), r.getLong(1), r.getLong(2), satOk))
+        .toDF("n_cust_hi", "n_cust_overlap", "n_cust_union", "kmv_saturated_ok")
+    },
+
     // Corpus vocabulary head via the Misra-Gries aggregate under the
     // gate: k is sized ABOVE the corpus vocabulary, so the summary never
     // decrements and the counters are EXACT — DuckDB recomputes the full
@@ -1661,6 +1698,20 @@ object SparkEntry {
         |  WHERE o_totalprice > 200000 AND o_totalprice < 400000) AS BIGINT)
         |  AS n_overlap_exact,
         |CAST(1 AS BOOLEAN) AS intersect_est_ok""".stripMargin,
+    // the custkey estimates are EXACT (k sized above the customer count),
+    // so DuckDB's true COUNT(DISTINCT)s must hash-match them; only the
+    // deliberately saturated orderkey sketch reduces to a bound boolean
+    "kmv_set_algebra" ->
+      """SELECT
+        |  CAST((SELECT count(DISTINCT o_custkey) FROM orders
+        |        WHERE o_totalprice > 200000) AS BIGINT) AS n_cust_hi,
+        |  CAST((SELECT count(DISTINCT o_custkey) FROM orders
+        |        WHERE o_totalprice > 200000 AND o_custkey IN (
+        |          SELECT o_custkey FROM orders WHERE o_totalprice < 400000))
+        |       AS BIGINT) AS n_cust_overlap,
+        |  CAST((SELECT count(DISTINCT o_custkey) FROM orders) AS BIGINT)
+        |    AS n_cust_union,
+        |  CAST(1 AS BOOLEAN) AS kmv_saturated_ok""".stripMargin,
     "text_top_tokens" ->
       """SELECT tok AS token, count(*) AS cnt, CAST(1 AS BOOLEAN) AS exact
         |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok

@@ -32,7 +32,8 @@ import graft.expr._
 object HoistSketchKeyHash extends Rule[LogicalPlan] {
 
   private def isSketchAgg(f: Expression): Boolean = f match {
-    case _: BloomFilterAgg | _: CbfAgg | _: SbfAgg | _: HllAgg | _: CmsAgg => true
+    case _: BloomFilterAgg | _: CbfAgg | _: SbfAgg | _: HllAgg | _: CmsAgg |
+         _: KmvAgg => true
     case _ => false
   }
 

@@ -93,6 +93,18 @@ object Registry {
       HllAgg(AbloomKeyHash(args(0)), p)
     },
     "hll_union_agg" -> { args => HllUnionAgg(args.head) },
+    "kmv_agg" -> { args =>
+      val k = if (args.size > 1) args(1)
+        else org.apache.spark.sql.catalyst.expressions.Literal(graft.core.Kmv.DefaultK)
+      KmvAgg(AbloomKeyHash(args(0)), k)
+    },
+    "kmv_union_agg" -> { args => KmvUnionAgg(args.head) },
+    "kmv_estimate" -> { args => KmvEstimate(args.head) },
+    "kmv_intersect_estimate" -> { args =>
+      require(args.size == 2, "kmv_intersect_estimate(a, b)")
+      KmvIntersectEstimate(args(0), args(1))
+    },
+    "kmv_describe" -> { args => KmvDescribe(args.head) },
     "hll_estimate" -> { args => HllEstimate(args.head) },
     "hll_intersect_estimate" -> { args =>
       require(args.size == 2, "hll_intersect_estimate(a, b)")

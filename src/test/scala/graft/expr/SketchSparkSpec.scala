@@ -218,4 +218,58 @@ class SketchSparkSpec extends SparkTestBase {
         .select(hll_intersect_estimate(col("a"), col("b"))).collect()
     }
   }
+
+  test("kmv_agg distributed == driver build (byte-identical), partition-invariant") {
+    val n = 20000
+    val df = (0 until n).map(i => s"user${i % 7000}").toDF("k")
+    val bytes = df.repartition(5)
+      .agg(kmv_agg(col("k"), 256)).head.getAs[Array[Byte]](0)
+    val driver = graft.core.Kmv.empty(256)
+    (0 until n).foreach(i => driver.add(Hashing.hashString(s"user${i % 7000}")))
+    assert(java.util.Arrays.equals(bytes, driver.toBytes))
+    val other = df.repartition(13)
+      .agg(kmv_agg(col("k"), 256)).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(other, bytes))
+    // union-agg of grouped partials == whole-corpus build, byte-identical
+    val unioned = df.withColumn("g", col("k").substr(5, 1))
+      .groupBy("g").agg(kmv_agg(col("k"), 256).as("s"))
+      .agg(kmv_union_agg(col("s"))).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(unioned, bytes))
+  }
+
+  test("kmv exact below k: estimate == countDistinct; null keys skipped") {
+    val df = ((0 until 3000).map(i => s"id${i % 700}") :+ null)
+      .toDF("k").repartition(4)
+    val row = df.agg(
+      kmv_agg(col("k"), 1024).as("s"),
+      countDistinct(col("k")).as("exact")).head
+    val s = graft.core.Kmv.fromBytes(row.getAs[Array[Byte]](0))
+    assert(!s.isSaturated)
+    assert(s.estimate === row.getLong(1).toDouble)
+  }
+
+  test("kmv intersect + describe: exact unsaturated via SQL; bound when saturated") {
+    graft.sql.Registry.register(spark)
+    // unsaturated: A = 0..800, B = 500..1300 -> intersection exactly 300
+    val a = (0L until 800L).toDF("k").agg(kmv_agg(col("k"), 2048)).head.getAs[Array[Byte]](0)
+    val b = (500L until 1300L).toDF("k").agg(kmv_agg(col("k"), 2048)).head.getAs[Array[Byte]](0)
+    Seq((a, b)).toDF("a", "b").createOrReplaceTempView("kmv_ab")
+    val exact = spark.sql(
+      "SELECT kmv_intersect_estimate(a, b) AS i, kmv_describe(a).saturated AS sat FROM kmv_ab").head
+    assert(exact.getLong(0) === 300L)
+    assert(!exact.getBoolean(1))
+    // saturated: A = 0..30k, B = 15k..45k -> true intersection 15000
+    val k = 2048
+    val sa = (0L until 30000L).toDF("k").agg(kmv_agg(col("k"), k)).head.getAs[Array[Byte]](0)
+    val sb = (15000L until 45000L).toDF("k").agg(kmv_agg(col("k"), k)).head.getAs[Array[Byte]](0)
+    val est = Seq((sa, sb)).toDF("a", "b")
+      .select(kmv_intersect_estimate(col("a"), col("b"))).head.getLong(0)
+    assert(math.abs(est - 15000) <= 5.0 / math.sqrt(k - 2.0) * 15000 + 10, s"est=$est")
+    val d = Seq(sa).toDF("s").select(kmv_describe(col("s"))).head.getStruct(0)
+    assert(d.getInt(0) === k && d.getInt(1) === k && d.getBoolean(2))
+    assert(d.getDouble(3) > 0.0 && d.getDouble(3) < 1.0)
+    // estimate expression agrees with core
+    val e = Seq(sa).toDF("s").select(kmv_estimate(col("s"))).head.getLong(0)
+    assert(e === math.round(graft.core.Kmv.fromBytes(sa).estimate))
+  }
 }
