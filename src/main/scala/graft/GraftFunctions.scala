@@ -277,6 +277,9 @@ object functions {
   /** XXH64 per sliding w-code-point character window (index = position). */
   def window_hashes(text: Column, w: Int): Column =
     toCol(WindowHashes(toExpr(text), w))
+  /** Remove the code points covered by w-windows at the given positions. */
+  def mask_spans(text: Column, positions: Column, w: Int): Column =
+    toCol(MaskSpans(toExpr(text), toExpr(positions), w))
   /** Kirsch-Mitzenmacher MinHash signature from a shingle-hash set. */
   def minhash_signature(hashes: Column, k: Int): Column =
     toCol(MinhashSignature(toExpr(hashes), k))

@@ -1459,6 +1459,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // The ACTIONABLE half: remove all-but-canonical occurrences of every
+    // duplicated 40-char substring. Byte-auditable like text_redact —
+    // the oracle reconstructs the masked text character by character
+    // (sweep-line coverage, an algorithm unlike the kernel's marking)
+    // and the sha256 must match byte-for-byte.
+    "dedup_substring_mask" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val aug = docs.select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit(
+          " LICENSE: this work is provided as-is without warranty of any kind express or implied"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit(
+          " FOOTER: generated by the synthetic corpus pipeline for testing purposes"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 9 === 0, lit("xy" * 30)).otherwise(lit("")))
+        .as("text"))
+      graft.ops.Dedup.maskDuplicateSpans(aug, "text", "doc_id", window = 40)
+        .select(col("doc_id"), sha2(col("masked"), 256).as("masked_sha"),
+          col("n_chars"), col("n_masked_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     "embedding_pairs" -> { (s, dir) =>
       val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val planted = emb.filter(col("vec_id") % 10 === 0)
@@ -2269,6 +2292,59 @@ object SparkEntry {
         |  COALESCE(dup_chars, 0) * 5 > b.n_chars AS substr_reject
         |FROM base b LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // masked text rebuilt character by character: rank each duplicated
+    // substring's occurrences by (doc_id, pos); non-canonical windows
+    // become coverage events; a sweep-line running max of window ends
+    // decides each character; sha256 must match Spark's kernel output
+    "dedup_substring_mask" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' LICENSE: this work is provided as-is without warranty of any kind express or implied' ELSE '' END
+        |    || CASE WHEN doc_id % 6 = 0 THEN ' FOOTER: generated by the synthetic corpus pipeline for testing purposes' ELSE '' END
+        |    || CASE WHEN doc_id % 9 = 0 THEN repeat('xy', 30) ELSE '' END
+        |    AS text
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(range(1, length(text) - 40 + 2)) AS p
+        |  FROM aug WHERE length(text) >= 40),
+        |sub AS (
+        |  SELECT pos.doc_id, p, substr(a.text, CAST(p AS BIGINT), 40) AS s
+        |  FROM pos JOIN aug a ON pos.doc_id = a.doc_id),
+        |ranked AS (
+        |  SELECT doc_id, p,
+        |    row_number() OVER (PARTITION BY s ORDER BY doc_id, p) AS rn,
+        |    count(*) OVER (PARTITION BY s) AS c
+        |  FROM sub),
+        |noncanon AS (SELECT doc_id, p FROM ranked WHERE c > 1 AND rn > 1),
+        |chars AS (
+        |  SELECT doc_id, unnest(range(1, length(text) + 1)) AS i FROM aug),
+        |ev AS (
+        |  SELECT doc_id, i AS pos, CAST(NULL AS BIGINT) AS pend, 1 AS is_char
+        |  FROM chars
+        |  UNION ALL
+        |  SELECT doc_id, p AS pos, p + 40 AS pend, 0 AS is_char FROM noncanon),
+        |sw AS (
+        |  SELECT doc_id, pos, is_char,
+        |    max(pend) OVER (PARTITION BY doc_id ORDER BY pos, is_char
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cend
+        |  FROM ev),
+        |kept AS (
+        |  SELECT doc_id, pos FROM sw
+        |  WHERE is_char = 1 AND (cend IS NULL OR cend <= pos)),
+        |recon AS (
+        |  SELECT k.doc_id,
+        |    string_agg(substr(a.text, CAST(k.pos AS BIGINT), 1), ''
+        |               ORDER BY k.pos) AS masked
+        |  FROM kept k JOIN aug a ON k.doc_id = a.doc_id
+        |  GROUP BY k.doc_id)
+        |SELECT a.doc_id,
+        |  sha256(COALESCE(r.masked, '')) AS masked_sha,
+        |  CAST(length(a.text) AS BIGINT) AS n_chars,
+        |  CAST(length(a.text) - COALESCE(length(r.masked), 0) AS BIGINT)
+        |    AS n_masked_chars
+        |FROM aug a LEFT JOIN recon r ON a.doc_id = r.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
 
     "embedding_pairs" ->
       """WITH aug AS (

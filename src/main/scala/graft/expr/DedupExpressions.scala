@@ -34,6 +34,10 @@ object DedupKernels {
   def windowHashes(s: UTF8String, w: Int): ArrayData =
     new GenericArrayData(graft.ops.Dedup.windowHashKernel(s.toString, w))
 
+  def maskSpans(s: UTF8String, positions: ArrayData, w: Int): UTF8String =
+    UTF8String.fromString(graft.ops.Dedup.maskSpansKernel(
+      s.toString, requireNoNulls(positions, "mask_spans").toIntArray(), w))
+
   def minhashSig(hashes: ArrayData, k: Int): ArrayData =
     new GenericArrayData(graft.ops.Dedup.minhashKernel(hashes.toLongArray(), k))
 
@@ -114,6 +118,37 @@ case class WindowHashes(child: Expression, w: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): WindowHashes =
     copy(child = newChild)
   override def prettyName: String = "window_hashes"
+}
+
+/** `mask_spans(text, positions, w) -> string`: remove the code points
+  * covered by the union of `w`-code-point windows at the given 0-based
+  * positions — the span-removal half of exact duplicate-substring dedup
+  * ([[graft.ops.Dedup.maskDuplicateSpans]]).
+  */
+case class MaskSpans(left: Expression, right: Expression, w: Int)
+  extends BinaryExpression {
+  require(w >= 2 && w <= 1024, "window size must be in [2, 1024]")
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"mask_spans expects (STRING, ARRAY<INT>), got (${l.sql}, ${r.sql})")
+    }
+
+  override def nullSafeEval(text: Any, positions: Any): Any =
+    DedupKernels.maskSpans(
+      text.asInstanceOf[UTF8String], positions.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p) => s"graft.expr.DedupKernels.maskSpans($t, $p, $w)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MaskSpans =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "mask_spans"
 }
 
 /** `minhash_signature(hashes, k) -> array<long>`: Kirsch-Mitzenmacher

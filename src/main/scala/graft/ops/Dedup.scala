@@ -151,6 +151,32 @@ object Dedup {
     out
   }
 
+  /** Remove every code point covered by the union of the `w`-code-point
+    * windows starting at `positions` (0-based code-point indices, any
+    * order, duplicates allowed). Out-of-range positions throw — a mask
+    * position that cannot have come from [[windowHashKernel]] means
+    * corrupted plumbing, never data to silently tolerate.
+    */
+  def maskSpansKernel(text: String, positions: Array[Int], w: Int): String = {
+    if (positions.isEmpty) return text
+    val cps = text.codePoints.toArray
+    val n = cps.length
+    val keep = Array.fill(n)(true)
+    var pi = 0
+    while (pi < positions.length) {
+      val p = positions(pi)
+      require(p >= 0 && p + w <= n,
+        s"mask position $p out of range for $n code points (window $w)")
+      var i = p
+      while (i < p + w) { keep(i) = false; i += 1 }
+      pi += 1
+    }
+    val sb = new java.lang.StringBuilder(text.length)
+    var i = 0
+    while (i < n) { if (keep(i)) sb.appendCodePoint(cps(i)); i += 1 }
+    sb.toString
+  }
+
   /** MinHash signature from a document's shingle-hash set, using the
     * Kirsch-Mitzenmacher construction (h1 + j*h2) — O(|set| + k) hash work
     * per doc instead of O(|set| * k) independent hashes.
@@ -1240,12 +1266,45 @@ object Dedup {
       window: Int,
       sampleMod: Int,
       hashSquash: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+    val dupPos = verifiedDupPositions(base, window, sampleMod, hashSquash)
+      .select(col("__id"), col("__pos"))
+    // exact interval union of equal-length spans [pos, pos+window):
+    // each position covers min(window, nextPos - pos) new characters
+    val byDoc = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    val covered = dupPos
+      .withColumn("__next", lead(col("__pos"), 1).over(byDoc))
+      .withColumn("__cov",
+        when(col("__next").isNull, lit(window.toLong))
+          .otherwise(least(lit(window.toLong),
+            (col("__next") - col("__pos")).cast("long"))))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_dup_windows"), sum(col("__cov")).as("dup_chars"))
+    base
+      .withColumn("n_chars", length(col("__text")).cast("long"))
+      .withColumn("n_windows",
+        greatest(col("n_chars") - lit(window - 1L), lit(0L)))
+      .join(covered, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_chars"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+  }
+
+  /** Shared candidate/verify pipeline for the duplicate-substring
+    * operators: (__id, __pos, __sub) for every position whose
+    * `window`-code-point substring occurs more than once corpus-wide.
+    * Hash candidates give full recall; grouping on the actual substring
+    * removes collision false positives — exact by construction.
+    */
+  private def verifiedDupPositions(
+      base: DataFrame,
+      window: Int,
+      sampleMod: Int,
+      hashSquash: Long): DataFrame = {
     require(window >= 2 && window <= 1024,
       s"window must be in [2, 1024], got $window")
     require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
-    import org.apache.spark.sql.expressions.Window
-
-    val base = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
     val wh = base
       .select(col("__id"),
         graft.functions.window_hashes(col("__text"), window).as("__wh"))
@@ -1269,25 +1328,54 @@ object Dedup {
         expr(s"substring(__text, __pos + 1, $window)").as("__sub"))
     val dupSubs = withSub.groupBy(col("__sub"))
       .agg(count(lit(1)).as("__sc")).filter(col("__sc") > 1).select(col("__sub"))
-    val dupPos = withSub.join(dupSubs, Seq("__sub")).select(col("__id"), col("__pos"))
-    // exact interval union of equal-length spans [pos, pos+window):
-    // each position covers min(window, nextPos - pos) new characters
-    val byDoc = Window.partitionBy(col("__id")).orderBy(col("__pos"))
-    val covered = dupPos
-      .withColumn("__next", lead(col("__pos"), 1).over(byDoc))
-      .withColumn("__cov",
-        when(col("__next").isNull, lit(window.toLong))
-          .otherwise(least(lit(window.toLong),
-            (col("__next") - col("__pos")).cast("long"))))
-      .groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_dup_windows"), sum(col("__cov")).as("dup_chars"))
+    withSub.join(dupSubs, Seq("__sub"))
+  }
+
+  /** The ACTIONABLE half of [[duplicateSpans]] (Lee et al. 2021 remove
+    * all-but-one occurrence): every duplicated `window`-substring keeps
+    * its CANONICAL occurrence — the lexicographically minimal (id, pos)
+    * — and every other occurrence's span is REMOVED from its document
+    * (characters in the interval union of the non-canonical duplicated
+    * windows). Deterministic: a pure function of the corpus content and
+    * ids, independent of partitioning or order, so a re-run reproduces
+    * byte-identical masked text (sha-auditable cross-engine).
+    *
+    * Returns (id, masked, n_chars, n_masked_chars). NOT idempotent by
+    * design: masking can juxtapose previously-separated text and create
+    * new windows; re-run to a fixpoint if required.
+    *
+    * Scale shape: identical to [[duplicateSpans]] plus one k-row
+    * canonical-min aggregate over the duplicated positions and a
+    * per-document mask kernel (positions ride a sorted array column —
+    * no per-character rows ever materialize in Spark).
+    *
+    * Preconditions: unique non-null ids, non-null text.
+    */
+  def maskDuplicateSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      window: Int = 40,
+      sampleMod: Int = 1): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+    val dup = verifiedDupPositions(base, window, sampleMod, hashSquash = 0L)
+    // canonical occurrence per substring value: min (id, pos) — struct
+    // ordering is lexicographic, matching a (id, pos) ORDER BY
+    val canon = dup.groupBy(col("__sub"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__c"))
+    val nonCanon = dup.join(canon, Seq("__sub"))
+      .filter(!(col("__id") === col("__c.__id") && col("__pos") === col("__c.__pos")))
+      .select(col("__id"), col("__pos"))
+    val spans = nonCanon.groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__pos"))).as("__ps"))
     base
-      .withColumn("n_chars", length(col("__text")).cast("long"))
-      .withColumn("n_windows",
-        greatest(col("n_chars") - lit(window - 1L), lit(0L)))
-      .join(covered, Seq("__id"), "left")
-      .select(col("__id").as(idCol), col("n_chars"), col("n_windows"),
-        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
-        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+      .join(spans, Seq("__id"), "left")
+      .withColumn("masked",
+        when(col("__ps").isNull, col("__text"))
+          .otherwise(graft.functions.mask_spans(col("__text"), col("__ps"), window)))
+      .select(col("__id").as(idCol), col("masked"),
+        length(col("__text")).cast("long").as("n_chars"),
+        (length(col("__text")) - length(col("masked"))).cast("long")
+          .as("n_masked_chars"))
   }
 }

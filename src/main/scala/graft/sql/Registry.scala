@@ -168,6 +168,10 @@ object Registry {
       require(args.size == 2, "window_hashes(text, w)")
       WindowHashes(args(0), foldableInt(args(1), "w"))
     },
+    "mask_spans" -> { args =>
+      require(args.size == 3, "mask_spans(text, positions, w)")
+      MaskSpans(args(0), args(1), foldableInt(args(2), "w"))
+    },
     "minhash_signature" -> { args =>
       require(args.size == 2, "minhash_signature(hashes, k)")
       MinhashSignature(args(0), foldableInt(args(1), "k"))

@@ -106,6 +106,68 @@ class DuplicateSpansSpec extends SparkTestBase {
     assert(viaSql === hs.toSeq)
   }
 
+  /** Independent masking reference: recompute duplicated positions with
+    * the brute-force substring counts, rank occurrences by (id, pos),
+    * mark non-canonical spans, rebuild the string code point by code
+    * point.
+    */
+  private def refMask(corpus: Seq[(Long, String)], w: Int)
+      : Map[Long, (String, Long, Long)] = {
+    def cps(s: String): Array[Int] = s.codePoints.toArray
+    val subs = corpus.flatMap { case (id, t) =>
+      val c = cps(t)
+      (0 to c.length - w).map(p => (id, p, new String(c, p, w)))
+    }
+    val byValue = subs.groupBy(_._3)
+    val nonCanon = byValue.values.filter(_.size > 1).flatMap { occ =>
+      occ.sortBy(o => (o._1, o._2)).tail // all but the minimal (id, pos)
+    }.toSeq
+    val nonCanonByDoc = nonCanon.groupBy(_._1)
+    corpus.map { case (id, t) =>
+      val c = cps(t)
+      val keep = Array.fill(c.length)(true)
+      nonCanonByDoc.getOrElse(id, Seq.empty).foreach { o =>
+        (o._2 until o._2 + w).foreach(keep(_) = false)
+      }
+      val sb = new java.lang.StringBuilder
+      c.indices.foreach(i => if (keep(i)) sb.appendCodePoint(c(i)))
+      (id, (sb.toString, c.length.toLong, keep.count(k => !k).toLong))
+    }.toMap
+  }
+
+  test("maskDuplicateSpans matches the brute-force reference; canonical survives") {
+    for (w <- Seq(5, 8)) {
+      val got = Dedup.maskDuplicateSpans(
+        corpus.toDF("doc_id", "text"), "text", "doc_id", window = w)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got === refMask(corpus, w), s"window=$w")
+    }
+    // doc 4 and 9 are byte-identical: the smaller id keeps its full text,
+    // the larger id is fully masked (every window is duplicated)
+    val m = Dedup.maskDuplicateSpans(
+      corpus.toDF("doc_id", "text"), "text", "doc_id", window = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(4L) === corpus.find(_._1 == 4L).get._2)
+    assert(m(9L) === "")
+    // untouched docs come back verbatim with zero masked chars
+    assert(m(5L) === "short" && m(6L) === "")
+  }
+
+  test("mask_spans kernel: overlap union, multibyte, bounds") {
+    assert(Dedup.maskSpansKernel("abcdefgh", Array(0, 2), 3) === "fgh")
+    assert(Dedup.maskSpansKernel("abcdefgh", Array(5), 3) === "abcde")
+    assert(Dedup.maskSpansKernel("abcdefgh", Array.emptyIntArray, 3) === "abcdefgh")
+    // code-point positions: astral chars count once; cps are
+    // [𝕏, a, 𝕏, b, 𝕏, c] — masking {1,2} at w=2 removes cps 1..3
+    assert(Dedup.maskSpansKernel("𝕏a𝕏b𝕏c", Array(1, 2), 2) === "𝕏𝕏c")
+    assert(Dedup.maskSpansKernel("𝕏a𝕏b𝕏c", Array(0), 2) === "𝕏b𝕏c")
+    intercept[IllegalArgumentException](
+      Dedup.maskSpansKernel("abc", Array(2), 3))
+    intercept[IllegalArgumentException](
+      Dedup.maskSpansKernel("abc", Array(-1), 2))
+  }
+
   test("plan shape: codegen kernel, no ScalaUDF, no cartesian") {
     val df = Dedup.duplicateSpans(
       corpus.toDF("doc_id", "text").repartition(3), "text", "doc_id", window = 8)
