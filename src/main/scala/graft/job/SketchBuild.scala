@@ -127,6 +127,18 @@ object PartitionSketcher {
       Sbf.fromBytes(bytes).compact().toBytes
   }
 
+  /** Bottom-k/theta build: the state is a canonical set, so tree and
+    * flat merges are byte-equal like the cell-wise families. */
+  def kmv(k: Int = graft.core.Kmv.DefaultK): PartitionSketcher = new HashedKernel {
+    def newBuffer(): AnyRef = graft.core.Kmv.empty(k)
+    def update(b: AnyRef, row: InternalRow): Unit =
+      b.asInstanceOf[graft.core.Kmv].add(row.getLong(0))
+    def toBytes(b: AnyRef): Array[Byte] = b.asInstanceOf[graft.core.Kmv].toBytes
+    def unionAgg(c: Column): Column = graft.functions.kmv_union_agg(c)
+    def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      graft.core.Kmv.fromBytes(a).mergeIn(graft.core.Kmv.fromBytes(b)).toBytes
+  }
+
   def misraGries(k: Int): PartitionSketcher = new PartitionSketcher {
     def project(valueCol: Column): Column = valueCol.cast(StringType)
     def newBuffer(): AnyRef = MisraGries.empty(k)

@@ -63,6 +63,16 @@ class SketchBuildSpec extends SparkTestBase {
     assert(math.abs(est - n) <= 3 * err * n, s"estimate $est vs $n")
   }
 
+  test("kmv: resume byte-stable; saturated estimate within 4 RSE") {
+    val sk = PartitionSketcher.kmv(256)
+    resumeIsByteStable(sk, "id")
+    val kmv = graft.core.Kmv.fromBytes(
+      SketchBuild.resume(longs, col("id"), sk, tmp()))
+    assert(kmv.isSaturated)
+    assert(math.abs(kmv.estimate - n) <= 4.0 / math.sqrt(254.0) * n,
+      s"estimate ${kmv.estimate} vs $n")
+  }
+
   test("cms: resume byte-stable and point queries within eps*N over-count") {
     val sk = PartitionSketcher.cms(0.01, 0.01)
     resumeIsByteStable(sk, "id")
@@ -141,7 +151,8 @@ class SketchBuildSpec extends SparkTestBase {
       PartitionSketcher.hll(),
       PartitionSketcher.cms(0.01, 0.01),
       PartitionSketcher.cbf(n, 0.01),
-      PartitionSketcher.sbf(1024, 0.001)).foreach { sk =>
+      PartitionSketcher.sbf(1024, 0.001),
+      PartitionSketcher.kmv(256)).foreach { sk =>
       val dir = checkpoint(sk)
       val flat = SketchBuild.merge(spark, sk, dir)
       val tree = SketchBuild.merge(spark, sk, dir, groups = 3)
