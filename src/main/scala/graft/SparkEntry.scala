@@ -736,7 +736,12 @@ object SparkEntry {
     // aggregates, no per-estimate rescans).
     "kmv_set_algebra" -> { (s, dir) =>
       val orders = table(s, dir, "orders")
-      val kExact = (table(s, dir, "customer").count() + 16).toInt
+      // sized from the data, capped at the sketch's MaxK: below the cap
+      // the custkey sketches are provably unsaturated (exact regime);
+      // the cap can only engage at sf >= ~7, far above the provided
+      // testdata, and min-before-toInt prevents any overflow wrap
+      val kExact = math.min(
+        table(s, dir, "customer").count() + 16, graft.core.Kmv.MaxK.toLong).toInt
       val one = orders.agg(
         kmv_agg(when(col("o_totalprice") > 200000, col("o_custkey")), kExact).as("a"),
         kmv_agg(when(col("o_totalprice") < 400000, col("o_custkey")), kExact).as("b"),
@@ -2010,9 +2015,15 @@ object SparkEntry {
         |    CAST(sum(length(w)) AS BIGINT) AS sum_word_chars,
         |    CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]')
         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words,
-        |    CAST(count(DISTINCT CASE WHEN lower(w) IN
-        |      ('the','be','to','of','and','that','have','with')
-        |      THEN lower(w) END) AS BIGINT) AS n_stopwords_present
+        |    -- ASCII-only fold via translate, matching the kernel exactly:
+        |    -- DuckDB lower() maps some non-ASCII chars INTO ASCII
+        |    -- (U+0130 -> i, U+212A -> k), which the kernel never does
+        |    CAST(count(DISTINCT CASE WHEN translate(w,
+        |        'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')
+        |        IN ('the','be','to','of','and','that','have','with')
+        |      THEN translate(w,
+        |        'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')
+        |      END) AS BIGINT) AS n_stopwords_present
         |  FROM wu GROUP BY doc_id),
         |sym AS (
         |  SELECT doc_id,
@@ -2043,8 +2054,22 @@ object SparkEntry {
         |      AS n_dup_lines,
         |    CAST(sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END)
         |      AS BIGINT) AS dup_line_chars
-        |  FROM lc GROUP BY doc_id)
-        |SELECT w.doc_id, n_words, sum_word_chars, n_alpha_words,
+        |  FROM lc GROUP BY doc_id),
+        |-- LEFT JOIN from the doc list: a whitespace-only document has no
+        |-- word rows, but the kernel still emits its (all-zero) signals
+        |sig AS (
+        |  SELECT a.doc_id,
+        |    COALESCE(n_words, 0) AS n_words,
+        |    COALESCE(sum_word_chars, 0) AS sum_word_chars,
+        |    COALESCE(n_alpha_words, 0) AS n_alpha_words,
+        |    COALESCE(n_stopwords_present, 0) AS n_stopwords_present,
+        |    n_hash, n_ellipsis, n_lines, n_bullet_lines,
+        |    n_ellipsis_lines, n_dup_lines, dup_line_chars, sum_line_chars
+        |  FROM aug a
+        |  LEFT JOIN wstats USING (doc_id)
+        |  JOIN sym USING (doc_id) JOIN lstats USING (doc_id)
+        |  JOIN dstats USING (doc_id))
+        |SELECT doc_id, n_words, sum_word_chars, n_alpha_words,
         |  n_stopwords_present, n_hash, n_ellipsis, n_lines, n_bullet_lines,
         |  n_ellipsis_lines, n_dup_lines, dup_line_chars, sum_line_chars,
         |  (n_words < 50 OR n_words > 100000) AS r_word_count,
@@ -2066,9 +2091,7 @@ object SparkEntry {
         |   OR (n_stopwords_present < 2)
         |   OR (n_dup_lines * 10 > n_lines * 3)
         |   OR (dup_line_chars * 5 > sum_line_chars)) AS gopher_reject
-        |FROM wstats w
-        |JOIN sym USING (doc_id) JOIN lstats USING (doc_id)
-        |JOIN dstats USING (doc_id)
+        |FROM sig
         |ORDER BY doc_id""".stripMargin,
 
     // same pattern strings, same sequential order, same global

@@ -123,9 +123,11 @@ object TextKernels {
     *    not UTF-16 units);
     *  - "alphabetic" is pinned to ASCII `[A-Za-z]`;
     *  - stop-word match: ASCII-only lowercase equality against
-    *    [[GopherStopwords]] — a word containing any non-ASCII char can
-    *    never equal an all-ASCII stop word under either engine's
-    *    lowering, so ASCII folding is exact cross-engine;
+    *    [[GopherStopwords]]. NOTE: an oracle must fold with an explicit
+    *    A-Z -> a-z translate, NOT a Unicode lower() — DuckDB's lower()
+    *    maps some non-ASCII chars INTO ASCII ('İ' U+0130 -> 'i',
+    *    'K' U+212A -> 'k'), so lower('WİTH') = 'with' would count a
+    *    stop word this kernel correctly does not;
     *  - symbols: `#` occurrences plus non-overlapping left-greedy `...`
     *    matches plus `…` occurrences (replace()-compatible
     *    counting);

@@ -1305,6 +1305,7 @@ object Dedup {
     require(window >= 2 && window <= 1024,
       s"window must be in [2, 1024], got $window")
     require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    import org.apache.spark.sql.expressions.Window
     val wh = base
       .select(col("__id"),
         graft.functions.window_hashes(col("__text"), window).as("__wh"))
@@ -1316,19 +1317,25 @@ object Dedup {
       if (hashSquash > 0)
         sampled.withColumn("__h", pmod(col("__h"), lit(hashSquash)))
       else sampled
-    // corpus-wide hash counts; candidates = positions in groups seen twice
-    val dupHashes = keyed.groupBy(col("__h"))
-      .agg(count(lit(1)).as("__hc")).filter(col("__hc") > 1).select(col("__h"))
-    val cand = keyed.join(dupHashes, Seq("__h")).select(col("__id"), col("__pos"))
+    // corpus-wide hash counts via a whole-partition window, NOT a
+    // groupBy + self-join: the O(corpus code points) hash table is
+    // scanned and shuffled ONCE (a groupBy side would re-execute the
+    // whole window-hash scan — partial aggregation below its exchange
+    // makes the two exchanges non-reusable)
+    val cand = keyed
+      .withColumn("__hc", count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .filter(col("__hc") > 1)
+      .select(col("__id"), col("__pos"))
     // verify: slice the actual substring for candidate positions only and
-    // re-count on the string itself (kills collision false positives)
-    val withSub = cand
+    // re-count on the string itself (kills collision false positives) —
+    // same single-pass window trick on the candidate-sized table
+    cand
       .join(base, Seq("__id"))
       .select(col("__id"), col("__pos"),
         expr(s"substring(__text, __pos + 1, $window)").as("__sub"))
-    val dupSubs = withSub.groupBy(col("__sub"))
-      .agg(count(lit(1)).as("__sc")).filter(col("__sc") > 1).select(col("__sub"))
-    withSub.join(dupSubs, Seq("__sub"))
+      .withColumn("__sc", count(lit(1)).over(Window.partitionBy(col("__sub"))))
+      .filter(col("__sc") > 1)
+      .select(col("__sub"), col("__id"), col("__pos"))
   }
 
   /** The ACTIONABLE half of [[duplicateSpans]] (Lee et al. 2021 remove
@@ -1357,13 +1364,16 @@ object Dedup {
       idCol: String,
       window: Int = 40,
       sampleMod: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
     val dup = verifiedDupPositions(base, window, sampleMod, hashSquash = 0L)
     // canonical occurrence per substring value: min (id, pos) — struct
-    // ordering is lexicographic, matching a (id, pos) ORDER BY
-    val canon = dup.groupBy(col("__sub"))
-      .agg(min(struct(col("__id"), col("__pos"))).as("__c"))
-    val nonCanon = dup.join(canon, Seq("__sub"))
+    // ordering is lexicographic, matching a (id, pos) ORDER BY. A
+    // whole-partition window min, not a groupBy + re-join, so the dup
+    // pipeline executes once
+    val nonCanon = dup
+      .withColumn("__c", min(struct(col("__id"), col("__pos")))
+        .over(Window.partitionBy(col("__sub"))))
       .filter(!(col("__id") === col("__c.__id") && col("__pos") === col("__c.__pos")))
       .select(col("__id"), col("__pos"))
     val spans = nonCanon.groupBy(col("__id"))

@@ -205,6 +205,9 @@ class TextExpressionsSpec extends SparkTestBase {
       "",                                   // empty: 1 line, 0 words
       "ends with newline\n",                // trailing empty line segment
       "THE With HAVE of",                   // case-folded stopwords
+      "the WİTH and",                       // U+0130: NOT a stop word under
+                                            // ASCII folding (DuckDB lower()
+                                            // would wrongly map it to 'with')
       "café • naïve…\n𝕏 astral 𝕏 astral")  // multibyte + astral chars
     val got = cases.toDF("t").repartition(2)
       .select(col("t"), TextAnalysis.gopher_signals(col("t")).as("g"))
