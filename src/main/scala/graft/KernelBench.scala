@@ -85,7 +85,10 @@ object KernelBench {
         s"add_${tag}_mkeys_s" -> m / addSec,
         s"add_batched_${tag}_mkeys_s" -> m / addBatchSec,
         s"lookup_${tag}_mkeys_s" -> m / lookupSec)
-    } ++ Seq("mg_add_2m_mkeys_s" -> mgAddThroughput(reps))
+    } ++ Seq(
+      "mg_add_2m_mkeys_s" -> mgAddThroughput(reps),
+      "kmv_add_10m_mkeys_s" -> kmvAddThroughput(reps),
+      "window_hash_2m_mchars_s" -> windowHashThroughput(reps))
 
   /** Misra–Gries update throughput (M keys/s): 2M UTF8String keys over a
     * 10k-key zipf-ish stream into a k=256 summary — the UTF8String-native
@@ -109,6 +112,44 @@ object KernelBench {
       val mg = graft.core.MisraGries.empty(256)
       var j = 0
       while (j < n) { mg.add(keys(j)); j += 1 }
+    }
+    n / 1e6 / sec
+  }
+
+  /** KMV update throughput (M keys/s): 10M hashed longs into a k=4096
+    * sketch. Once saturated, almost every add is a single unsigned
+    * compare against the retained maximum — the O(1) reject path that
+    * makes bottom-k cheap at 10^12 keys.
+    */
+  private[graft] def kmvAddThroughput(reps: Int): Double = {
+    val n = 10000000
+    val hs = hashesFor(n)
+    val sec = bestOf(reps) {
+      val s = graft.core.Kmv.empty(4096)
+      var j = 0
+      while (j < n) { s.add(hs(j)); j += 1 }
+      require(s.isSaturated, "sketch must saturate in the bench stream")
+    }
+    n / 1e6 / sec
+  }
+
+  /** window_hashes kernel throughput (M chars/s) over 2M chars of
+    * synthetic ASCII text at the default 40-char window — the dominant
+    * scan term of exact duplicate-substring dedup.
+    */
+  private[graft] def windowHashThroughput(reps: Int): Double = {
+    val n = 2000000
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val u = Hashing.mix64(i.toLong) >>> 1
+      sb.append(if (u % 7 == 0) ' ' else ('a' + (u % 26)).toChar)
+      i += 1
+    }
+    val text = sb.toString
+    val sec = bestOf(reps) {
+      val out = graft.ops.Dedup.windowHashKernel(text, 40)
+      require(out.length == n - 39, "unexpected window count")
     }
     n / 1e6 / sec
   }
