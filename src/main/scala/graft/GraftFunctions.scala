@@ -225,6 +225,11 @@ object functions {
   def cms_query(sketch: Column, key: Column): Column =
     toCol(CmsQuery(toExpr(sketch), AbloomKeyHash(toExpr(key))))
 
+  /** Equi-join cardinality estimate from two same-dimension CMS: never
+    * under, over by <= eps*totalA*totalB w.p. 1-delta. */
+  def cms_inner_product(a: Column, b: Column): Column =
+    toCol(CmsInnerProduct(toExpr(a), toExpr(b)))
+
   /** Merging t-digest quantile sketch (compression delta, default 100). */
   def tdigest_agg(value: Column, compression: Double): Column =
     toCol(TDigestAgg(castDouble(value), lit(compression)).toAggregateExpression())

@@ -768,6 +768,34 @@ object SparkEntry {
         .toDF("n_cust_hi", "n_cust_overlap", "n_cust_union", "kmv_saturated_ok")
     },
 
+    // CMS INNER PRODUCT = equi-join cardinality estimate (Cormode &
+    // Muthukrishnan 2005 §4.2): |clicks JOIN purchases ON user_id| from
+    // two count-min sketches built in ONE conditional-aggregation pass.
+    // The estimator NEVER underestimates and is over by at most
+    // eps*Na*Nb w.p. 1-delta; DuckDB computes the exact join count
+    // (hash-compared) and the bound rides as a boolean.
+    "cms_join_size" -> { (s, dir) =>
+      val events = table(s, dir, "events")
+      val eps = 1e-4
+      val one = events.agg(
+        cms_agg(when(col("event_type") === "click", col("user_id")), eps, 0.001).as("a"),
+        cms_agg(when(col("event_type") === "purchase", col("user_id")), eps, 0.001).as("b"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("na"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("nb")).head()
+      val (aB, bB, na, nb) = (one.getAs[Array[Byte]](0), one.getAs[Array[Byte]](1),
+        one.getLong(2), one.getLong(3))
+      val exact = events.filter(col("event_type") === "click").select(col("user_id"))
+        .join(events.filter(col("event_type") === "purchase").select(col("user_id")),
+          Seq("user_id"))
+        .count()
+      import s.implicits._
+      val est = Seq((aB, bB)).toDF("a", "b")
+        .select(cms_inner_product(col("a"), col("b"))).head().getLong(0)
+      val slack = math.ceil(math.E / math.ceil(math.E / eps) * na.toDouble * nb.toDouble).toLong
+      Seq((exact, est >= exact && est <= exact + slack))
+        .toDF("n_join_exact", "inner_product_ok")
+    },
+
     // Corpus vocabulary head via the Misra-Gries aggregate under the
     // gate: k is sized ABOVE the corpus vocabulary, so the summary never
     // decrements and the counters are EXACT — DuckDB recomputes the full
@@ -1740,6 +1768,12 @@ object SparkEntry {
         |  CAST((SELECT count(DISTINCT o_custkey) FROM orders) AS BIGINT)
         |    AS n_cust_union,
         |  CAST(1 AS BOOLEAN) AS kmv_saturated_ok""".stripMargin,
+    "cms_join_size" ->
+      """SELECT CAST((SELECT count(*)
+        |  FROM (SELECT user_id FROM events WHERE event_type = 'click') c
+        |  JOIN (SELECT user_id FROM events WHERE event_type = 'purchase') p
+        |  USING (user_id)) AS BIGINT) AS n_join_exact,
+        |CAST(1 AS BOOLEAN) AS inner_product_ok""".stripMargin,
     "text_top_tokens" ->
       """SELECT tok AS token, count(*) AS cnt, CAST(1 AS BOOLEAN) AS exact
         |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok

@@ -59,6 +59,41 @@ final class CountMin private[core] (
     this
   }
 
+  /** AMS/CMS inner-product estimate of sum_k fA(k)*fB(k) — the join
+    * cardinality of two key streams on their shared key (Cormode &
+    * Muthukrishnan 2005, §4.2): min over rows of the row-wise dot
+    * product. NEVER underestimates the true inner product (collisions
+    * only add non-negative cross terms) and overestimates by at most
+    * eps * totalA * totalB with probability 1 - delta. The row hash
+    * derivation is a pure function of (key hash, row), so any two
+    * sketches with equal dimensions are compatible. Saturates at
+    * Long.MaxValue instead of overflowing (10^12-row streams can
+    * legitimately exceed 2^63 in a product).
+    */
+  def innerProduct(other: CountMin): Long = {
+    require(depth == other.depth && width == other.width,
+      "Cannot inner-product count-min sketches with different dimensions")
+    var min = Long.MaxValue
+    var i = 0
+    while (i < depth) {
+      var sum = 0L
+      var j = 0
+      while (j < width && sum != Long.MaxValue) {
+        val a = counters(i * width + j)
+        val b = other.counters(i * width + j)
+        if (a != 0L && b != 0L) {
+          // saturating multiply + add (counts are always non-negative)
+          val p = if (a > Long.MaxValue / b) Long.MaxValue else a * b
+          sum = if (sum > Long.MaxValue - p) Long.MaxValue else sum + p
+        }
+        j += 1
+      }
+      if (sum < min) min = sum
+      i += 1
+    }
+    min
+  }
+
   /** Overestimate bound additive term: eps * N with eps = e / width. */
   def errorBound: Long = math.ceil(math.E / width * totalCount).toLong
 

@@ -248,6 +248,32 @@ case class CmsQuery(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = l, right = r)
 }
 
+/** `cms_inner_product(a, b) -> bigint` — AMS/CMS estimate of the inner
+  * product sum_k fA(k)*fB(k) = the equi-join cardinality of the two key
+  * streams. Never underestimates; over by <= eps*totalA*totalB w.p.
+  * 1-delta (see [[graft.core.CountMin.innerProduct]]).
+  */
+case class CmsInnerProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cms_inner_product expects two binary sketches, got (${l.sql}, ${r.sql})")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchRuntime.parseCms(a.asInstanceOf[Array[Byte]])
+      .innerProduct(SketchRuntime.parseCms(b.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expr.SketchRuntime$$.MODULE$$.parseCms($a).innerProduct(" +
+        s"graft.expr.SketchRuntime$$.MODULE$$.parseCms($b))")
+  override def prettyName: String = "cms_inner_product"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsInnerProduct =
+    copy(left = l, right = r)
+}
+
 // -------------------------------------------------------------- t-digest
 
 /** `tdigest_agg(value_double, compression) -> binary`. */

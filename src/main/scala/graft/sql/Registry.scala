@@ -119,6 +119,10 @@ object Registry {
       require(args.size == 2, "cms_query(sketch, key)")
       CmsQuery(args(0), AbloomKeyHash(args(1)))
     },
+    "cms_inner_product" -> { args =>
+      require(args.size == 2, "cms_inner_product(a, b)")
+      CmsInnerProduct(args(0), args(1))
+    },
     "tdigest_agg" -> { args =>
       val c = if (args.size > 1) args(1)
         else org.apache.spark.sql.catalyst.expressions.Literal(graft.core.TDigest.DefaultCompression)

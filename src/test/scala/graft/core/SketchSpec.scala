@@ -186,6 +186,45 @@ class SketchSpec extends AnyFunSuite {
     assert(u.total === 1500)
   }
 
+  test("CMS inner product: never under, within eps*Na*Nb over, saturating") {
+    // known multisets: A = {k0:3, k1:2, k2:1}, B = {k0:4, k2:5, k3:7}
+    // true inner product = 3*4 + 1*5 = 17
+    val a = CountMin.forError(1e-4, 0.001)
+    val b = CountMin.forError(1e-4, 0.001)
+    a.addHash(Hashing.hashLong(0L), 3); a.addHash(Hashing.hashLong(1L), 2)
+    a.addHash(Hashing.hashLong(2L), 1)
+    b.addHash(Hashing.hashLong(0L), 4); b.addHash(Hashing.hashLong(2L), 5)
+    b.addHash(Hashing.hashLong(3L), 7)
+    val est = a.innerProduct(b)
+    assert(est >= 17L && est <= 17L + 1L, s"est=$est")
+    assert(b.innerProduct(a) === est) // symmetric
+    // random streams: bound holds at every checkpoint
+    val r = rng(5)
+    val x = CountMin.forError(0.001, 0.01)
+    val y = CountMin.forError(0.001, 0.01)
+    val fx = new scala.collection.mutable.HashMap[Long, Long]()
+    val fy = new scala.collection.mutable.HashMap[Long, Long]()
+    (0 until 20000).foreach { _ =>
+      val k = r.nextInt(500).toLong
+      x.addHash(Hashing.hashLong(k)); fx.update(k, fx.getOrElse(k, 0L) + 1)
+      val k2 = r.nextInt(800).toLong
+      y.addHash(Hashing.hashLong(k2)); fy.update(k2, fy.getOrElse(k2, 0L) + 1)
+    }
+    val trueIp = fx.map { case (k, c) => c * fy.getOrElse(k, 0L) }.sum
+    val ip = x.innerProduct(y)
+    val slack = math.ceil(math.E / x.width * x.total * y.total).toLong
+    assert(ip >= trueIp && ip <= trueIp + slack, s"ip=$ip true=$trueIp")
+    // dimension mismatch rejected
+    intercept[IllegalArgumentException](
+      a.innerProduct(CountMin.forError(0.01, 0.01)))
+    // saturation instead of overflow
+    val big1 = CountMin.forError(0.01, 0.5)
+    val big2 = CountMin.forError(0.01, 0.5)
+    big1.addHash(Hashing.hashLong(9L), Long.MaxValue / 2)
+    big2.addHash(Hashing.hashLong(9L), 8)
+    assert(big1.innerProduct(big2) === Long.MaxValue)
+  }
+
   test("CMS round-trip and codec validation") {
     val cms = CountMin.forError(0.01, 0.05)
     (0 until 1000).foreach(i => cms.addHash(Hashing.hashLong(i % 37)))

@@ -219,6 +219,28 @@ class SketchSparkSpec extends SparkTestBase {
     }
   }
 
+  test("cms_inner_product estimates the equi-join cardinality") {
+    graft.sql.Registry.register(spark)
+    // two key streams with known join size: sum over users of ca*cb
+    val a = (0 until 6000).map(i => (i % 300).toLong)   // 20 each
+    val b = (0 until 2000).map(i => (i % 500).toLong)   // 4 each
+    val exact = {
+      val ca = a.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cb = b.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      ca.map { case (k, c) => c * cb.getOrElse(k, 0L) }.sum
+    }
+    val sa = a.toDF("k").agg(cms_agg(col("k"), 1e-4, 0.001)).head.getAs[Array[Byte]](0)
+    val sb = b.toDF("k").agg(cms_agg(col("k"), 1e-4, 0.001)).head.getAs[Array[Byte]](0)
+    val est = Seq((sa, sb)).toDF("a", "b")
+      .select(cms_inner_product(col("a"), col("b"))).head.getLong(0)
+    val slack = math.ceil(math.E / math.ceil(math.E / 1e-4) * 6000.0 * 2000.0).toLong
+    assert(est >= exact && est <= exact + slack, s"est=$est exact=$exact")
+    // SQL surface
+    Seq((sa, sb)).toDF("a", "b").createOrReplaceTempView("cms_ab")
+    assert(spark.sql("SELECT cms_inner_product(a, b) FROM cms_ab")
+      .head.getLong(0) === est)
+  }
+
   test("kmv_agg distributed == driver build (byte-identical), partition-invariant") {
     val n = 20000
     val df = (0 until n).map(i => s"user${i % 7000}").toDF("k")
