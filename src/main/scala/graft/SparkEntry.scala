@@ -796,6 +796,25 @@ object SparkEntry {
         .toDF("n_join_exact", "inner_product_ok")
     },
 
+    // ONE-PASS TABLE PROFILE: null counts, exact-regime KMV distinct
+    // counts, native-typed min/max, Misra-Gries top value — all columns
+    // in a single conditional-aggregation scan. distinctK is sized from
+    // the data (unsaturated => exact, hash-matches DuckDB); the top
+    // value is emitted only for the low-cardinality column where the MG
+    // interval is provably exact (distinct << heavyK).
+    "table_profile" -> { (s, dir) =>
+      val events = table(s, dir, "events")
+      val kExact = math.min(events.count() + 16, graft.core.Kmv.MaxK.toLong).toInt
+      graft.ops.Profile.profile(events, Seq("event_type", "user_id"),
+          distinctK = kExact, heavyK = 64)
+        .select(col("column").as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("distinct_is_exact"),
+          col("min_value"), col("max_value"),
+          when(col("column") === "event_type", col("top_value")).as("top_value"),
+          when(col("column") === "event_type", col("top_count_lb")).as("top_count"))
+        .orderBy(col("col_name"))
+    },
+
     // Corpus vocabulary head via the Misra-Gries aggregate under the
     // gate: k is sized ABOVE the corpus vocabulary, so the summary never
     // decrements and the counters are EXACT — DuckDB recomputes the full
@@ -1774,6 +1793,32 @@ object SparkEntry {
         |  JOIN (SELECT user_id FROM events WHERE event_type = 'purchase') p
         |  USING (user_id)) AS BIGINT) AS n_join_exact,
         |CAST(1 AS BOOLEAN) AS inner_product_ok""".stripMargin,
+    "table_profile" ->
+      """SELECT 'event_type' AS col_name,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nulls,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct,
+        |  CAST(1 AS BOOLEAN) AS distinct_is_exact,
+        |  CAST(min(event_type) AS VARCHAR) AS min_value,
+        |  CAST(max(event_type) AS VARCHAR) AS max_value,
+        |  (SELECT event_type FROM events GROUP BY 1
+        |   ORDER BY count(*) DESC, event_type LIMIT 1) AS top_value,
+        |  CAST((SELECT count(*) FROM events GROUP BY event_type
+        |        ORDER BY count(*) DESC, event_type LIMIT 1) AS BIGINT)
+        |    AS top_count
+        |FROM events
+        |UNION ALL
+        |SELECT 'user_id',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT user_id) AS BIGINT),
+        |  CAST(1 AS BOOLEAN),
+        |  CAST(min(user_id) AS VARCHAR),
+        |  CAST(max(user_id) AS VARCHAR),
+        |  NULL, CAST(NULL AS BIGINT)
+        |FROM events
+        |ORDER BY col_name""".stripMargin,
     "text_top_tokens" ->
       """SELECT tok AS token, count(*) AS cnt, CAST(1 AS BOOLEAN) AS exact
         |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
