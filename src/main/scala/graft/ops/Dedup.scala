@@ -1388,4 +1388,47 @@ object Dedup {
         (length(col("__text")) - length(col("masked"))).cast("long")
           .as("n_masked_chars"))
   }
+
+  /** [[maskDuplicateSpans]] to a FIXPOINT: masking can juxtapose
+    * previously-separated text into brand-new duplicated windows, so one
+    * pass is not always enough. Iterates (each round localCheckpoints —
+    * truncated lineage, one job per round like clusterRepresentatives)
+    * until a round masks nothing; throws loudly past `maxRounds` rather
+    * than returning a silently-unfinished corpus. Deterministic: every
+    * round is a pure function of the previous round's content.
+    *
+    * Returns (id, masked, n_chars, n_masked_chars, where the counts are
+    * CUMULATIVE vs the original text).
+    */
+  def maskDuplicateSpansFixpoint(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      window: Int = 40,
+      sampleMod: Int = 1,
+      maxRounds: Int = 8): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val orig = df
+      .select(col(idCol), length(col(textCol)).cast("long").as("n_chars"))
+    var cur = df.select(col(idCol), col(textCol))
+    var rounds = 0
+    var done = false
+    while (!done) {
+      val masked = maskDuplicateSpans(cur, textCol, idCol, window, sampleMod)
+        .select(col(idCol), col("masked").as(textCol), col("n_masked_chars"))
+        .localCheckpoint()
+      val changed = masked.agg(max(col("n_masked_chars"))).head().getLong(0)
+      cur = masked.drop("n_masked_chars")
+      if (changed == 0L) done = true
+      else {
+        rounds += 1
+        if (rounds >= maxRounds && !done)
+          throw new IllegalStateException(
+            s"maskDuplicateSpansFixpoint did not converge in $maxRounds rounds")
+      }
+    }
+    cur.join(orig, Seq(idCol))
+      .select(col(idCol), col(textCol).as("masked"), col("n_chars"),
+        (col("n_chars") - length(col(textCol)).cast("long")).as("n_masked_chars"))
+  }
 }

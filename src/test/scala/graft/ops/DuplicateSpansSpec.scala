@@ -168,6 +168,34 @@ class DuplicateSpansSpec extends SparkTestBase {
       Dedup.maskSpansKernel("abc", Array(-1), 2))
   }
 
+  test("fixpoint masking: juxtaposition-created duplicates need a second round") {
+    // w=3. Round 1: doc2's "abc" (canonical in doc1) is masked, leaving
+    // "pqrs" — whose windows pqr/qrs did NOT exist in the original doc2.
+    // Round 2: doc3 shares pqr/qrs with the NEW doc2 (doc2 canonical) and
+    // masks [1,5) -> "00x". Round 3 masks nothing.
+    val corpus2 = Seq(
+      (1L, "abcxyz0"),
+      (2L, "pqabcrs"),
+      (3L, "0pqrs0x")).toDF("doc_id", "text")
+    val got = Dedup.maskDuplicateSpansFixpoint(
+      corpus2, "text", "doc_id", window = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(got(1L) === ("abcxyz0", 0L), "canonical doc untouched")
+    assert(got(2L) === ("pqrs", 3L))
+    assert(got(3L) === ("00x", 4L), "second-round juxtaposition dup masked")
+    // the output is a true fixpoint: re-masking changes nothing
+    val again = Dedup.maskDuplicateSpans(
+      Seq((1L, got(1L)._1), (2L, got(2L)._1), (3L, got(3L)._1))
+        .toDF("doc_id", "text"), "text", "doc_id", window = 3)
+      .agg(sum(col("n_masked_chars"))).head().getLong(0)
+    assert(again === 0L)
+    // non-convergence is loud, not silent
+    intercept[IllegalStateException] {
+      Dedup.maskDuplicateSpansFixpoint(corpus2, "text", "doc_id",
+        window = 3, maxRounds = 1)
+    }
+  }
+
   test("plan shape: codegen kernel, no ScalaUDF, no cartesian") {
     val df = Dedup.duplicateSpans(
       corpus.toDF("doc_id", "text").repartition(3), "text", "doc_id", window = 8)
