@@ -568,6 +568,36 @@ object SparkEntry {
         .orderBy(col("day"))
     },
 
+    // Streaming windowed KMV under the gate — the EXACT streaming
+    // distinct: k is sized above the max per-day distinct count, so
+    // every per-day n_distinct is exact and HASH-MATCHES DuckDB's
+    // COUNT(DISTINCT) (windowedDistinct's HLL bound boolean, upgraded
+    // to value equality).
+    "streaming_windowed_kmv" -> { (s, dir) =>
+      val events = table(s, dir, "events")
+      val maxDay = events.groupBy(window(col("ts"), "1 day"))
+        .agg(countDistinct(col("user_id")).as("d"))
+        .agg(max(col("d"))).head().getLong(0)
+      val k = math.max(graft.core.Kmv.MinK.toLong,
+        math.min(maxDay + 16, graft.core.Kmv.MaxK.toLong)).toInt
+      val tmp = java.nio.file.Files.createTempDirectory("graft-swk").toString
+      events.write.parquet(s"$tmp/in")
+      val stream = s.readStream.schema(events.schema).parquet(s"$tmp/in")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val agg = graft.streaming.StreamingSketches.windowedDistinctKmv(
+        stream, "ts", "user_id", "1 day", "1 hour", k)
+      val qname = "swk_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname).select(
+        col("window_start").cast("date").as("day"),
+        col("n_distinct"), col("is_exact"))
+        .orderBy(col("day"))
+    },
+
     // Streaming windowed QUANTILES under the gate: events replayed as a
     // file stream -> per-day t-digest (AvailableNow) -> the estimated
     // median's EXACT rank among that day's values must sit within the
@@ -1735,6 +1765,13 @@ object SparkEntry {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
         |count(DISTINCT user_id) AS exact_distinct,
         |CAST(1 AS BOOLEAN) AS within_bound
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    // k sized above every day's distinct count => the streamed KMV
+    // counts are exact VALUES, not a bound boolean
+    "streaming_windowed_kmv" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+        |CAST(1 AS BOOLEAN) AS is_exact
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "source_files_build" ->
       """SELECT count(*) AS rows_built,

@@ -59,6 +59,33 @@ object StreamingSketches {
         col("window.end").as("window_end"),
         col("approx_distinct"))
 
+  /** Windowed distinct counts via KMV bottom-k: EXACT whenever a
+    * window's distinct keys stay under k (`is_exact` says so per
+    * window), bounded estimate above — per-window state is at most
+    * `9 + 8k` bytes. The serialized sketch column rolls up in batch
+    * (`kmv_union_agg`) into day/week counts AND supports cross-window
+    * overlap questions via `kmv_intersect_estimate` — neither of which
+    * an exact count column can do.
+    */
+  def windowedDistinctKmv(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      k: Int = graft.core.Kmv.DefaultK): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(kmv_agg(col(keyCol), k).as("sketch"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        kmv_estimate(col("sketch")).as("n_distinct"),
+        (!graft.functions.kmv_describe(col("sketch")).getField("saturated"))
+          .as("is_exact"),
+        col("sketch"))
+
   /** Windowed quantiles via t-digest: per window, the serialized digest
     * plus the requested quantile estimates. State per window is ONE
     * digest (O(compression) centroids) — latency-percentile monitoring

@@ -67,6 +67,37 @@ class StreamingSpec extends SparkTestBase {
     assert(!spark.table(name).columns.contains("__graft_digest"))
   }
 
+  test("windowed KMV distinct: exact below k, sketches roll up and intersect") {
+    val input = MemoryStream[(Timestamp, String)]
+    val q = StreamingSketches.windowedDistinctKmv(
+      input.toDF().toDF("ts", "key"), "ts", "key", "10 minutes", "0 seconds",
+      k = 1024)
+      .writeStream.format("memory").queryName("wk").outputMode("append").start()
+
+    // window 1: 700 distinct (fed twice); window 2: 300 distinct, 200
+    // of them shared with window 1
+    input.addData((0 until 2000).map(i => (ts(i % 10), s"u${i % 700}")): _*)
+    input.addData((0 until 300).map(i => (ts(10 + i % 10), s"u${i + 500}")): _*)
+    q.processAllAvailable()
+    input.addData((ts(59), "latewm"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wk")
+      .filter(col("window_start").isin(
+        Timestamp.valueOf("2026-01-01 10:00:00"),
+        Timestamp.valueOf("2026-01-01 10:10:00")))
+      .orderBy(col("window_start")).collect()
+    assert(rows.length === 2)
+    assert(rows(0).getLong(2) === 700L && rows(0).getBoolean(3))
+    assert(rows(1).getLong(2) === 300L && rows(1).getBoolean(3))
+    // the sketch column rolls up exactly (union) and intersects exactly
+    val s1 = graft.core.Kmv.fromBytes(rows(0).getAs[Array[Byte]](4))
+    val s2 = graft.core.Kmv.fromBytes(rows(1).getAs[Array[Byte]](4))
+    assert(graft.core.Kmv.intersectEstimate(s1, s2) === 200.0)
+    assert(s1.mergeIn(s2).estimate === 800.0)
+  }
+
   test("windowed HLL distinct over a stream within bound") {
     val input = MemoryStream[(Timestamp, String)]
     val q = StreamingSketches.windowedDistinct(
