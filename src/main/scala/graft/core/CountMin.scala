@@ -82,9 +82,17 @@ final class CountMin private[core] (
         val a = counters(i * width + j)
         val b = other.counters(i * width + j)
         if (a != 0L && b != 0L) {
-          // saturating multiply + add (counts are always non-negative)
-          val p = if (a > Long.MaxValue / b) Long.MaxValue else a * b
-          sum = if (sum > Long.MaxValue - p) Long.MaxValue else sum + p
+          // EXACT signed multiply/add, saturating only on true overflow:
+          // weighted deletes can leave negative cells, and a sign-naive
+          // positive-operand guard would turn a small negative product
+          // into Long.MaxValue
+          val p =
+            try Math.multiplyExact(a, b)
+            catch { case _: ArithmeticException => Long.MaxValue }
+          sum =
+            if (p == Long.MaxValue) Long.MaxValue
+            else try Math.addExact(sum, p)
+            catch { case _: ArithmeticException => Long.MaxValue }
         }
         j += 1
       }

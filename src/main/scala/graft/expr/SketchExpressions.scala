@@ -263,12 +263,11 @@ case class CmsInnerProduct(left: Expression, right: Expression)
         s"cms_inner_product expects two binary sketches, got (${l.sql}, ${r.sql})")
     }
   override def nullSafeEval(a: Any, b: Any): Any =
-    SketchRuntime.parseCms(a.asInstanceOf[Array[Byte]])
-      .innerProduct(SketchRuntime.parseCms(b.asInstanceOf[Array[Byte]]))
+    SketchRuntime.innerProductCms(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.expr.SketchRuntime$$.MODULE$$.parseCms($a).innerProduct(" +
-        s"graft.expr.SketchRuntime$$.MODULE$$.parseCms($b))")
+      s"graft.expr.SketchRuntime$$.MODULE$$.innerProductCms($a, $b)")
   override def prettyName: String = "cms_inner_product"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsInnerProduct =
     copy(left = l, right = r)
@@ -467,6 +466,20 @@ object SketchRuntime {
     val c = kllCache.get()
     if (c != null && (c._1 eq bytes)) c._2
     else { val s = Kll.fromBytes(bytes); kllCache.set((bytes, s)); s }
+  }
+
+  // a TWO-slot cache for the inner product: routing its two operands
+  // through the single-slot parseCms would evict alternately and
+  // re-decode BOTH sketches every row (the lit()-reparse trap)
+  private val cmsPairCache =
+    new ThreadLocal[(Array[Byte], CountMin, Array[Byte], CountMin)]
+
+  def innerProductCms(a: Array[Byte], b: Array[Byte]): Long = {
+    val c = cmsPairCache.get()
+    val sa = if (c != null && (c._1 eq a)) c._2 else CountMin.fromBytes(a)
+    val sb = if (c != null && (c._3 eq b)) c._4 else CountMin.fromBytes(b)
+    cmsPairCache.set((a, sa, b, sb))
+    sa.innerProduct(sb)
   }
 }
 

@@ -1411,18 +1411,25 @@ object Dedup {
     val orig = df
       .select(col(idCol), length(col(textCol)).cast("long").as("n_chars"))
     var cur = df.select(col(idCol), col(textCol))
+    var prev: Option[DataFrame] = None
     var rounds = 0
     var done = false
     while (!done) {
       val masked = maskDuplicateSpans(cur, textCol, idCol, window, sampleMod)
         .select(col(idCol), col("masked").as(textCol), col("n_masked_chars"))
         .localCheckpoint()
-      val changed = masked.agg(max(col("n_masked_chars"))).head().getLong(0)
+      // coalesce: max over an EMPTY corpus is null (empty in, empty out)
+      val changed = masked
+        .agg(coalesce(max(col("n_masked_chars")), lit(0L))).head().getLong(0)
+      prev.foreach(_.unpersist(blocking = false)) // only `masked` stays live
+      prev = Some(masked)
       cur = masked.drop("n_masked_chars")
       if (changed == 0L) done = true
       else {
         rounds += 1
-        if (rounds >= maxRounds && !done)
+        // maxRounds PRODUCTIVE rounds are allowed; fail only when a round
+        // beyond that still changes something
+        if (rounds > maxRounds)
           throw new IllegalStateException(
             s"maskDuplicateSpansFixpoint did not converge in $maxRounds rounds")
       }

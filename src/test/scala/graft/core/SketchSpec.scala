@@ -223,6 +223,12 @@ class SketchSpec extends AnyFunSuite {
     big1.addHash(Hashing.hashLong(9L), Long.MaxValue / 2)
     big2.addHash(Hashing.hashLong(9L), 8)
     assert(big1.innerProduct(big2) === Long.MaxValue)
+    // negative cells (weighted deletes) multiply EXACTLY, never saturate
+    val na = CountMin.forError(0.01, 0.5)
+    val nb = CountMin.forError(0.01, 0.5)
+    na.addHash(Hashing.hashLong(9L), 3); na.addHash(Hashing.hashLong(9L), -2)
+    nb.addHash(Hashing.hashLong(9L), -1)
+    assert(na.innerProduct(nb) === -1L)
   }
 
   test("CMS round-trip and codec validation") {
