@@ -2417,17 +2417,31 @@ object SparkEntry {
         |dup AS (SELECT doc_id, p FROM sub JOIN cnt USING (s)),
         |cov AS (
         |  SELECT doc_id, p,
-        |    lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS np
-        |  FROM dup),
+        |    lead(p) OVER w AS np,
+        |    CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 40
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM dup
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        |isl AS (
+        |  SELECT doc_id, p, np,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |                   ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM cov),
+        |isl2 AS (
+        |  SELECT doc_id, p, np,
+        |    min(p) OVER (PARTITION BY doc_id, island) AS ist
+        |  FROM isl),
         |agg AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
         |    CAST(sum(CASE WHEN np IS NULL THEN 40
-        |                  ELSE least(40, np - p) END) AS BIGINT) AS dup_chars
-        |  FROM cov GROUP BY doc_id)
+        |                  ELSE least(40, np - p) END) AS BIGINT) AS dup_chars,
+        |    CAST(max(p - ist + 40) AS BIGINT) AS max_dup_run
+        |  FROM isl2 GROUP BY doc_id)
         |SELECT b.doc_id, b.n_chars,
         |  greatest(b.n_chars - 39, 0) AS n_windows,
         |  COALESCE(n_dup_windows, 0) AS n_dup_windows,
         |  COALESCE(dup_chars, 0) AS dup_chars,
+        |  COALESCE(max_dup_run, 0) AS max_dup_run,
         |  COALESCE(dup_chars, 0) * 5 > b.n_chars AS substr_reject
         |FROM base b LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,

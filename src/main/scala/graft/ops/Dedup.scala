@@ -1270,17 +1270,31 @@ object Dedup {
     val base = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
     val dupPos = verifiedDupPositions(base, window, sampleMod, hashSquash)
       .select(col("__id"), col("__pos"))
-    // exact interval union of equal-length spans [pos, pos+window):
-    // each position covers min(window, nextPos - pos) new characters
+    // exact interval union of equal-length spans [pos, pos+window): each
+    // position covers min(window, nextPos - pos) new characters. The
+    // same per-document sort also yields gaps-and-islands: an island
+    // breaks when the gap to the previous position exceeds the window
+    // (spans no longer touch), and the longest island
+    // (max pos - island start + window) is the document's longest
+    // contiguous duplicated run — one window pass, one shuffle.
     val byDoc = Window.partitionBy(col("__id")).orderBy(col("__pos"))
     val covered = dupPos
       .withColumn("__next", lead(col("__pos"), 1).over(byDoc))
+      .withColumn("__lag", lag(col("__pos"), 1).over(byDoc))
       .withColumn("__cov",
         when(col("__next").isNull, lit(window.toLong))
           .otherwise(least(lit(window.toLong),
             (col("__next") - col("__pos")).cast("long"))))
+      .withColumn("__brk",
+        when(col("__lag").isNull || col("__pos") - col("__lag") > window, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(byDoc))
+      .withColumn("__start",
+        min(col("__pos")).over(Window.partitionBy(col("__id"), col("__isl"))))
       .groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_dup_windows"), sum(col("__cov")).as("dup_chars"))
+      .agg(count(lit(1)).as("n_dup_windows"), sum(col("__cov")).as("dup_chars"),
+        max(col("__pos") - col("__start") + window).cast("long")
+          .as("max_dup_run"))
     base
       .withColumn("n_chars", length(col("__text")).cast("long"))
       .withColumn("n_windows",
@@ -1288,7 +1302,8 @@ object Dedup {
       .join(covered, Seq("__id"), "left")
       .select(col("__id").as(idCol), col("n_chars"), col("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
-        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
   }
 
   /** Shared candidate/verify pipeline for the duplicate-substring

@@ -14,7 +14,7 @@ class DuplicateSpansSpec extends SparkTestBase {
     * than the lead()-based union in the operator).
     */
   private def ref(corpus: Seq[(Long, String)], w: Int)
-      : Map[Long, (Long, Long, Long, Long)] = {
+      : Map[Long, (Long, Long, Long, Long, Long)] = {
     def cps(s: String): Array[Int] = s.codePoints.toArray
     val subs = corpus.flatMap { case (id, t) =>
       val c = cps(t)
@@ -27,8 +27,14 @@ class DuplicateSpansSpec extends SparkTestBase {
       val dupPos = subs.filter(s => s._1 == id && counts(s._3) > 1).map(_._2)
       val marked = new Array[Boolean](c.length)
       dupPos.foreach(p => (p until p + w).foreach(marked(_) = true))
+      // longest contiguous duplicated run, straight off the marks
+      var maxRun = 0L
+      var run = 0L
+      marked.foreach { m =>
+        if (m) { run += 1; if (run > maxRun) maxRun = run } else run = 0
+      }
       (id, (c.length.toLong, nW, dupPos.size.toLong,
-        marked.count(identity).toLong))
+        marked.count(identity).toLong, maxRun))
     }.toMap
   }
 
@@ -46,9 +52,10 @@ class DuplicateSpansSpec extends SparkTestBase {
     // 9 duplicates 4 exactly: every window of both is duplicated
 
   private def collect(df: org.apache.spark.sql.DataFrame)
-      : Map[Long, (Long, Long, Long, Long)] =
+      : Map[Long, (Long, Long, Long, Long, Long)] =
     df.collect().map(r => r.getLong(0) ->
-      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
 
   test("duplicateSpans matches the brute-force substring reference") {
     for (w <- Seq(5, 8, 12)) {
@@ -76,10 +83,11 @@ class DuplicateSpansSpec extends SparkTestBase {
       val sampled = collect(Dedup.duplicateSpans(
         corpus.toDF("doc_id", "text"), "text", "doc_id",
         window = 5, sampleMod = m))
-      sampled.foreach { case (id, (nc, nw, ndup, cov)) =>
-        val (enc, enw, edup, ecov) = exact(id)
+      sampled.foreach { case (id, (nc, nw, ndup, cov, run)) =>
+        val (enc, enw, edup, ecov, erun) = exact(id)
         assert(nc === enc && nw === enw, s"totals must not change (id=$id)")
-        assert(ndup <= edup && cov <= ecov, s"sampled exceeds exact (id=$id)")
+        assert(ndup <= edup && cov <= ecov && run <= erun,
+          s"sampled exceeds exact (id=$id)")
         if (edup === 0L) assert(ndup === 0L, s"false positive (id=$id)")
       }
     }
