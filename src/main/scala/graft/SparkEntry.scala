@@ -1658,6 +1658,7 @@ object SparkEntry {
         s"""WITH sketches AS (
           |  SELECT o_orderpriority,
           |         hll_estimate(hll_agg(o_custkey)) AS est,
+          |         kmv_estimate(kmv_agg(o_custkey, ${cap + 16})) AS kmv_cnt,
           |         bloom_agg(o_custkey, $cap, 0.01) AS bf,
           |         tdigest_quantile(tdigest_agg(o_totalprice), 0.5) AS med
           |  FROM sqlsurf_orders GROUP BY o_orderpriority
@@ -1667,7 +1668,8 @@ object SparkEntry {
           |  FROM sqlsurf_orders GROUP BY o_orderpriority
           |),
           |per_group AS (
-          |  SELECT s.o_orderpriority, e.exact_distinct, s.est, s.bf, s.med
+          |  SELECT s.o_orderpriority, e.exact_distinct, s.est, s.kmv_cnt,
+          |         s.bf, s.med
           |  FROM sketches s JOIN exacts e USING (o_orderpriority)
           |),
           |probe AS (
@@ -1685,6 +1687,7 @@ object SparkEntry {
           |)
           |SELECT g.o_orderpriority,
           |       g.exact_distinct,
+          |       g.kmv_cnt,
           |       p.n_rows,
           |       abs(g.est - g.exact_distinct) <= greatest(3 * 0.0082 * g.exact_distinct, 2.0)
           |         AS hll_within_bound,
@@ -2579,9 +2582,13 @@ object SparkEntry {
         |count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // kmv_cnt is a VALUE check: k sized above the max per-group distinct
+    // makes the SQL-surface KMV exact, so DuckDB's COUNT(DISTINCT) must
+    // hash-match it (unlike the HLL/bloom/median bound booleans)
     "sql_surface" ->
       """SELECT o_orderpriority,
         |count(DISTINCT o_custkey) AS exact_distinct,
+        |CAST(count(DISTINCT o_custkey) AS BIGINT) AS kmv_cnt,
         |count(*) AS n_rows,
         |CAST(1 AS BOOLEAN) AS hll_within_bound,
         |CAST(1 AS BOOLEAN) AS bloom_zero_fn,
