@@ -332,12 +332,24 @@ object Bench {
     probeOnce() // warm the probe codegen path too
     val maxAttempts =
       math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEP_RETRIES", "3").toInt)
+    // plausibility BAND, not a one-sided floor: a healthy interleaved
+    // 8->32 pure-CPU reading sits in ~[0.3, 1.2]. Below = the 32-core
+    // window stalled under contention; above = the 8-CORE probe itself
+    // stalled (a >1 reading is physically impossible for a 4x core
+    // scale-up — BENCH_r05 recorded 5.977, which passed the old `< 0.3`
+    // gate and then WON the maxBy, laundering an anomalous build sweep).
+    // Retry while the reading is outside the band; report the attempt
+    // CLOSEST to plausible (ties inside the band -> healthiest reading).
+    val bandLo = 0.3
+    val bandHi = 1.2
+    def bandDistance(e: Double): Double =
+      if (e < bandLo) bandLo - e else if (e > bandHi) e - bandHi else 0.0
     var attempts = Vector.empty[Sweep]
     while (attempts.isEmpty ||
-        (attempts.last.cpuEff < 0.3 && attempts.size < maxAttempts)) {
+        (bandDistance(attempts.last.cpuEff) > 0.0 && attempts.size < maxAttempts)) {
       attempts :+= runSweep()
     }
-    val best = attempts.maxBy(_.cpuEff)
+    val best = attempts.minBy(a => (bandDistance(a.cpuEff), -a.cpuEff))
     val tp = best.tp
     val probeTp = best.probeTp
     val cpuEff = best.cpuEff

@@ -66,9 +66,10 @@ final class CountMin private[core] (
     * only add non-negative cross terms) and overestimates by at most
     * eps * totalA * totalB with probability 1 - delta. The row hash
     * derivation is a pure function of (key hash, row), so any two
-    * sketches with equal dimensions are compatible. Saturates at
-    * Long.MaxValue instead of overflowing (10^12-row streams can
-    * legitimately exceed 2^63 in a product).
+    * sketches with equal dimensions are compatible. Saturates toward the
+    * sign of the true result instead of overflowing (10^12-row streams
+    * can legitimately exceed 2^63 in a product; negative cells from
+    * weighted deletes can overflow downward).
     */
   def innerProduct(other: CountMin): Long = {
     require(depth == other.depth && width == other.width,
@@ -78,21 +79,25 @@ final class CountMin private[core] (
     while (i < depth) {
       var sum = 0L
       var j = 0
-      while (j < width && sum != Long.MaxValue) {
+      // a rail-pinned row sum stays pinned (saturation, either direction)
+      while (j < width && sum != Long.MaxValue && sum != Long.MinValue) {
         val a = counters(i * width + j)
         val b = other.counters(i * width + j)
         if (a != 0L && b != 0L) {
-          // EXACT signed multiply/add, saturating only on true overflow:
-          // weighted deletes can leave negative cells, and a sign-naive
-          // positive-operand guard would turn a small negative product
-          // into Long.MaxValue
+          // EXACT signed multiply/add, saturating on true overflow TOWARD
+          // THE SIGN OF THE TRUE RESULT: weighted deletes can leave
+          // negative cells, and saturating a hugely-negative product to
+          // +MaxValue would RAISE the min-over-rows estimate
           val p =
             try Math.multiplyExact(a, b)
-            catch { case _: ArithmeticException => Long.MaxValue }
+            catch { case _: ArithmeticException =>
+              if ((a > 0L) == (b > 0L)) Long.MaxValue else Long.MinValue }
           sum =
-            if (p == Long.MaxValue) Long.MaxValue
+            if (p == Long.MaxValue || p == Long.MinValue) p
             else try Math.addExact(sum, p)
-            catch { case _: ArithmeticException => Long.MaxValue }
+            catch { case _: ArithmeticException =>
+              // addExact only overflows when sum and p share p's sign
+              if (p > 0L) Long.MaxValue else Long.MinValue }
         }
         j += 1
       }

@@ -71,8 +71,14 @@ final class Kmv private[core] (
     * ascending unsigned. */
   private[core] def below(t: Double): Iterator[Long] = {
     import scala.jdk.CollectionConverters._
-    set.iterator().asScala.map(_.longValue()).takeWhile(Kmv.normalize(_) < t ||
-      t >= 1.0) // t == 1.0 admits everything (normalize is always < 1)
+    // t == 1.0 from an UNSATURATED sketch means "no threshold" (theta is
+    // the constant 1, not a kth-min). A SATURATED sketch's theta can also
+    // be exactly 1.0 in the corner where kthMin's top 53 bits are all set
+    // (normalize maps into (0, 1], hitting 1.0 there) — keep the strict
+    // below-theta contract in that case so the kth minimum is excluded.
+    val admitAll = t >= 1.0 && !isSaturated
+    set.iterator().asScala.map(_.longValue())
+      .takeWhile(h => admitAll || Kmv.normalize(h) < t)
   }
 
   def copySketch(): Kmv = {
@@ -110,6 +116,8 @@ object Kmv {
 
   /** Unsigned 64-bit hash -> (0, 1]: top 53 bits (exact in a double),
     * +1 so the all-zero hash cannot yield theta == 0 (division guard).
+    * The upper bound IS attainable: a hash with all top 53 bits set maps
+    * to exactly 1.0 (see [[Kmv.below]]'s saturated-corner handling).
     */
   private[core] def normalize(h: Long): Double =
     ((h >>> 11) + 1).toDouble / (1L << 53).toDouble

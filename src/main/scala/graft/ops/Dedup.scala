@@ -1421,7 +1421,26 @@ object Dedup {
       idCol: String,
       window: Int = 40,
       sampleMod: Int = 1,
-      maxRounds: Int = 8): DataFrame = {
+      maxRounds: Int = 8): DataFrame =
+    // NOTE: the returned DataFrame depends on the final round's
+    // localCheckpoint, which stays persisted for the session lifetime —
+    // looping pipelines should use [[maskDuplicateSpansFixpointReleasable]]
+    // and call the release handle once the result is consumed
+    maskDuplicateSpansFixpointReleasable(
+      df, textCol, idCol, window, sampleMod, maxRounds)._1
+
+  /** [[maskDuplicateSpansFixpoint]] plus an explicit cache-release handle
+    * for the final round's localCheckpoint (the returned DataFrame reads
+    * from it — call the handle only AFTER fully consuming the result).
+    * Mirrors [[jaccardPairsReleasable]]'s cache-lifetime contract.
+    */
+  def maskDuplicateSpansFixpointReleasable(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      window: Int = 40,
+      sampleMod: Int = 1,
+      maxRounds: Int = 8): (DataFrame, () => Unit) = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val orig = df
       .select(col(idCol), length(col(textCol)).cast("long").as("n_chars"))
@@ -1449,8 +1468,10 @@ object Dedup {
             s"maskDuplicateSpansFixpoint did not converge in $maxRounds rounds")
       }
     }
-    cur.join(orig, Seq(idCol))
+    val result = cur.join(orig, Seq(idCol))
       .select(col(idCol), col(textCol).as("masked"), col("n_chars"),
         (col("n_chars") - length(col(textCol)).cast("long")).as("n_masked_chars"))
+    val live = prev
+    (result, () => live.foreach(_.unpersist(blocking = false)))
   }
 }

@@ -109,6 +109,19 @@ class KmvSpec extends AnyFunSuite {
     assert(mixed >= 0.0 && mixed <= (shared.size + onlyA.size) * 1.5)
   }
 
+  test("saturated theta == 1.0 corner keeps the strict-below contract") {
+    // normalize maps a hash with all top 53 bits set to exactly 1.0
+    val top = 0xfffffffffffff800L
+    assert(Kmv.normalize(top) === 1.0)
+    val s = build(16, (1L to 15L) ++ Seq(top)) // saturated, kthMin = top
+    assert(s.isSaturated && s.theta === 1.0)
+    // below(theta) must EXCLUDE the kth minimum for a saturated sketch
+    assert(s.below(s.theta).size === 15)
+    // an unsaturated sketch's theta == 1.0 still means "no threshold"
+    val u = build(16, Seq(1L, 2L, top))
+    assert(!u.isSaturated && u.below(u.theta).size === 3)
+  }
+
   test("codec validation rejects corruption") {
     val good = build(64, (1L to 100L).map(Hashing.mix64)).toBytes
     intercept[IllegalArgumentException](Kmv.fromBytes(Array.emptyByteArray))

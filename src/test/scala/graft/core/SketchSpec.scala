@@ -229,6 +229,14 @@ class SketchSpec extends AnyFunSuite {
     na.addHash(Hashing.hashLong(9L), 3); na.addHash(Hashing.hashLong(9L), -2)
     nb.addHash(Hashing.hashLong(9L), -1)
     assert(na.innerProduct(nb) === -1L)
+    // NEGATIVE overflow saturates toward Long.MinValue, never +MaxValue
+    // (a hugely negative product must not RAISE the min-over-rows estimate)
+    val pa = CountMin.forError(0.01, 0.5)
+    val pb = CountMin.forError(0.01, 0.5)
+    pa.addHash(Hashing.hashLong(9L), Long.MaxValue / 2)
+    pb.addHash(Hashing.hashLong(9L), -8)
+    assert(pa.innerProduct(pb) === Long.MinValue)
+    assert(pb.innerProduct(pa) === Long.MinValue)
   }
 
   test("CMS round-trip and codec validation") {

@@ -202,6 +202,14 @@ class DuplicateSpansSpec extends SparkTestBase {
       Dedup.maskDuplicateSpansFixpoint(corpus2, "text", "doc_id",
         window = 3, maxRounds = 1)
     }
+    // releasable variant: same result, and the cache-release handle frees
+    // the final round's checkpoint AFTER the result is consumed
+    val (rel, release) = Dedup.maskDuplicateSpansFixpointReleasable(
+      corpus2, "text", "doc_id", window = 3)
+    val relMap = rel.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(relMap === got)
+    release() // must not throw; subsequent use of other frames unaffected
   }
 
   test("plan shape: codegen kernel, no ScalaUDF, no cartesian") {
