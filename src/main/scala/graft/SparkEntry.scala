@@ -575,7 +575,11 @@ object SparkEntry {
     // to value equality).
     "streaming_windowed_kmv" -> { (s, dir) =>
       val events = table(s, dir, "events")
-      val maxDay = events.groupBy(window(col("ts"), "1 day"))
+      // k sizing uses the SAME day derivation as the DuckDB oracle
+      // (to_date == date_trunc('day')); the harness pins
+      // spark.sql.session.timeZone=UTC so window(ts,'1 day') boundaries and
+      // to_date agree with DuckDB's naive-timestamp truncation
+      val maxDay = events.groupBy(to_date(col("ts")))
         .agg(countDistinct(col("user_id")).as("d"))
         .agg(max(col("d"))).head().getLong(0)
       val k = math.max(graft.core.Kmv.MinK.toLong,
@@ -1598,15 +1602,17 @@ object SparkEntry {
         .orderBy(col("kind"))
     },
 
-    // REAL feature extraction over the media payloads: PNG pixels are
-    // inflate+unfiltered, WAV PCM samples read sample-by-sample, and the
-    // EXACT integer statistics of the decoded samples (count/sum/sum of
-    // squares) aggregated per modality. The oracle recomputes the same
-    // integers purely from the id formulas the payloads were encoded
-    // with — any drift in the encoder's pixel/sample content OR the
-    // decoder's inflate/unfilter/PCM paths breaks the hash. JPEG/MP4
-    // payloads carry no decodable samples (header-only, the declared
-    // remaining fake) and must contribute exactly the NULL counts.
+    // REAL feature extraction over ALL FOUR container formats: PNG
+    // pixels are inflate+unfiltered, JPEG pixels Huffman-decoded +
+    // IDCT'd (full baseline codec), WAV and MP4-PCM samples read
+    // sample-by-sample, and the EXACT integer statistics of the decoded
+    // samples (count/sum/sum of squares) aggregated per modality. The
+    // oracle recomputes the same integers purely from the id formulas
+    // the payloads were encoded with — any drift in the encoders'
+    // pixel/sample content OR the decoders' inflate/unfilter/Huffman/
+    // IDCT/PCM paths breaks the hash. JPEG exactness rides on
+    // block-constant synth images (DC-only blocks survive quantization
+    // bit-exactly); every row must decode (n_decoded == n_rows).
     "multimodal_features" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
       val media = graft.ops.Multimodal.attachRealMedia(docs, "doc_id")
@@ -2529,10 +2535,12 @@ object SparkEntry {
         |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
     // recompute the decoded-sample statistics from the CONTENT formulas
     // the payloads were encoded with: PNG pixel(x,y) = (id + y) % 256
-    // over a w x h grayscale grid (scanline-constant, so one term per
-    // scanline x width), WAV sample(j) = (id % 64) + (j % 16) over
-    // n = duration_ms * 8 samples (16 residue classes with exact
-    // counts). All-integer arithmetic -> bit-exact cross-engine.
+    // (scanline-constant, one term per scanline x width), JPEG
+    // pixel(x,y) = (id + y//8) % 256 (block-constant, so the baseline
+    // codec round-trips exactly), WAV/MP4 sample(j) = (id % 64) +
+    // (j % 16) over n = duration_ms * 8 samples (16 residue classes
+    // with exact counts). All-integer arithmetic -> bit-exact
+    // cross-engine.
     "multimodal_features" ->
       """WITH m AS (
         |  SELECT doc_id,
@@ -2550,6 +2558,20 @@ object SparkEntry {
         |    p.w * sum(((p.doc_id + y.y) % 256) * ((p.doc_id + y.y) % 256)) AS sq
         |  FROM png p JOIN generate_series(0, 478) AS y(y) ON y.y < p.h
         |  GROUP BY p.doc_id, p.w, p.h),
+        |-- odd-id images are FULL baseline JPEGs whose pixels are constant
+        |-- per 8-scanline band: pixel(x,y) = (id + y//8) % 256; every 8x8
+        |-- block is flat, so the lossy codec round-trips EXACTLY and the
+        |-- decoded stats equal this closed form
+        |jpeg AS (
+        |  SELECT doc_id, 32 + (doc_id*7919) % 608 AS w,
+        |         32 + (doc_id*4241) % 448 AS h
+        |  FROM m WHERE kind = 'image' AND doc_id % 2 = 1),
+        |jpeg_stats AS (
+        |  SELECT j.doc_id, CAST(j.w AS BIGINT) * j.h AS n,
+        |    j.w * sum((j.doc_id + y.y // 8) % 256) AS s,
+        |    j.w * sum(((j.doc_id + y.y // 8) % 256) * ((j.doc_id + y.y // 8) % 256)) AS sq
+        |  FROM jpeg j JOIN generate_series(0, 478) AS y(y) ON y.y < j.h
+        |  GROUP BY j.doc_id, j.w, j.h),
         |-- audio (WAV) and video (MP4 'twos' PCM sound track) carry the
         |-- SAME sample formula: sample(j) = (id % 64) + (j % 16) over
         |-- n = duration_ms * 8 (16 residue classes with exact counts)
@@ -2567,6 +2589,7 @@ object SparkEntry {
         |  GROUP BY w.doc_id, w.n),
         |stats AS (
         |  SELECT doc_id, n, s, sq FROM png_stats
+        |  UNION ALL SELECT doc_id, n, s, sq FROM jpeg_stats
         |  UNION ALL SELECT doc_id, n, s, sq FROM wav_stats)
         |SELECT m.kind, count(*) AS n_rows,
         |CAST(sum(CASE WHEN st.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,

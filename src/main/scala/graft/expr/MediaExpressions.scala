@@ -24,16 +24,19 @@ object MediaKernels {
     }
 
   /** Deterministic synthesis of a REAL container payload per row:
-    * image -> spec-valid PNG (even variant) or JPEG marker stream (odd),
+    * image -> spec-valid PNG (even variant) or full baseline JPEG (odd —
+    * real FDCT + Huffman entropy coding, [[MediaCodecs.encodeJpegGray]]),
     * audio -> spec-valid 16-bit PCM WAV at 8 kHz whose duration is
     * exactly `durationMs`, video -> COMPLETE ISO BMFF (MP4) file (header
     * boxes + mdat + full sample tables) with a real 'twos' PCM sound
     * track, anything else -> an opaque tagged blob that [[decodeMeta]]
     * reports as unparseable.
     *
-    * PNG, WAV, and MP4 carry REAL id-derived content (not silence):
+    * ALL four containers carry REAL id-derived content (not silence):
     * PNG pixel(x, y) = (variant + y) mod 256 (scanline-constant, encoded
-    * through the Up filter so decoding is an actual unfilter pass); WAV
+    * through the Up filter so decoding is an actual unfilter pass);
+    * JPEG pixel(x, y) = (variant + floor(y/8)) mod 256 (block-constant,
+    * so the lossy codec is EXACT on these: DC-only blocks); WAV
     * and MP4 sample(j) = (variant mod 64) + (j mod 16) over
     * n = durationMs * 8. All formulas are integer-exact and
     * SQL-expressible, so a cross-engine oracle can recompute the content
@@ -45,7 +48,13 @@ object MediaKernels {
       case "image" =>
         if ((variant & 1L) == 0L)
           MediaCodecs.encodePng(width, height, (_, y) => ((variant + y) & 0xffL).toInt)
-        else MediaCodecs.encodeJpegHeader(width, height)
+        else
+          // BLOCK-ROW-constant pixels (one value per 8-scanline band):
+          // every 8x8 block is flat, so the baseline JPEG round trip is
+          // EXACT (DC-only blocks, DC quant step divides 8*(v-128)) and
+          // the oracle can recompute the decoded stats from this formula
+          MediaCodecs.encodeJpegGray(width, height,
+            (_, y) => ((variant + (y >> 3)) & 0xffL).toInt)
       case "audio" =>
         // 8 samples per ms at 8 kHz -> duration reproduces exactly;
         // reject durations whose sample count would wrap Int (a wrapped

@@ -5,16 +5,23 @@ import java.nio.charset.StandardCharsets
 import java.util.zip.{CRC32, Deflater}
 
 /** REAL pure-JVM media codecs for the multimodal pipeline — container
-  * HEADER parsing and synthesis, no pixel/sample decode (none is needed
-  * for width/height/channels/duration metadata):
+  * parsing/synthesis AND sample decode for every format that does not
+  * require a motion-video entropy decoder:
   *
   *  - PNG: full encoder (signature + IHDR + zlib IDAT + IEND, correct
   *    CRCs — the output is a spec-valid decodable image, verified
   *    against the JDK's ImageIO in tests) and IHDR parser.
-  *  - JPEG: marker-structure synthesis (SOI + JFIF APP0 + SOF0 + EOI;
-  *    honestly labeled header-only — no entropy-coded scan) and a
-  *    marker-walking SOF parser that skips APPn/COM segments the way a
-  *    real decoder does.
+  *  - JPEG: full BASELINE codec (ITU-T.81): [[encodeJpegGray]] writes a
+  *    spec-valid single-component 8-bit baseline JPEG — forward DCT,
+  *    quantization, zigzag, Annex-K Huffman entropy coding with byte
+  *    stuffing — verified decodable against the JDK's ImageIO in tests;
+  *    [[decodeJpegGray]] Huffman-decodes the scan, dequantizes and runs
+  *    the inverse DCT to recover the pixels. The quant table keeps flat
+  *    (DC-only) blocks bit-exact through the round trip, so id-derived
+  *    block-constant synth images yield integer-exact content stats a
+  *    cross-engine oracle can recompute. [[encodeJpegHeader]] (legacy
+  *    marker-stream synthesis, no scan) and the marker-walking SOF
+  *    parser remain for header-only payloads.
   *  - WAV: full PCM encoder (RIFF/WAVE fmt + data, silence payload —
   *    spec-valid, verified against javax.sound in tests) and a
   *    chunk-walking parser computing duration from data size / byte
@@ -326,6 +333,530 @@ object MediaCodecs {
     None
   }
 
+  // ------------------------------------------- JPEG baseline codec (T.81)
+
+  /** Zigzag scan order: position i in the entropy stream -> natural
+    * (row-major) coefficient index (ITU-T.81 Figure 5 / Figure A.6).
+    */
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Quantization table (natural order). DC step 8 makes a flat block's
+    * DC coefficient (8 * (v - 128)) quantize EXACTLY for every 8-bit v —
+    * the invariant the integer-exact content oracle rides on; AC step 16
+    * is an ordinary mid-quality choice (flat blocks have zero AC anyway).
+    */
+  private val JpegQuant: Array[Int] =
+    Array.tabulate(64)(i => if (i == 0) 8 else 16)
+
+  /** Annex K.3: typical Huffman table for luminance DC (BITS, HUFFVAL). */
+  private val JpegDcBits: Array[Int] =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegDcVals: Array[Int] = (0 to 11).toArray
+
+  /** Annex K.5: typical Huffman table for luminance AC (BITS, HUFFVAL). */
+  private val JpegAcBits: Array[Int] =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+  private val JpegAcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** Separable DCT basis: A(x)(u) = C(u)/2 * cos((2x+1) u pi / 16) with
+    * C(0) = 1/sqrt(2). FDCT: S = A^T s A; IDCT: s = A S A^T (T.81 A.3.3).
+    */
+  private val JpegDctA: Array[Array[Double]] = Array.tabulate(8, 8) {
+    (x, u) =>
+      (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0) / 2.0 *
+        math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** Canonical Huffman ENCODER tables from (BITS, HUFFVAL) per T.81
+    * C.2: arrays indexed by symbol -> (code, size).
+    */
+  private def buildHuffEncoder(
+      bits: Array[Int], vals: Array[Int]): (Array[Int], Array[Int]) = {
+    val codes = new Array[Int](256)
+    val sizes = new Array[Int](256)
+    var code = 0
+    var k = 0
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bits(l - 1)) {
+        codes(vals(k)) = code
+        sizes(vals(k)) = l
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    (codes, sizes)
+  }
+  private lazy val (jpegDcCodes, jpegDcSizes) =
+    buildHuffEncoder(JpegDcBits, JpegDcVals)
+  private lazy val (jpegAcCodes, jpegAcSizes) =
+    buildHuffEncoder(JpegAcBits, JpegAcVals)
+
+  /** Magnitude category of a DCT value (T.81 F.1.2.1.1): number of bits
+    * in |v|; 0 for v == 0.
+    */
+  private def jpegCategory(v: Int): Int =
+    32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** Entropy-coded-segment bit sink with 0xFF byte stuffing (F.1.2.3). */
+  private final class JpegBitWriter(out: ByteArrayOutputStream) {
+    private var acc = 0L
+    private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      if (len > 0) {
+        acc = (acc << len) | (code.toLong & ((1L << len) - 1))
+        n += len
+        while (n >= 8) {
+          val b = ((acc >>> (n - 8)) & 0xffL).toInt
+          out.write(b)
+          if (b == 0xff) out.write(0x00) // stuffed zero
+          n -= 8
+        }
+      }
+    }
+    /** Pad the final partial byte with 1-bits (F.1.2.3). */
+    def finish(): Unit = if (n > 0) put((1 << (8 - n)) - 1, 8 - n)
+  }
+
+  private def jpegSegment(
+      out: ByteArrayOutputStream, marker: Int, payload: Array[Byte]): Unit = {
+    out.write(0xff); out.write(marker)
+    val len = payload.length + 2
+    out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+    out.write(payload)
+  }
+
+  /** A COMPLETE spec-valid baseline JPEG (ITU-T.81): 8-bit grayscale,
+    * single component, [[JpegQuant]] quantization, Annex-K Huffman
+    * tables, one interleaved-trivial scan (MCU = one block, row-major),
+    * edge blocks padded by sample replication. `pixel(x, y)` must return
+    * values in [0, 255].
+    *
+    * Lossy in general (quantization); EXACT for images that are constant
+    * on each 8x8 block (all AC coefficients vanish and the DC step
+    * divides 8 * (v - 128)) — the property the multimodal content oracle
+    * uses. Verified decodable (and pixel-faithful) against the JDK's
+    * ImageIO in tests.
+    */
+  def encodeJpegGray(
+      width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 65535 && height <= 65535,
+      "JPEG dimensions must be in [1, 65535]")
+    val out = new ByteArrayOutputStream(1024)
+    out.write(0xff); out.write(0xd8) // SOI
+    // APP0 "JFIF\0" v1.02, 1x1 aspect, no thumbnail
+    jpegSegment(out, 0xe0,
+      "JFIF".getBytes(StandardCharsets.US_ASCII) ++
+        Array[Byte](0, 1, 2, 0, 0, 1, 0, 1, 0, 0))
+    // DQT: Pq=0 (8-bit) Tq=0, 64 entries in ZIGZAG order
+    jpegSegment(out, 0xdb,
+      0.toByte +: Array.tabulate(64)(i => JpegQuant(JpegZigzag(i)).toByte))
+    // SOF0: precision 8, 1 component (id 1, 1x1 sampling, quant table 0)
+    jpegSegment(out, 0xc0, Array[Byte](8,
+      ((height >>> 8) & 0xff).toByte, (height & 0xff).toByte,
+      ((width >>> 8) & 0xff).toByte, (width & 0xff).toByte,
+      1, 1, 0x11, 0))
+    // DHT: DC table 0 then AC table 0 (Annex K luminance)
+    jpegSegment(out, 0xc4,
+      0x00.toByte +: (JpegDcBits.map(_.toByte) ++ JpegDcVals.map(_.toByte)))
+    jpegSegment(out, 0xc4,
+      0x10.toByte +: (JpegAcBits.map(_.toByte) ++ JpegAcVals.map(_.toByte)))
+    // SOS: 1 component, DC/AC table 0, full spectral range
+    jpegSegment(out, 0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
+
+    val bw = new JpegBitWriter(out)
+    val blocksX = (width + 7) / 8
+    val blocksY = (height + 7) / 8
+    val s = new Array[Double](64) // level-shifted samples
+    val t = new Array[Double](64) // row-pass intermediate
+    val coef = new Array[Double](64)
+    val zz = new Array[Int](64)
+    var prevDc = 0
+    var by = 0
+    while (by < blocksY) {
+      var bx = 0
+      while (bx < blocksX) {
+        // gather with edge replication, level shift by 128
+        var y = 0
+        while (y < 8) {
+          val sy = math.min(by * 8 + y, height - 1)
+          var x = 0
+          while (x < 8) {
+            val sx = math.min(bx * 8 + x, width - 1)
+            s(y * 8 + x) = (pixel(sx, sy) & 0xff) - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        // FDCT, separable: t = s * A (rows), coef = A^T * t (columns)
+        var r = 0
+        while (r < 8) {
+          var u = 0
+          while (u < 8) {
+            var acc = 0.0
+            var x = 0
+            while (x < 8) { acc += s(r * 8 + x) * JpegDctA(x)(u); x += 1 }
+            t(r * 8 + u) = acc
+            u += 1
+          }
+          r += 1
+        }
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            var acc = 0.0
+            var yy = 0
+            while (yy < 8) { acc += JpegDctA(yy)(v) * t(yy * 8 + u); yy += 1 }
+            coef(v * 8 + u) = acc
+            u += 1
+          }
+          v += 1
+        }
+        // quantize in zigzag order
+        var i = 0
+        while (i < 64) {
+          val nat = JpegZigzag(i)
+          zz(i) = Math.round(coef(nat) / JpegQuant(nat)).toInt
+          i += 1
+        }
+        // DC: category + offset bits of the diff (F.1.2.1)
+        val diff = zz(0) - prevDc
+        prevDc = zz(0)
+        val dcCat = jpegCategory(diff)
+        bw.put(jpegDcCodes(dcCat), jpegDcSizes(dcCat))
+        if (dcCat > 0)
+          bw.put(if (diff < 0) diff + (1 << dcCat) - 1 else diff, dcCat)
+        // AC: run-length of zeros + category (F.1.2.2)
+        var run = 0
+        var k = 1
+        while (k < 64) {
+          val ac = zz(k)
+          if (ac == 0) run += 1
+          else {
+            while (run > 15) {
+              bw.put(jpegAcCodes(0xf0), jpegAcSizes(0xf0)) // ZRL
+              run -= 16
+            }
+            val cat = jpegCategory(ac)
+            val sym = (run << 4) | cat
+            bw.put(jpegAcCodes(sym), jpegAcSizes(sym))
+            bw.put(if (ac < 0) ac + (1 << cat) - 1 else ac, cat)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) bw.put(jpegAcCodes(0x00), jpegAcSizes(0x00)) // EOB
+        bx += 1
+      }
+      by += 1
+    }
+    bw.finish()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Canonical Huffman DECODER tables (T.81 F.2.2.3): mincode/maxcode/
+    * valptr per code length, plus the value list.
+    */
+  private final class JpegHuffDecoder(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    private var code = 0
+    private var k = 0
+    (1 to 16).foreach { l =>
+      if (bits(l - 1) == 0) maxCode(l) = -1
+      else {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l - 1); k += bits(l - 1)
+        maxCode(l) = code - 1
+      }
+      code <<= 1
+    }
+    def decode(br: JpegBitReader): Int = {
+      var c = br.nextBit()
+      var l = 1
+      while (l <= 16 && (maxCode(l) < 0 || c > maxCode(l))) {
+        c = (c << 1) | br.nextBit()
+        l += 1
+      }
+      if (l > 16 || br.bad) { br.bad = true; 0 }
+      else vals(valPtr(l) + c - minCode(l))
+    }
+  }
+
+  /** Entropy-coded-segment bit source: un-stuffs FF 00; any other marker
+    * mid-scan (we emit no restarts) sets `bad`.
+    */
+  private final class JpegBitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var n = 0
+    var bad = false
+    def nextBit(): Int = {
+      if (bad) return 0
+      if (n == 0) {
+        if (pos >= b.length) { bad = true; return 0 }
+        var byt = b(pos) & 0xff
+        pos += 1
+        if (byt == 0xff) {
+          if (pos >= b.length || (b(pos) & 0xff) != 0x00) { bad = true; return 0 }
+          pos += 1 // stuffed zero after FF
+        }
+        acc = byt; n = 8
+      }
+      n -= 1
+      (acc >>> n) & 1
+    }
+    def receive(t: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < t) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+  }
+
+  /** EXTEND (T.81 F.2.2.1): map a t-bit magnitude code to its signed
+    * value. */
+  private def jpegExtend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /** Decode a baseline single-component (grayscale) JPEG produced by any
+    * conforming encoder within this scope: SOF0, 8-bit, Nf=1, 1x1
+    * sampling, no restart intervals. Huffman-decodes the scan,
+    * dequantizes, inverse-DCTs each block (flat DC-only blocks take the
+    * exact closed form) and returns the integer pixel statistics over
+    * the w x h crop. None — never an exception — for anything outside
+    * that scope or corrupt (multi-component, progressive, truncated
+    * scan, invalid code): the loud-fallback policy of [[decodeMeta]].
+    */
+  def decodeJpegGray(b: Array[Byte]): Option[ContentStats] = {
+    if (!isJpeg(b)) return None
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[JpegHuffDecoder](4)
+    val acTabs = new Array[JpegHuffDecoder](4)
+    var w = 0
+    var h = 0
+    var compQuant = -1
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      var j = i
+      while (j < b.length && (b(j) & 0xff) == 0xff) j += 1
+      if (j >= b.length) return None
+      val marker = b(j) & 0xff
+      marker match {
+        case 0x00 | 0xd9 => return None // stray stuffing / EOI before SOS
+        case m if m >= 0xd0 && m <= 0xd7 => i = j + 1 // RSTn (stray)
+        case 0x01 => i = j + 1 // TEM
+        case 0xc0 => // SOF0 baseline
+          if (j + 2 >= b.length) return None
+          val len = readBe16(b, j + 1)
+          if (len < 11 || j + 1 + len > b.length) return None
+          if ((b(j + 3) & 0xff) != 8) return None // precision
+          h = readBe16(b, j + 4)
+          w = readBe16(b, j + 6)
+          val nf = b(j + 8) & 0xff
+          if (nf != 1) return None // grayscale scope
+          if ((b(j + 10) & 0xff) != 0x11) return None // 1x1 sampling
+          compQuant = b(j + 11) & 0xff
+          if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+          i = j + 1 + len
+        case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
+            m != 0xcc =>
+          return None // non-baseline frame: out of scope
+        case 0xdb => // DQT (possibly several tables in one segment)
+          if (j + 2 >= b.length) return None
+          val len = readBe16(b, j + 1)
+          if (len < 2 || j + 1 + len > b.length) return None
+          var p = j + 3
+          val end = j + 1 + len
+          while (p < end) {
+            val pqTq = b(p) & 0xff
+            if ((pqTq >>> 4) != 0) return None // 16-bit tables out of scope
+            val tq = pqTq & 0x0f
+            if (tq > 3 || p + 65 > end) return None
+            val tab = new Array[Int](64)
+            var z = 0
+            while (z < 64) {
+              tab(JpegZigzag(z)) = b(p + 1 + z) & 0xff
+              z += 1
+            }
+            quant(tq) = tab
+            p += 65
+          }
+          i = j + 1 + len
+        case 0xc4 => // DHT (possibly several tables in one segment)
+          if (j + 2 >= b.length) return None
+          val len = readBe16(b, j + 1)
+          if (len < 2 || j + 1 + len > b.length) return None
+          var p = j + 3
+          val end = j + 1 + len
+          while (p < end) {
+            val tcTh = b(p) & 0xff
+            val tc = tcTh >>> 4
+            val th = tcTh & 0x0f
+            if (tc > 1 || th > 3 || p + 17 > end) return None
+            val bits = Array.tabulate(16)(l => b(p + 1 + l) & 0xff)
+            val nVals = bits.sum
+            if (nVals > 256 || p + 17 + nVals > end) return None
+            val vals = Array.tabulate(nVals)(k => b(p + 17 + k) & 0xff)
+            val dec = new JpegHuffDecoder(bits, vals)
+            if (tc == 0) dcTabs(th) = dec else acTabs(th) = dec
+            p += 17 + nVals
+          }
+          i = j + 1 + len
+        case 0xda => // SOS: decode the scan and finish
+          if (j + 2 >= b.length) return None
+          val len = readBe16(b, j + 1)
+          if (len < 8 || j + 1 + len > b.length) return None
+          if ((b(j + 3) & 0xff) != 1) return None // Ns = 1
+          val tdTa = b(j + 5) & 0xff
+          val dc = dcTabs(tdTa >>> 4)
+          val ac = acTabs(tdTa & 0x0f)
+          if (w <= 0 || h <= 0 || compQuant < 0 || compQuant > 3) return None
+          val q = quant(compQuant)
+          if (dc == null || ac == null || q == null) return None
+          return decodeJpegScan(b, j + 1 + len, w, h, q, dc, ac)
+        case _ => // APPn / COM / other length-coded segments: skip
+          if (j + 2 >= b.length) return None
+          val len = readBe16(b, j + 1)
+          if (len < 2) return None
+          i = j + 1 + len
+      }
+    }
+    None
+  }
+
+  /** Entropy-decode all MCUs of the single-component scan starting at
+    * `pos`, IDCT each block and accumulate pixel stats over the crop;
+    * requires a clean EOI after the last MCU.
+    */
+  private def decodeJpegScan(
+      b: Array[Byte], pos: Int, w: Int, h: Int, q: Array[Int],
+      dc: JpegHuffDecoder, ac: JpegHuffDecoder): Option[ContentStats] = {
+    val br = new JpegBitReader(b, pos)
+    val blocksX = (w + 7) / 8
+    val blocksY = (h + 7) / 8
+    val coef = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    var sum = 0L
+    var sumsq = 0L
+    var prevDc = 0
+    var by = 0
+    while (by < blocksY) {
+      var bx = 0
+      while (bx < blocksX) {
+        java.util.Arrays.fill(coef, 0.0)
+        // DC
+        val dcCat = dc.decode(br)
+        if (br.bad || dcCat > 11) return None
+        val diff = jpegExtend(br.receive(dcCat), dcCat)
+        prevDc += diff
+        coef(0) = prevDc.toDouble * q(0)
+        // AC
+        var nonZeroAc = false
+        var k = 1
+        while (k < 64) {
+          val rs = ac.decode(br)
+          if (br.bad) return None
+          val r = rs >>> 4
+          val size = rs & 0x0f
+          if (size == 0) {
+            if (r == 15) k += 16 // ZRL
+            else k = 64 // EOB
+          } else {
+            k += r
+            if (k > 63) return None
+            val nat = JpegZigzag(k)
+            coef(nat) = jpegExtend(br.receive(size), size).toDouble * q(nat)
+            nonZeroAc = true
+            k += 1
+          }
+        }
+        if (br.bad) return None
+        // pixel accumulation over the crop region of this block
+        val x0 = bx * 8
+        val y0 = by * 8
+        val xMax = math.min(8, w - x0)
+        val yMax = math.min(8, h - y0)
+        if (!nonZeroAc) {
+          // flat block: IDCT of a lone DC is the constant DC/8
+          val v = math.max(0, math.min(255,
+            Math.round(coef(0) / 8.0).toInt + 128))
+          val cnt = xMax.toLong * yMax
+          sum += cnt * v
+          sumsq += cnt * v.toLong * v
+        } else {
+          // IDCT, separable: tmp = A * coef (columns), out = tmp * A^T
+          var y = 0
+          while (y < 8) {
+            var u = 0
+            while (u < 8) {
+              var acc = 0.0
+              var v = 0
+              while (v < 8) { acc += JpegDctA(y)(v) * coef(v * 8 + u); v += 1 }
+              tmp(y * 8 + u) = acc
+              u += 1
+            }
+            y += 1
+          }
+          y = 0
+          while (y < yMax) {
+            var x = 0
+            while (x < xMax) {
+              var acc = 0.0
+              var u = 0
+              while (u < 8) { acc += tmp(y * 8 + u) * JpegDctA(x)(u); u += 1 }
+              val p = math.max(0, math.min(255, Math.round(acc).toInt + 128))
+              sum += p
+              sumsq += p.toLong * p
+              x += 1
+            }
+            y += 1
+          }
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    // after the last MCU: padded bits, then EOI (FF fill legal)
+    var p = br.pos
+    while (p < b.length && (b(p) & 0xff) == 0xff &&
+        p + 1 < b.length && (b(p + 1) & 0xff) == 0xff) p += 1
+    if (p + 1 >= b.length || (b(p) & 0xff) != 0xff ||
+        (b(p + 1) & 0xff) != 0xd9) return None
+    Some(ContentStats("jpeg", w.toLong * h, sum, sumsq))
+  }
+
   // ------------------------------------------------------------------ WAV
 
   /** A spec-valid 16-bit PCM RIFF/WAVE file of silence. Duration =
@@ -543,7 +1074,7 @@ object MediaCodecs {
     * stays the one declared fake of the media surface.
     */
   def encodeMp4(width: Int, height: Int, durationMs: Long,
-      sample: Int => Short): Array[Byte] = {
+      sample: Int => Short, variableStsz: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 65535 && height <= 65535,
       "MP4 dimensions must be in [1, 65535]")
     // movie timescale 1000 (mvhd duration is ms); media timescale 8000
@@ -656,7 +1187,14 @@ object MediaCodecs {
     }
     val stts = fullBox0("stts", be32(1) ++ be32(n) ++ be32(1))
     val stsc = fullBox0("stsc", be32(1) ++ be32(1) ++ be32(n) ++ be32(1))
-    val stsz = fullBox0("stsz", be32(2) ++ be32(n)) // uniform 2-byte samples
+    // uniform 2-byte samples; variableStsz emits the equivalent
+    // PER-SAMPLE table (sample_size=0 + n entries of 2) — same media,
+    // exercising the table-verification path in [[decodeMp4Pcm]]
+    val stsz =
+      if (variableStsz)
+        fullBox0("stsz",
+          be32(0) ++ be32(n) ++ Array.fill(n)(be32(2)).flatten)
+      else fullBox0("stsz", be32(2) ++ be32(n))
     val stco = fullBox0("stco", be32(1) ++ be32(mdatPayloadOff))
     val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
     val minf = box("minf", smhd, dinf, stbl)
@@ -763,6 +1301,8 @@ object MediaCodecs {
     var totalSamples = -1L // from stts
     var uniformSize = -1 // stsz sample_size (0 = per-sample table)
     var stszCount = -1L
+    var stszEntriesOff = -1 // start of the per-sample size table (size == 0)
+    var stszEnd = -1L
     var stscRuns: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
     var chunkOffsets: Array[Long] = null
     var found = false
@@ -817,6 +1357,8 @@ object MediaCodecs {
                             case "stsz" if t6end - f6 >= 12 =>
                               uniformSize = readBe32(b, f6 + 4)
                               stszCount = readBe32(b, f6 + 8).toLong & 0xffffffffL
+                              stszEntriesOff = f6 + 12
+                              stszEnd = t6end
                             case "stco" if t6end - f6 >= 8 =>
                               val n = readBe32(b, f6 + 4)
                               if (n >= 0 && t6end - f6 >= 8 + 4L * n) {
@@ -851,6 +1393,19 @@ object MediaCodecs {
     val bytesPerSample = 2L * channels
     if (uniformSize != 0 && uniformSize != bytesPerSample) return None
     if (stszCount != totalSamples) return None
+    if (uniformSize == 0) {
+      // per-sample size table present: the fixed-stride chunk walk below is
+      // only valid when EVERY entry equals bytesPerSample — verify, else
+      // fall back loudly (None) per the documented policy
+      if (stszEntriesOff < 0 || stszEnd - stszEntriesOff < 4L * stszCount)
+        return None
+      var k = 0L
+      while (k < stszCount) {
+        val sz = readBe32(b, (stszEntriesOff + 4 * k).toInt).toLong & 0xffffffffL
+        if (sz != bytesPerSample) return None
+        k += 1
+      }
+    }
     var sum = 0L
     var sumsq = 0L
     var read = 0L
@@ -898,14 +1453,17 @@ object MediaCodecs {
     else None
 
   /** REAL content decode where the container carries samples we can read
-    * without an external codec: grayscale PNG pixels ([[decodePngGray]])
-    * and 16-bit PCM WAV samples ([[decodeWavSamples]]). None for
-    * header-only containers (JPEG marker streams, MP4 ftyp+moov) and
-    * unknown payloads — those remain metadata-only.
+    * without an external codec: grayscale PNG pixels ([[decodePngGray]]),
+    * baseline grayscale JPEG pixels ([[decodeJpegGray]] — full Huffman +
+    * IDCT), 16-bit PCM WAV samples ([[decodeWavSamples]]) and MP4 'twos'
+    * PCM sound tracks ([[decodeMp4Pcm]]). None for header-only payloads
+    * (legacy JPEG marker streams, MP4 ftyp+moov) and unknown blobs —
+    * those remain metadata-only.
     */
   def decodeContent(payload: Array[Byte]): Option[ContentStats] =
     if (payload == null || payload.length < 12) None
     else if (isPng(payload)) decodePngGray(payload)
+    else if (isJpeg(payload)) decodeJpegGray(payload)
     else if (isWav(payload)) decodeWavSamples(payload)
     else if (isMp4(payload)) decodeMp4Pcm(payload)
     else None

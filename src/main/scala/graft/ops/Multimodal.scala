@@ -10,10 +10,11 @@ import graft.core.Hashing
   * feature-extract / resize / frame-sample operators.
   *
   * Decode status by modality:
-  *  - image: REAL — [[attachRealMedia]] synthesizes spec-valid PNGs and
-  *    JPEG marker streams, and `graft.functions.media_meta` parses their
-  *    actual headers (PNG IHDR / JPEG SOF walk, [[MediaCodecs]]); no
-  *    codec library needed for dimensions.
+  *  - image: REAL — [[attachRealMedia]] synthesizes spec-valid PNGs
+  *    (even ids) and FULL baseline JPEGs (odd ids — real FDCT +
+  *    Huffman entropy coding, [[MediaCodecs.encodeJpegGray]]), and
+  *    `graft.functions.media_meta` parses their actual headers (PNG
+  *    IHDR / JPEG SOF walk, [[MediaCodecs]]); no codec library needed.
   *  - audio: REAL — valid 16-bit PCM WAV synthesis + RIFF chunk parse
   *    (channels, duration from data size / byte rate).
   *  - video: REAL header parse (ISO BMFF box walk — ftyp, moov -> mvhd
@@ -26,12 +27,13 @@ import graft.core.Hashing
   *    never silent.
   * Feature extraction ([[extractFeatures]]) is REAL for payloads whose
   * sample content is readable — grayscale PNG (Inflater + scanline
-  * unfilter), 16-bit PCM WAV (LE sample reads), and MP4 PCM sound
+  * unfilter), baseline grayscale JPEG (Huffman decode + dequant +
+  * IDCT), 16-bit PCM WAV (LE sample reads), and MP4 PCM sound
   * tracks — via `MediaCodecs.decodeContent`, emitting exact statistics
-  * of the decoded samples. What remains fake and declared as such: the
-  * feature tail for JPEG payloads (header-only marker streams carry no
-  * samples) and compressed VIDEO frame pixels (an entropy decoder is
-  * out of scope offline; the MP4s' video trak stays tkhd-only), plus
+  * of the decoded samples. What remains fake and declared as such:
+  * compressed VIDEO frame pixels only (a motion/video entropy decoder
+  * is out of scope offline; the MP4s' video trak stays tkhd-only while
+  * their SOUND track is fully decoded), plus
   * the legacy length-derived [[decode_meta]] (kept as the schema
   * template / for payloads that are not real containers). The rest of
   * the surface is
@@ -141,11 +143,12 @@ object Multimodal {
     * buffered BATCH of payloads (here 64) per invocation, amortizing model
     * dispatch, and emits fixed-width 8-float vectors.
     *
-    * REAL where the payload's samples are readable (grayscale PNG pixels,
-    * PCM WAV samples — `MediaCodecs.decodeContent`): features are exact
+    * REAL where the payload's samples are readable (grayscale PNG and
+    * baseline JPEG pixels, WAV and MP4-PCM samples —
+    * `MediaCodecs.decodeContent`): features are exact
     * statistics of the DECODED samples
     * `[mean, rms, variance, log1p(n), 0, 0, 0, 1]` (tag 1 = real).
-    * FAKE (declared) elsewhere — JPEG/MP4 header payloads and opaque
+    * FAKE (declared) elsewhere — header-only payloads and opaque
     * blobs get the deterministic XXH64-derived vector with tag 0, so
     * tests can assert exact plumbing behavior for every input and
     * consumers can filter on the honesty tag.

@@ -53,6 +53,66 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeMeta(injected) === Some(MediaMeta("jpeg", 99, 55, 3, 0L)))
   }
 
+  test("JPEG baseline codec: ImageIO-decodable, block-constant EXACT, lossy bounded, corrupt -> None") {
+    import javax.imageio.ImageIO
+    // block-constant image (the synth formula): EXACT round trip
+    val id = 123L
+    val (w, h) = (141, 99) // deliberately not multiples of 8
+    val flatPix = (x: Int, y: Int) => ((id + (y >> 3)) % 256).toInt
+    val jpg = MediaCodecs.encodeJpegGray(w, h, flatPix)
+    // meta parse: full JPEG still walks to SOF0 (1 component now)
+    assert(MediaCodecs.decodeMeta(jpg) === Some(MediaMeta("jpeg", w, h, 1, 0L)))
+    val st = MediaCodecs.decodeJpegGray(jpg).get
+    val expSum = w.toLong * (0 until h).map(y => (id + y / 8) % 256).sum
+    val expSq = w.toLong * (0 until h).map { y =>
+      val v = (id + y / 8) % 256; v * v
+    }.sum
+    assert(st === MediaCodecs.ContentStats("jpeg", w.toLong * h, expSum, expSq))
+    assert(MediaCodecs.decodeContent(jpg) === Some(st), "dispatch covers JPEG")
+    // independent decoder: the JDK's ImageIO reads the same pixels
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    assert(img != null && img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRaster.getSample(x, y, 0) === flatPix(x, y), s"($x,$y)")
+
+    // general (non-flat) image: lossy but REAL — our decoder agrees with
+    // ImageIO within the per-sample IDCT tolerance (T.81 allows +-1),
+    // and both sit near the source within the quantization error
+    val genPix = (x: Int, y: Int) => ((x * 31 + y * 17 + (x * y) % 7) % 256)
+    val jpg2 = MediaCodecs.encodeJpegGray(60, 45, genPix)
+    val img2 = ImageIO.read(new java.io.ByteArrayInputStream(jpg2))
+    assert(img2 != null && img2.getWidth === 60 && img2.getHeight === 45)
+    // recover our decoder's pixel values via per-pixel stats: decode a
+    // 1-pixel crop is not exposed, so compare aggregate moments instead
+    val st2 = MediaCodecs.decodeJpegGray(jpg2).get
+    var ioSum = 0L
+    var ioSq = 0L
+    var srcSum = 0L
+    for (y <- 0 until 45; x <- 0 until 60) {
+      val v = img2.getRaster.getSample(x, y, 0)
+      ioSum += v; ioSq += v.toLong * v; srcSum += genPix(x, y)
+    }
+    val n2 = 60 * 45
+    assert(math.abs(st2.sum - ioSum) <= n2,
+      s"ours=${st2.sum} imageio=$ioSum (>1/pixel apart)")
+    assert(math.abs(st2.sum - srcSum).toDouble / n2 <= 8.0,
+      s"mean drift vs source too large: ours=${st2.sum} src=$srcSum")
+
+    // corruption is loud (None), never wrong stats or an exception
+    assert(MediaCodecs.decodeJpegGray(jpg.dropRight(30)) === None, "truncated scan")
+    val noDht = {
+      // remove the first DHT segment (FF C4): splice it out
+      val i = jpg.indexOfSlice(Array(0xff.toByte, 0xc4.toByte))
+      val len = ((jpg(i + 2) & 0xff) << 8) | (jpg(i + 3) & 0xff)
+      jpg.take(i) ++ jpg.drop(i + 2 + len)
+    }
+    assert(MediaCodecs.decodeJpegGray(noDht) === None, "missing DHT")
+    val progressive = jpg.clone()
+    val sofAt = progressive.indexOfSlice(Array(0xff.toByte, 0xc0.toByte))
+    progressive(sofAt + 1) = 0xc2.toByte // SOF2: out of baseline scope
+    assert(MediaCodecs.decodeJpegGray(progressive) === None, "non-baseline SOF")
+  }
+
   test("WAV: encoder output is spec-valid (javax.sound agrees), duration exact") {
     for ((ch, rate, samples) <- Seq((1, 8000, 8000), (2, 44100, 44100), (1, 8000, 12345))) {
       val bytes = MediaCodecs.encodeWav(ch, rate, samples)
@@ -207,6 +267,27 @@ class MediaCodecsSpec extends AnyFunSuite {
     val headerOnly = MediaCodecs.encodeMp4Header(64, 48, 100L)
     assert(MediaCodecs.decodeMp4Pcm(headerOnly) === None)
     assert(MediaCodecs.decodeMeta(headerOnly).isDefined)
+
+    // PER-SAMPLE stsz table (sample_size == 0): entries all equal to the
+    // PCM stride decode identically to the uniform encoding
+    val varTable = MediaCodecs.encodeMp4(64, 48, 100L,
+      j => (j * 37 % 1000 - 500).toShort, variableStsz = true)
+    assert(MediaCodecs.decodeMp4Pcm(varTable) === Some(st))
+    // a variable-size entry breaks the fixed-stride walk -> None, never
+    // silently wrong stats (entry k: payload = ver/flags(4) + size(4) +
+    // count(4) + 4 bytes each)
+    val varBad = varTable.clone()
+    val stszAt = findAscii(varBad, "stsz")
+    assert(stszAt > 0)
+    varBad(stszAt + 4 + 12 + 4 * 10 + 3) = 4.toByte // 10th entry: 2 -> 4
+    assert(MediaCodecs.decodeMp4Pcm(varBad) === None)
+    // sample_size patched to 0 WITHOUT an entry table -> None (the old
+    // code assumed the uniform stride and decoded anyway)
+    val noTable = mp4.clone()
+    val uStszAt = findAscii(noTable, "stsz")
+    assert(uStszAt > 0)
+    noTable(uStszAt + 4 + 4 + 3) = 0.toByte // uniform size 2 -> 0
+    assert(MediaCodecs.decodeMp4Pcm(noTable) === None)
   }
 
   test("media_encode rejects audio durations whose sample count would wrap") {
@@ -364,6 +445,18 @@ class MediaCodecsSpec extends AnyFunSuite {
       }.sum
       assert(MediaCodecs.decodePngGray(png) ===
         Some(MediaCodecs.ContentStats("png", w.toLong * h, expSum, expSq)), s"png id=$id")
+
+      // odd variant -> full baseline JPEG, pixel(x,y) = (v + y/8) % 256
+      val v = id * 2 + 1
+      val jpg = graft.expr.MediaKernels.encode(UTF8String.fromString("image"),
+        v, w, h, 0L)
+      val expJSum = w.toLong * (0 until h).map(y => (v + y / 8) % 256).sum
+      val expJSq = w.toLong * (0 until h).map { y =>
+        val p = (v + y / 8) % 256; p * p
+      }.sum
+      assert(MediaCodecs.decodeJpegGray(jpg) ===
+        Some(MediaCodecs.ContentStats("jpeg", w.toLong * h, expJSum, expJSq)),
+        s"jpeg id=$id")
 
       val ms = 1000L + (id * 31) % 60000L
       val n = ms * 8

@@ -957,7 +957,7 @@ class OpsSpec extends SparkTestBase {
     assert(frames.select("media_id").distinct().count() === videoIds)
   }
 
-  test("multimodal REAL features: decoded-sample statistics for PNG/WAV/MP4, tagged fake elsewhere") {
+  test("multimodal REAL features: decoded-sample statistics for ALL FOUR container formats") {
     val media = Multimodal.attachRealMedia(docs, "doc_id").as[Multimodal.MediaRow]
     val feats = Multimodal.extractFeatures(media, batchSize = 16)
       .collect().map(f => f.media_id -> f.feature).toMap
@@ -965,38 +965,49 @@ class OpsSpec extends SparkTestBase {
     assert(feats.keySet === payloads.keySet)
     payloads.foreach { case (id, (kind, payload)) =>
       val f = feats(id)
-      MediaCodecs.decodeContent(payload) match {
-        case Some(s) =>
-          // real path: exact statistics of the DECODED samples, tag 1 —
-          // audio (WAV PCM), video (MP4 'twos' PCM sound track through
-          // the real sample tables), and even-id images (PNG pixels)
-          assert(kind === "audio" || kind === "video" ||
-            (kind == "image" && id % 2 == 0))
-          val mean = s.sum.toDouble / s.n
-          assert(f(0) === mean.toFloat, s"mean id=$id")
-          assert(f(1) === math.sqrt(s.sumsq.toDouble / s.n).toFloat, s"rms id=$id")
-          assert(f(2) === (s.sumsq.toDouble / s.n - mean * mean).toFloat, s"var id=$id")
-          assert(f(3) === math.log1p(s.n.toDouble).toFloat && f(7) === 1f)
-          // MP4 samples follow the same formula as WAV at the same n:
-          // sample(j) = (id % 64) + (j % 16) over n = duration_ms * 8
-          if (kind == "video") {
-            val n = s.n
-            val base = id % 64
-            val per = n / 16
-            val rem = n % 16
-            val expSum = (0 until 16).map(r =>
-              (per + (if (r < rem) 1L else 0L)) * (base + r)).sum
-            assert(s.sum === expSum, s"mp4 sum id=$id")
-          }
-        case None =>
-          // JPEG header payloads: the remaining declared fake, tag 0
-          assert(kind == "image" && id % 2 == 1)
-          assert(f(7) === 0f)
+      // EVERY attachRealMedia payload decodes now (PNG, baseline JPEG,
+      // WAV PCM, MP4 'twos' PCM sound track): exact stats, tag 1
+      val s = MediaCodecs.decodeContent(payload)
+        .getOrElse(fail(s"payload id=$id kind=$kind did not decode"))
+      val mean = s.sum.toDouble / s.n
+      assert(f(0) === mean.toFloat, s"mean id=$id")
+      assert(f(1) === math.sqrt(s.sumsq.toDouble / s.n).toFloat, s"rms id=$id")
+      assert(f(2) === (s.sumsq.toDouble / s.n - mean * mean).toFloat, s"var id=$id")
+      assert(f(3) === math.log1p(s.n.toDouble).toFloat && f(7) === 1f)
+      // MP4 samples follow the same formula as WAV at the same n:
+      // sample(j) = (id % 64) + (j % 16) over n = duration_ms * 8
+      if (kind == "video") {
+        val n = s.n
+        val base = id % 64
+        val per = n / 16
+        val rem = n % 16
+        val expSum = (0 until 16).map(r =>
+          (per + (if (r < rem) 1L else 0L)) * (base + r)).sum
+        assert(s.sum === expSum, s"mp4 sum id=$id")
+      }
+      // JPEG (odd-id images): the lossy codec is EXACT on the
+      // block-constant synth — decoded sum equals the closed form
+      // pixel(x, y) = (id + y/8) % 256 over the w x h crop
+      if (kind == "image" && id % 2 == 1) {
+        val w = 32 + (id * 7919 % 608)
+        val h = 32 + (id * 4241 % 448)
+        assert(s.n === w * h, s"jpeg n id=$id")
+        val expSum = w * (0L until h).map(y => (id + y / 8) % 256).sum
+        val expSq = w * (0L until h).map { y =>
+          val v = (id + y / 8) % 256; v * v
+        }.sum
+        assert(s.sum === expSum && s.sumsq === expSq, s"jpeg stats id=$id")
       }
     }
-    // both branches are exercised somewhere in the corpus
-    assert(payloads.count { case (_, (_, p)) => MediaCodecs.decodeContent(p).isDefined } > 0)
-    assert(payloads.count { case (_, (_, p)) => MediaCodecs.decodeContent(p).isEmpty } > 0)
+    // the tag-0 (fake) path still exists for payloads that are NOT real
+    // containers — an opaque blob must keep the honesty tag honest
+    val opaque = Multimodal.MediaRow(999L, "image",
+      "not a container".getBytes("UTF-8"), "synthetic")
+    val fOpaque = Multimodal.extractFeatures(
+      spark.createDataset(Seq(opaque))(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]))
+      .collect().head.feature
+    assert(fOpaque(7) === 0f)
   }
 
   // -------------------------------------------------------- semantic dedup
