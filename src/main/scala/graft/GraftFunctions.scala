@@ -213,6 +213,30 @@ object functions {
 
   def kmv_describe(sketch: Column): Column = toCol(KmvDescribe(toExpr(sketch)))
 
+  /** KMV distinct-sample-with-payload: bottom-k on the key hash carrying
+    * a string payload per retained key — uniform distinct-sample +
+    * cardinality estimate in ONE pass. Sample and estimate are EXACT
+    * below k.
+    */
+  def kmv_sample_agg(key: Column, payload: Column, k: Int): Column =
+    toCol(KmvSampleAgg(AbloomKeyHash(toExpr(key)), toExpr(payload), lit(k))
+      .toAggregateExpression())
+  def kmv_sample_agg(key: Column, payload: Column): Column =
+    kmv_sample_agg(key, payload, graft.core.Kmv.DefaultK)
+
+  def kmv_sample_union_agg(sketches: Column): Column =
+    toCol(KmvSampleUnionAgg(toExpr(sketches)).toAggregateExpression())
+
+  def kmv_sample_estimate(sketch: Column): Column =
+    toCol(KmvSampleEstimate(toExpr(sketch)))
+
+  /** The retained sample payloads, ascending by key hash. */
+  def kmv_sample_values(sketch: Column): Column =
+    toCol(KmvSampleValues(toExpr(sketch)))
+
+  def kmv_sample_describe(sketch: Column): Column =
+    toCol(KmvSampleDescribe(toExpr(sketch)))
+
   /** Count-min frequency sketch: estimate in [true, true + eps*N] w.p. 1-delta. */
   def cms_agg(key: Column, eps: Double, delta: Double): Column =
     toCol(CmsAgg(AbloomKeyHash(toExpr(key)), lit(eps), lit(delta))

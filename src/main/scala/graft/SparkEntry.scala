@@ -802,6 +802,48 @@ object SparkEntry {
         .toDF("n_cust_hi", "n_cust_overlap", "n_cust_union", "kmv_saturated_ok")
     },
 
+    // KMV distinct-sample-with-payload under the gate: ONE aggregation
+    // pass per nation yields the distinct-customer count AND a uniform
+    // sample of the customer keys. k is sized above every group's
+    // distinct count, so the sketches stay unsaturated: estimate is
+    // exact and the sample is ALL distinct keys — DuckDB recomputes
+    // both value-exactly. The SATURATED regime is verified Spark-side:
+    // a small-k sketch's sample must equal the k smallest key hashes
+    // recomputed independently with the same kernel (boolean column).
+    "kmv_distinct_sample" -> { (s, dir) =>
+      val cust = table(s, dir, "customer")
+      val maxPer = cust.groupBy(col("c_nationkey"))
+        .agg(countDistinct(col("c_custkey")).as("d"))
+        .agg(max(col("d"))).head().getLong(0)
+      val kExact = math.max(graft.core.Kmv.MinK.toLong,
+        math.min(maxPer + 16, graft.core.Kmv.MaxK.toLong)).toInt
+      // saturated check: bottom-64 of ALL distinct custkeys, recomputed
+      // with the same abloom_key_hash in unsigned order (sign-bit XOR
+      // makes the signed sort unsigned)
+      val smallK = 64
+      val satBlob = cust
+        .agg(kmv_sample_agg(col("c_custkey"), col("c_custkey").cast("string"), smallK))
+        .head().getAs[Array[Byte]](0)
+      val sat = graft.core.KmvSample.fromBytes(satBlob)
+      val expect = cust.select(col("c_custkey").as("k")).distinct()
+        .select(col("k"), graft.functions.abloom_key_hash(col("k")).as("h"))
+        .orderBy(col("h").bitwiseXOR(lit(Long.MinValue)))
+        .limit(smallK).collect()
+        .map(_.get(0).toString).toSet
+      val satOk = sat.isSaturated &&
+        sat.payloads.map(p =>
+          new String(p, java.nio.charset.StandardCharsets.UTF_8)).toSet == expect
+      cust.groupBy(col("c_nationkey"))
+        .agg(kmv_sample_agg(
+          col("c_custkey"), col("c_custkey").cast("string"), kExact).as("s"))
+        .select(
+          col("c_nationkey"),
+          kmv_sample_estimate(col("s")).as("n_distinct"),
+          concat_ws(",", array_sort(kmv_sample_values(col("s")))).as("sample_csv"),
+          lit(satOk).as("saturated_sample_is_bottomk"))
+        .orderBy(col("c_nationkey"))
+    },
+
     // CMS INNER PRODUCT = equi-join cardinality estimate (Cormode &
     // Muthukrishnan 2005 §4.2): |clicks JOIN purchases ON user_id| from
     // two count-min sketches built in ONE conditional-aggregation pass.
@@ -845,7 +887,12 @@ object SparkEntry {
           col("n_distinct"), col("distinct_is_exact"),
           col("min_value"), col("max_value"),
           when(col("column") === "event_type", col("top_value")).as("top_value"),
-          when(col("column") === "event_type", col("top_count_lb")).as("top_count"))
+          when(col("column") === "event_type", col("top_count_lb")).as("top_count"),
+          // exact regime (k sized above the row count): the profiler's
+          // distinct-sample is ALL distinct values — value-exact for the
+          // small column, null'd for the wide one (CSV would be huge)
+          when(col("column") === "event_type",
+            concat_ws(",", col("sample_values"))).as("sample_csv"))
         .orderBy(col("col_name"))
     },
 
@@ -1833,6 +1880,16 @@ object SparkEntry {
         |  CAST((SELECT count(DISTINCT o_custkey) FROM orders) AS BIGINT)
         |    AS n_cust_union,
         |  CAST(1 AS BOOLEAN) AS kmv_saturated_ok""".stripMargin,
+    // exact regime: the sketch's sample is ALL distinct custkeys per
+    // nation — value-exact against an independent DISTINCT recompute
+    "kmv_distinct_sample" ->
+      """WITH d AS (SELECT DISTINCT c_nationkey, c_custkey FROM customer)
+        |SELECT c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  string_agg(CAST(c_custkey AS VARCHAR), ','
+        |             ORDER BY CAST(c_custkey AS VARCHAR)) AS sample_csv,
+        |  CAST(1 AS BOOLEAN) AS saturated_sample_is_bottomk
+        |FROM d GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "cms_join_size" ->
       """SELECT CAST((SELECT count(*)
         |  FROM (SELECT user_id FROM events WHERE event_type = 'click') c
@@ -1852,7 +1909,9 @@ object SparkEntry {
         |   ORDER BY count(*) DESC, event_type LIMIT 1) AS top_value,
         |  CAST((SELECT count(*) FROM events GROUP BY event_type
         |        ORDER BY count(*) DESC, event_type LIMIT 1) AS BIGINT)
-        |    AS top_count
+        |    AS top_count,
+        |  (SELECT string_agg(event_type, ',' ORDER BY event_type)
+        |   FROM (SELECT DISTINCT event_type FROM events)) AS sample_csv
         |FROM events
         |UNION ALL
         |SELECT 'user_id',
@@ -1862,7 +1921,7 @@ object SparkEntry {
         |  CAST(1 AS BOOLEAN),
         |  CAST(min(user_id) AS VARCHAR),
         |  CAST(max(user_id) AS VARCHAR),
-        |  NULL, CAST(NULL AS BIGINT)
+        |  NULL, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
         |FROM events
         |ORDER BY col_name""".stripMargin,
     "text_top_tokens" ->

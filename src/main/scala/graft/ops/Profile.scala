@@ -25,15 +25,19 @@ case class ColumnProfile(
     top_value: String,
     top_count_lb: Long,
     top_count_ub: Long,
-    p50: Option[Double])
+    p50: Option[Double],
+    sample_values: Seq[String])
 
 /** One-pass table profiling — the "describe this 100 TB table"
   * primitive, composing the library's sketch families into a single
   * aggregation job:
   *
   *  - null counts and min/max: exact conditional aggregates;
-  *  - distinct counts: KMV bottom-k — EXACT below k (flagged), bounded
-  *    estimate above;
+  *  - distinct counts AND a uniform distinct-sample: ONE KMV
+  *    distinct-sample-with-payload sketch per column — EXACT below k
+  *    (flagged; the sample is then ALL distinct values), a bounded
+  *    estimate plus a uniform k-sample above. `sample_values` is
+  *    sorted lexicographically for determinism;
   *  - heavy value: Misra-Gries with deterministic count interval;
   *  - median: t-digest (numeric columns).
   *
@@ -70,7 +74,8 @@ object Profile {
       val cc = col(c)
       val key = if (hashable(df.schema(c).dataType)) cc else cc.cast("string")
       aggs += sum(when(cc.isNull, 1L).otherwise(0L)).as(s"__nulls_$c")
-      aggs += kmv_agg(key, distinctK).as(s"__kmv_$c")
+      // one sketch carries BOTH the distinct estimate and the sample
+      aggs += kmv_sample_agg(key, cc.cast("string"), distinctK).as(s"__kmv_$c")
       aggs += min(cc).cast("string").as(s"__min_$c")
       aggs += max(cc).cast("string").as(s"__max_$c")
       aggs += mg_agg(cc.cast("string"), heavyK).as(s"__mg_$c")
@@ -80,7 +85,7 @@ object Profile {
 
     val nRows = row.getAs[Long]("__n")
     val out = cols.map { c =>
-      val kmv = graft.core.Kmv.fromBytes(row.getAs[Array[Byte]](s"__kmv_$c"))
+      val kmv = graft.core.KmvSample.fromBytes(row.getAs[Array[Byte]](s"__kmv_$c"))
       val mg = graft.core.MisraGries.fromBytes(row.getAs[Array[Byte]](s"__mg_$c"))
       val top = mg.topK(1).headOption
       val p50 =
@@ -100,7 +105,10 @@ object Profile {
         top_value = top.map(_._1).orNull,
         top_count_lb = top.map(_._2).getOrElse(0L),
         top_count_ub = top.map(_._3).getOrElse(0L),
-        p50 = p50)
+        p50 = p50,
+        sample_values = kmv.payloads
+          .map(p => new String(p, java.nio.charset.StandardCharsets.UTF_8))
+          .toSeq.sorted)
     }
     val spark = df.sparkSession
     import spark.implicits._

@@ -100,6 +100,16 @@ object Registry {
     },
     "kmv_union_agg" -> { args => KmvUnionAgg(args.head) },
     "kmv_estimate" -> { args => KmvEstimate(args.head) },
+    "kmv_sample_agg" -> { args =>
+      require(args.size >= 2, "kmv_sample_agg(key, payload[, k])")
+      val k = if (args.size > 2) args(2)
+        else org.apache.spark.sql.catalyst.expressions.Literal(graft.core.Kmv.DefaultK)
+      KmvSampleAgg(AbloomKeyHash(args(0)), args(1), k)
+    },
+    "kmv_sample_union_agg" -> { args => KmvSampleUnionAgg(args.head) },
+    "kmv_sample_estimate" -> { args => KmvSampleEstimate(args.head) },
+    "kmv_sample_values" -> { args => KmvSampleValues(args.head) },
+    "kmv_sample_describe" -> { args => KmvSampleDescribe(args.head) },
     "kmv_intersect_estimate" -> { args =>
       require(args.size == 2, "kmv_intersect_estimate(a, b)")
       KmvIntersectEstimate(args(0), args(1))

@@ -294,4 +294,80 @@ class SketchSparkSpec extends SparkTestBase {
     val e = Seq(sa).toDF("s").select(kmv_estimate(col("s"))).head.getLong(0)
     assert(e === math.round(graft.core.Kmv.fromBytes(sa).estimate))
   }
+
+  test("kmv_sample_agg: distributed == driver (byte-identical); exact sample below k") {
+    val n = 8000
+    val df = (0 until n).map(i => s"user${i % 900}").toDF("k")
+    val bytes = df.repartition(7)
+      .agg(kmv_sample_agg(col("k"), col("k"), 2048)).head.getAs[Array[Byte]](0)
+    val driver = graft.core.KmvSample.empty(2048)
+    (0 until n).foreach { i =>
+      val v = s"user${i % 900}"
+      driver.add(Hashing.hashString(v), v.getBytes("UTF-8"))
+    }
+    assert(java.util.Arrays.equals(bytes, driver.toBytes))
+    // partition-invariant; union of grouped partials == whole build
+    val other = df.repartition(3)
+      .agg(kmv_sample_agg(col("k"), col("k"), 2048)).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(other, bytes))
+    val unioned = df.withColumn("g", col("k").substr(5, 1))
+      .groupBy("g").agg(kmv_sample_agg(col("k"), col("k"), 2048).as("s"))
+      .agg(kmv_sample_union_agg(col("s"))).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(unioned, bytes))
+    // exact regime: estimate == countDistinct, sample == ALL distinct
+    val row = Seq(bytes).toDF("s").select(
+      kmv_sample_estimate(col("s")).as("e"),
+      kmv_sample_values(col("s")).as("v"),
+      kmv_sample_describe(col("s")).getField("saturated").as("sat")).head
+    assert(row.getLong(0) === 900L)
+    assert(!row.getBoolean(2))
+    assert(row.getSeq[String](1).toSet === (0 until 900).map(i => s"user$i").toSet)
+  }
+
+  test("kmv_sample saturated: sample == independently recomputed bottom-k; nulls skipped") {
+    val df = ((0L until 5000L).map(i => Some(i)) :+ None)
+      .toDF("k").repartition(5)
+    val k = 128
+    val blob = df.agg(kmv_sample_agg(col("k"), col("k").cast("string"), k))
+      .head.getAs[Array[Byte]](0)
+    val s = graft.core.KmvSample.fromBytes(blob)
+    assert(s.isSaturated && s.size === k)
+    // recompute the k smallest key hashes with the SAME kernel, in
+    // unsigned order (sign-bit XOR turns the signed sort unsigned)
+    val expect = df.na.drop().distinct()
+      .select(col("k"), abloom_key_hash(col("k")).as("h"))
+      .orderBy(col("h").bitwiseXOR(lit(Long.MinValue)))
+      .limit(k).collect().map(_.getLong(0).toString).toSet
+    assert(s.payloads.map(p => new String(p, "UTF-8")).toSet === expect)
+    // null payloads are skipped like null keys
+    val np = Seq((1L, Some("a")), (2L, None), (3L, Some("c")))
+      .toDF("k", "p")
+      .agg(kmv_sample_agg(col("k"), col("p"), 16)).head.getAs[Array[Byte]](0)
+    assert(graft.core.KmvSample.fromBytes(np).size === 2)
+  }
+
+  test("kmv_sample SQL surface + hoist rule keeps the update path a getLong") {
+    graft.sql.Registry.register(spark)
+    (0 until 1000).map(i => s"u${i % 50}").toDF("k")
+      .createOrReplaceTempView("kmvs_in")
+    val row = spark.sql(
+      """SELECT kmv_sample_estimate(s) AS e,
+        |       size(kmv_sample_values(s)) AS nv,
+        |       kmv_sample_describe(s).k AS kk
+        |FROM (SELECT kmv_sample_agg(k, k, 64) AS s FROM kmvs_in)""".stripMargin)
+      .head
+    assert(row.getLong(0) === 50L && row.getInt(1) === 50 && row.getInt(2) === 64)
+    // the hoist rule moves abloom_key_hash below the Aggregate: the agg's
+    // key child must be a plain attribute in the optimized plan
+    val agg = spark.sql("SELECT kmv_sample_agg(k, k, 64) FROM kmvs_in")
+    val hoisted = agg.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.exists(_.exists {
+          case ks: KmvSampleAgg =>
+            ks.child.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute]
+          case _ => false
+        })
+    }
+    assert(hoisted.contains(true), "abloom_key_hash not hoisted")
+  }
 }

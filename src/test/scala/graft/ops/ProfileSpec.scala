@@ -33,13 +33,20 @@ class ProfileSpec extends SparkTestBase {
     assert(score.getLong(2) === 1L && score.getLong(3) === 4L)
     assert(!score.isNullAt(10) && math.abs(score.getDouble(10) - 2.5) < 1.5)
     assert(rows("name").isNullAt(10))                         // p50 numeric-only
+    // exact regime: the distinct-sample is ALL distinct values, sorted
+    assert(name.getSeq[String](11) === Seq("alpha", "beta"))
+    assert(id.getSeq[String](11) === Seq("1", "2", "3", "4", "5"))
   }
 
-  test("saturated distinct flags itself; estimate within RSE") {
+  test("saturated distinct flags itself; estimate within RSE; sample is k values") {
     val wide = (0 until 5000).map(i => s"v$i").toDF("v")
     val r = Profile.profile(wide, distinctK = 64).head()
     assert(!r.getBoolean(4), "must flag saturation")
     assert(math.abs(r.getLong(3) - 5000L) <= 4.0 / math.sqrt(62.0) * 5000)
+    // saturated: the sample is exactly k real values from the column
+    val sample = r.getSeq[String](11)
+    assert(sample.size === 64 && sample.forall(_.startsWith("v")))
+    assert(sample === sample.sorted)
   }
 
   test("non-hashable column types profile their string form") {
