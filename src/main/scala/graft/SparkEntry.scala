@@ -1592,6 +1592,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // INCREMENTAL duplicate-substring screen: the corpus's window-hash
+    // state is built ONCE (one row per distinct 40-char substring with a
+    // min-(id,pos) witness), then a NEW ingest batch is screened against
+    // the state — corpus text consulted only for witness verification.
+    // The batch = re-ingested docs with a novel suffix (every original
+    // window must report as duplicate-of-corpus; the suffix must not)
+    // plus reversed-text docs (no 40-char overlap). DuckDB recomputes
+    // the coverage from first principles: distinct corpus substrings
+    // joined against every new-doc window, sweep-line interval union.
+    "dedup_substrings_incremental" -> { (s, dir) =>
+      val corpus = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val off = corpus.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val newBatch = corpus.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + off)
+        .withColumn("text", concat(col("text"),
+          lit(" GRAFT NOVEL SUFFIX 2026 incremental ingest marker not in corpus")))
+        .unionByName(corpus.filter(col("doc_id") % 8 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(2) * off)
+          .withColumn("text", reverse(col("text"))))
+      val state = graft.ops.Dedup.substringState(
+        corpus, "text", "doc_id", window = 40)
+      graft.ops.Dedup.duplicateSpansAgainst(
+          newBatch, state, corpus, "text", "doc_id", window = 40)
+        .orderBy(col("doc_id"))
+    },
+
     // The ACTIONABLE half: remove all-but-canonical occurrences of every
     // duplicated 40-char substring. Byte-auditable like text_redact —
     // the oracle reconstructs the masked text character by character
@@ -2511,6 +2537,60 @@ object SparkEntry {
         |  COALESCE(dup_chars, 0) AS dup_chars,
         |  COALESCE(max_dup_run, 0) AS max_dup_run,
         |  COALESCE(dup_chars, 0) * 5 > b.n_chars AS substr_reject
+        |FROM base b LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // incremental screen recomputed from first principles: DISTINCT
+    // corpus 40-substrings joined against every new-batch window, then
+    // the same gaps-and-islands interval union as dedup_substrings
+    "dedup_substrings_incremental" ->
+      """WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+        |newb AS (
+        |  SELECT doc_id + (SELECT o FROM off) AS doc_id,
+        |    text || ' GRAFT NOVEL SUFFIX 2026 incremental ingest marker not in corpus' AS text
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2 * (SELECT o FROM off), reverse(text)
+        |  FROM documents WHERE doc_id % 8 = 0),
+        |cw AS (
+        |  SELECT DISTINCT substr(text, CAST(p AS BIGINT), 40) AS s
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 40 + 2)) AS p
+        |        FROM documents WHERE length(text) >= 40)),
+        |npos AS (
+        |  SELECT doc_id, unnest(range(1, length(text) - 40 + 2)) AS p
+        |  FROM newb WHERE length(text) >= 40),
+        |nsub AS (
+        |  SELECT npos.doc_id, p, substr(n.text, CAST(p AS BIGINT), 40) AS s
+        |  FROM npos JOIN newb n ON npos.doc_id = n.doc_id),
+        |dup AS (SELECT doc_id, p FROM nsub JOIN cw USING (s)),
+        |cov AS (
+        |  SELECT doc_id, p,
+        |    lead(p) OVER w AS np,
+        |    CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 40
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM dup
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        |isl AS (
+        |  SELECT doc_id, p, np,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |                   ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM cov),
+        |isl2 AS (
+        |  SELECT doc_id, p, np,
+        |    min(p) OVER (PARTITION BY doc_id, island) AS ist
+        |  FROM isl),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+        |    CAST(sum(CASE WHEN np IS NULL THEN 40
+        |                  ELSE least(40, np - p) END) AS BIGINT) AS dup_chars,
+        |    CAST(max(p - ist + 40) AS BIGINT) AS max_dup_run
+        |  FROM isl2 GROUP BY doc_id),
+        |base AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+        |         FROM newb)
+        |SELECT b.doc_id, b.n_chars,
+        |  greatest(b.n_chars - 39, 0) AS n_windows,
+        |  COALESCE(n_dup_windows, 0) AS n_dup_windows,
+        |  COALESCE(dup_chars, 0) AS dup_chars,
+        |  COALESCE(max_dup_run, 0) AS max_dup_run
         |FROM base b LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 

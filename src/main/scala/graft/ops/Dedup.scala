@@ -1266,17 +1266,27 @@ object Dedup {
       window: Int,
       sampleMod: Int,
       hashSquash: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
     val dupPos = verifiedDupPositions(base, window, sampleMod, hashSquash)
       .select(col("__id"), col("__pos"))
-    // exact interval union of equal-length spans [pos, pos+window): each
-    // position covers min(window, nextPos - pos) new characters. The
-    // same per-document sort also yields gaps-and-islands: an island
-    // breaks when the gap to the previous position exceeds the window
-    // (spans no longer touch), and the longest island
-    // (max pos - island start + window) is the document's longest
-    // contiguous duplicated run — one window pass, one shuffle.
+    spanCoverage(base, dupPos, window, idCol)
+  }
+
+  /** Per-document coverage statistics from verified duplicate window
+    * positions: exact interval union of equal-length spans
+    * [pos, pos+window) — each position covers min(window, nextPos - pos)
+    * new characters. The same per-document sort also yields
+    * gaps-and-islands: an island breaks when the gap to the previous
+    * position exceeds the window (spans no longer touch), and the
+    * longest island (max pos - island start + window) is the document's
+    * longest contiguous duplicated run — one window pass, one shuffle.
+    */
+  private def spanCoverage(
+      base: DataFrame,
+      dupPos: DataFrame,
+      window: Int,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("__id")).orderBy(col("__pos"))
     val covered = dupPos
       .withColumn("__next", lead(col("__pos"), 1).over(byDoc))
@@ -1321,13 +1331,7 @@ object Dedup {
       s"window must be in [2, 1024], got $window")
     require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
     import org.apache.spark.sql.expressions.Window
-    val wh = base
-      .select(col("__id"),
-        graft.functions.window_hashes(col("__text"), window).as("__wh"))
-      .select(col("__id"), posexplode(col("__wh")).as(Seq("__pos", "__h")))
-    val sampled =
-      if (sampleMod > 1) wh.filter(pmod(col("__h"), lit(sampleMod.toLong)) === 0)
-      else wh
+    val sampled = windowHashTable(base, window, sampleMod)
     val keyed =
       if (hashSquash > 0)
         sampled.withColumn("__h", pmod(col("__h"), lit(hashSquash)))
@@ -1351,6 +1355,157 @@ object Dedup {
       .withColumn("__sc", count(lit(1)).over(Window.partitionBy(col("__sub"))))
       .filter(col("__sc") > 1)
       .select(col("__sub"), col("__id"), col("__pos"))
+  }
+
+  /** Exploded (id, pos, hash) window-hash table over `base`
+    * (__id, __text), content-keyed sampled: `pmod(hash, sampleMod) == 0`
+    * keeps the SAME windows on every side that uses the same modulus, so
+    * sampled screens stay lower bounds with no false positives.
+    */
+  private def windowHashTable(
+      base: DataFrame, window: Int, sampleMod: Int): DataFrame = {
+    val wh = base
+      .select(col("__id"),
+        graft.functions.window_hashes(col("__text"), window).as("__wh"))
+      .select(col("__id"), posexplode(col("__wh")).as(Seq("__pos", "__h")))
+    if (sampleMod > 1) wh.filter(pmod(col("__h"), lit(sampleMod.toLong)) === 0)
+    else wh
+  }
+
+  /** PIPELINE STATE for incremental duplicate-substring screening
+    * ([[duplicateSpansAgainst]]): one row per DISTINCT (window hash,
+    * window substring) in the corpus, carrying the canonical min-(id,
+    * pos) witness occurrence. Persist this table (parquet) and screen
+    * every subsequent ingest batch against it instead of rescanning the
+    * corpus.
+    *
+    * Why distinct-substring witnesses (not all positions, not one row
+    * per hash): a substring occurring a million times in the corpus
+    * costs ONE state row — the screen join cannot explode on heavy true
+    * duplicates; and keeping a witness per distinct SUBSTRING (not per
+    * hash) preserves exactness under 64-bit hash collisions inside the
+    * corpus, which a one-witness-per-hash state would turn into false
+    * negatives (at 10^12 windows, dozens of expected collisions).
+    *
+    * UPDATE RULE: window hashes are per-document independent, so
+    * `state(c1 UNION c2) ⊆ state(c1) UNION state(c2)` differs only in
+    * witness redundancy (the same substring may keep one witness per
+    * batch); screening results are IDENTICAL against either (verified
+    * positions are distinct-ed) — append the new batch's state and keep
+    * ingesting. Property-tested.
+    *
+    * Cost shape: one corpus scan; the groupBy shuffle carries window
+    * substrings (~window bytes x corpus windows) ONCE at state-build
+    * time, amortized over every later screen. `sampleMod > 1` divides
+    * both state size and shuffle by the modulus (lower-bound screens).
+    */
+  def substringState(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      window: Int = 40,
+      sampleMod: Int = 1): DataFrame =
+    substringStateImpl(df, textCol, idCol, window, sampleMod, hashSquash = 0L)
+
+  /** `hashSquash` test hook like [[duplicateSpansImpl]]'s: forces hash
+    * collisions to prove witness verification keeps the screen exact.
+    */
+  private[graft] def substringStateImpl(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      window: Int,
+      sampleMod: Int,
+      hashSquash: Long): DataFrame = {
+    require(window >= 2 && window <= 1024,
+      s"window must be in [2, 1024], got $window")
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+    val wh0 = windowHashTable(base, window, sampleMod)
+    val wh =
+      if (hashSquash > 0) wh0.withColumn("__h", pmod(col("__h"), lit(hashSquash)))
+      else wh0
+    wh.join(base, Seq("__id"))
+      .select(col("__h"), col("__id"), col("__pos"),
+        expr(s"substring(__text, __pos + 1, $window)").as("__sub"))
+      .groupBy(col("__h"), col("__sub"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__w"))
+      .select(col("__h").as("hash"),
+        col("__w.__id").as("corpus_id"),
+        col("__w.__pos").as("corpus_pos"))
+  }
+
+  /** Incremental duplicate-substring screen: coverage statistics (the
+    * [[duplicateSpans]] schema) for a NEW batch against an existing
+    * corpus via its persisted [[substringState]] — the corpus text is
+    * NOT re-hashed; it is only consulted to slice the witness substrings
+    * that candidate hash hits point at (exact verification, collision-
+    * proof like the batch operator).
+    *
+    * Within-batch duplicates are intentionally NOT counted (mirror of
+    * [[dedupAgainst]]): the screen answers "which spans of the new docs
+    * already exist in the corpus".
+    *
+    * Plan shape: new-batch window hashes equi-join the state on hash
+    * (state has one row per distinct corpus substring — no explosion on
+    * heavy duplicates); witness substrings are sliced for the DISTINCT
+    * (corpus_id, corpus_pos) pairs the candidates reference, one corpus
+    * fetch join; verified positions distinct-ed, then the single-window
+    * coverage pass. `sampleMod` must match the state's.
+    *
+    * Preconditions: unique non-null ids in the new batch; `corpus`
+    * must be the table the state was built from (same ids).
+    */
+  def duplicateSpansAgainst(
+      newDf: DataFrame,
+      state: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      window: Int = 40,
+      sampleMod: Int = 1): DataFrame =
+    duplicateSpansAgainstImpl(
+      newDf, state, corpus, textCol, idCol, window, sampleMod, hashSquash = 0L)
+
+  private[graft] def duplicateSpansAgainstImpl(
+      newDf: DataFrame,
+      state: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      window: Int,
+      sampleMod: Int,
+      hashSquash: Long): DataFrame = {
+    require(window >= 2 && window <= 1024,
+      s"window must be in [2, 1024], got $window")
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val base = newDf.select(col(idCol).as("__id"), col(textCol).as("__text"))
+    val wh0 = windowHashTable(base, window, sampleMod)
+    val wh =
+      if (hashSquash > 0) wh0.withColumn("__h", pmod(col("__h"), lit(hashSquash)))
+      else wh0
+    val cand = wh
+      .join(state, col("__h") === state("hash"))
+      .select(col("__id"), col("__pos"), col("corpus_id"), col("corpus_pos"))
+    // slice the new-side substrings for candidate positions only
+    val withNew = cand.join(base, Seq("__id"))
+      .select(col("__id"), col("__pos"), col("corpus_id"), col("corpus_pos"),
+        expr(s"substring(__text, __pos + 1, $window)").as("__nsub"))
+    // fetch witness substrings: one corpus-text consultation, restricted
+    // to the distinct (corpus_id, corpus_pos) pairs candidates reference
+    val cbase = corpus
+      .select(col(idCol).as("corpus_id"), col(textCol).as("__ctext"))
+    val witnesses = withNew.select(col("corpus_id"), col("corpus_pos"))
+      .distinct()
+      .join(cbase, Seq("corpus_id"))
+      .select(col("corpus_id"), col("corpus_pos"),
+        expr(s"substring(__ctext, corpus_pos + 1, $window)").as("__csub"))
+    val dupPos = withNew
+      .join(witnesses, Seq("corpus_id", "corpus_pos"))
+      .filter(col("__csub") === col("__nsub"))
+      .select(col("__id"), col("__pos"))
+      .distinct()
+    spanCoverage(base, dupPos, window, idCol)
   }
 
   /** The ACTIONABLE half of [[duplicateSpans]] (Lee et al. 2021 remove

@@ -212,6 +212,76 @@ class DuplicateSpansSpec extends SparkTestBase {
     release() // must not throw; subsequent use of other frames unaffected
   }
 
+  test("incremental screen matches a brute-force new-vs-corpus reference, exact under collisions") {
+    def cps(s: String): Array[Int] = s.codePoints.toArray
+    val newb: Seq[(Long, String)] = Seq(
+      (101L, s"fresh preface then $boiler and novel tail xyz"), // shares boiler
+      (102L, "abcabcabcabcabc plus new"), // shares doc3's repeats
+      (103L, "entirely novel content never seen before anywhere"),
+      (104L, corpus(3)._2), // exact re-ingest of doc 4
+      (105L, "short"), (106L, ""))
+    for (w <- Seq(5, 8)) {
+      val corpusSubs = corpus.flatMap { case (_, t) =>
+        val c = cps(t); (0 to c.length - w).map(p => new String(c, p, w))
+      }.toSet
+      val expect = newb.map { case (id, t) =>
+        val c = cps(t)
+        val nW = math.max(0, c.length - w + 1).toLong
+        val dupPos = (0 to c.length - w)
+          .filter(p => corpusSubs(new String(c, p, w)))
+        val marked = new Array[Boolean](c.length)
+        dupPos.foreach(p => (p until p + w).foreach(marked(_) = true))
+        var maxRun = 0L
+        var run = 0L
+        marked.foreach { m =>
+          if (m) { run += 1; if (run > maxRun) maxRun = run } else run = 0
+        }
+        id -> ((c.length.toLong, nW, dupPos.size.toLong,
+          marked.count(identity).toLong, maxRun))
+      }.toMap
+      val cdf = corpus.toDF("doc_id", "text")
+      val state = Dedup.substringState(cdf, "text", "doc_id", window = w)
+      val got = collect(Dedup.duplicateSpansAgainst(
+        newb.toDF("doc_id", "text"), state, cdf, "text", "doc_id", window = w))
+      assert(got === expect, s"window=$w")
+      // forced collisions on BOTH sides: the distinct-substring witness
+      // verification must keep the screen exact
+      val sq = collect(Dedup.duplicateSpansAgainstImpl(
+        newb.toDF("doc_id", "text"),
+        Dedup.substringStateImpl(cdf, "text", "doc_id", w, 1, hashSquash = 4L),
+        cdf, "text", "doc_id", w, 1, hashSquash = 4L))
+      assert(sq === got, s"squashed window=$w")
+    }
+  }
+
+  test("incremental state update rule: appended state screens identically to from-scratch") {
+    val c1 = corpus.filter(_._1 <= 5).toDF("doc_id", "text")
+    val c2 = corpus.filter(_._1 > 5).toDF("doc_id", "text")
+    val whole = corpus.toDF("doc_id", "text")
+    val newb = Seq(
+      (201L, s"x $boiler y"),
+      (202L, "wholly distinct content with nothing else"))
+      .toDF("doc_id", "text")
+    // window hashes are per-document independent: appending per-batch
+    // states only adds redundant witnesses, never changes the screen
+    val appended = Dedup.substringState(c1, "text", "doc_id", window = 8)
+      .unionByName(Dedup.substringState(c2, "text", "doc_id", window = 8))
+    val scratch = Dedup.substringState(whole, "text", "doc_id", window = 8)
+    val a = collect(Dedup.duplicateSpansAgainst(
+      newb, appended, whole, "text", "doc_id", window = 8))
+    val b = collect(Dedup.duplicateSpansAgainst(
+      newb, scratch, whole, "text", "doc_id", window = 8))
+    assert(a === b)
+    // heavy-duplicate compaction: doc 4 == doc 9 verbatim, so their
+    // windows share state rows — exactly ONE witness per distinct
+    // substring in the from-scratch state (the no-join-explosion claim)
+    def cps(s: String): Array[Int] = s.codePoints.toArray
+    val nDistinctSubs = corpus.flatMap { case (_, t) =>
+      val c = cps(t); (0 to c.length - 8).map(p => new String(c, p, 8))
+    }.distinct.size
+    assert(scratch.count() === nDistinctSubs.toLong)
+  }
+
   test("plan shape: codegen kernel, no ScalaUDF, no cartesian") {
     val df = Dedup.duplicateSpans(
       corpus.toDF("doc_id", "text").repartition(3), "text", "doc_id", window = 8)
