@@ -338,7 +338,8 @@ object functions {
   /** Bounded top-k by (score DESC, id ASC): the k best rows of the group
     * as array<struct<score, id, payload>>, best first. Plans as a partial
     * aggregate keeping only k rows per (group, partition) — the batched
-    * ANN serving shape (never a per-group full sort).
+    * ANN serving shape (never a per-group full sort). The payload is ANY
+    * type (struct, string, long, ...) and rides opaquely.
     */
   def topk_agg(score: Column, id: Column, payload: Column, k: Int): Column =
     toCol(TopKAgg(
@@ -346,8 +347,7 @@ object functions {
         org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.catalyst.expressions.Cast(toExpr(id),
         org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.catalyst.expressions.Cast(toExpr(payload),
-        org.apache.spark.sql.types.LongType),
+      toExpr(payload),
       k).toAggregateExpression())
   /** The abloom 64-bit finalizer mix over a BIGINT column. */
   def mix64(x: Column): Column = toCol(Mix64(toExpr(x)))

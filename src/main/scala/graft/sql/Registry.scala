@@ -244,8 +244,9 @@ object Registry {
     "topk_agg" -> { args =>
       require(args.size == 4, "topk_agg(score, id, payload, k)")
       import org.apache.spark.sql.types.{DoubleType, LongType}
+      // payload is NOT cast: any Catalyst type rides opaquely
       TopKAgg(Cast(args(0), DoubleType), Cast(args(1), LongType),
-        Cast(args(2), LongType), foldableInt(args(3), "k"))
+        args(2), foldableInt(args(3), "k"))
         .toAggregateExpression()
     })
 

@@ -34,6 +34,7 @@ class BatchServingSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("TopKBuffer merge == union insert; wire round-trip preserves content") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
     val rnd = new scala.util.Random(3)
     val all = (0 until 200).map(i => (rnd.nextInt(20).toDouble, i.toLong, i.toLong * 3))
     val (l, r) = all.splitAt(117)
@@ -43,10 +44,14 @@ class BatchServingSpec extends AnyFunSuite with SparkTestBase {
     r.foreach { case (s, i, p) => b.insert(s, i, p) }
     val direct = new TopKBuffer(10)
     all.foreach { case (s, i, p) => direct.insert(s, i, p) }
-    a.mergeFrom(TopKBuffer.fromBytes(b.toBytes))
-    assert(a.toBytes.toSeq == direct.toBytes.toSeq)
-    val rt = TopKBuffer.fromBytes(direct.toBytes)
-    assert(rt.toBytes.toSeq == direct.toBytes.toSeq)
+    // the wire codec lives in the aggregate (payload-type-aware)
+    val codec = graft.expr.TopKAgg(Literal(0.0), Literal(0L), Literal(0L), 10)
+    def dump(buf: TopKBuffer) =
+      (0 until buf.size).map(j => (buf.scores(j), buf.ids(j), buf.payloads(j)))
+    a.mergeFrom(codec.deserialize(codec.serialize(b)))
+    assert(dump(a) == dump(direct))
+    val rt = codec.deserialize(codec.serialize(direct))
+    assert(dump(rt) == dump(direct))
   }
 
   test("topk_agg is partition-invariant and matches a window-sort reference") {
@@ -94,7 +99,7 @@ class BatchServingSpec extends AnyFunSuite with SparkTestBase {
     assert(agg.toSeq == Seq(2L, 1L))
   }
 
-  test("topk_agg skips null scores/ids, payload null reads as 0") {
+  test("topk_agg skips null scores/ids; a null payload is carried as NULL") {
     val df = Seq(
       (Some(3.0), Some(1L), Some(10L)),
       (None, Some(2L), Some(20L)),
@@ -104,8 +109,42 @@ class BatchServingSpec extends AnyFunSuite with SparkTestBase {
     val got = df.agg(graft.functions.topk_agg(col("s"), col("id"), col("p"), 10).as("tk"))
       .select(explode(col("tk")).as("e"))
       .select(col("e.id"), col("e.payload")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(got == Seq((1L, 10L), (4L, 0L)))
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    assert(got == Seq((1L, Some(10L)), (4L, None)))
+  }
+
+  test("topk_agg carries STRUCT payloads opaquely through the shuffle") {
+    // a real serving payload: (shard, offset) struct per candidate —
+    // must survive the partial/final wire codec and partitioning changes
+    val rows = (0 until 300).map(i =>
+      (i % 5, i.toLong, (i * 7 % 100).toDouble, i / 10, i * 13L))
+    val df = rows.toDF("g", "id", "score", "shard", "off")
+      .withColumn("p", struct(col("shard"), col("off")))
+    def run(parts: Int) =
+      df.repartition(parts)
+        .groupBy(col("g"))
+        .agg(graft.functions.topk_agg(col("score"), col("id"), col("p"), 3).as("tk"))
+        .select(col("g"), explode(col("tk")).as("e"))
+        .select(col("g"), col("e.id"), col("e.score"),
+          col("e.payload.shard"), col("e.payload.off"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3), r.getLong(4)))
+        .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      rs.sortBy { case (_, id, s, _, _) => (-s, id) }.take(3)
+        .map { case (_, id, s, sh, off) => (g, id, s, sh, off) }
+    }.sortBy(t => (t._1, -t._3, t._2))
+    assert(run(1) == expected)
+    assert(run(11) == expected)
+    // string payloads too, via SQL (no cast in the registry path)
+    df.withColumn("sp", concat(lit("shard-"), col("shard")))
+      .createOrReplaceTempView("topk_sp")
+    val viaSql = spark.sql(
+      """SELECT g, e.payload AS p FROM (
+        |  SELECT g, explode(topk_agg(score, id, sp, 1)) AS e
+        |  FROM topk_sp GROUP BY g)""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(viaSql.size === 5 && viaSql.values.forall(_.startsWith("shard-")))
   }
 
   // --------------------------------------------------- quantizedTopK plan
