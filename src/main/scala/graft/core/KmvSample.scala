@@ -45,17 +45,12 @@ final class KmvSample private[core] (
   def estimate: Double =
     if (!isSaturated) map.size.toDouble else (k - 1).toDouble / theta
 
-  /** Unsigned-lexicographic byte comparison (the payload tie rule). */
-  private def lexLt(a: Array[Byte], b: Array[Byte]): Boolean = {
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val d = (a(i) & 0xff) - (b(i) & 0xff)
-      if (d != 0) return d < 0
-      i += 1
-    }
-    a.length < b.length
-  }
+  /** Unsigned-lexicographic byte comparison (the payload tie rule) —
+    * the JDK intrinsic, not a hand-rolled loop: wire canonicality
+    * depends on this ordering being exactly right.
+    */
+  private def lexLt(a: Array[Byte], b: Array[Byte]): Boolean =
+    java.util.Arrays.compareUnsigned(a, b) < 0
 
   def add(h: Long, payload: Array[Byte]): Unit = {
     val p =
@@ -108,9 +103,15 @@ final class KmvSample private[core] (
     * content-canonical (sorted map + deterministic payload rule).
     */
   def toBytes: Array[Byte] = {
-    var total = 9
+    // size in LONG space: k up to 2^20 entries x 64 KiB payloads is a
+    // legal-but-absurd ~68 GiB sketch — fail loudly, never Int-wrap
+    var totalL = 9L
     val it = map.values().iterator()
-    while (it.hasNext) total += 12 + it.next().length
+    while (it.hasNext) totalL += 12L + it.next().length
+    require(totalL <= KmvSample.MaxBlobBytes,
+      s"KMV sample sketch serializes to $totalL bytes (> " +
+        s"${KmvSample.MaxBlobBytes}): lower k or shorten payloads")
+    val total = totalL.toInt
     val out = ByteBuffer.allocate(total)
     out.put(1.toByte).putInt(k).putInt(map.size)
     val es = map.entrySet().iterator()
@@ -157,6 +158,13 @@ object KmvSample {
     * k * (12 + cap) bytes even over a column of huge documents.
     */
   val MaxPayloadBytes = 1 << 16
+
+  /** Whole-blob serialization cap (1 GiB): k and the payload cap are
+    * individually legal at sizes whose PRODUCT cannot serialize — the
+    * bound turns an Int wrap / BufferOverflow at shuffle time into a
+    * loud, actionable error.
+    */
+  val MaxBlobBytes = 1L << 30
 
   def empty(k: Int): KmvSample = {
     require(k >= Kmv.MinK && k <= Kmv.MaxK,

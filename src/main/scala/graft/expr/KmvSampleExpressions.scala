@@ -56,7 +56,11 @@ case class KmvSampleAgg(
     if (v != null) {
       val p = payload.eval(input)
       if (p != null)
-        buffer.add(v.asInstanceOf[Long], p.asInstanceOf[UTF8String].getBytes)
+        // copy() for OWNERSHIP: getBytes' fast path can return the live
+        // backing array of a reused row buffer (the round-4 MisraGries
+        // lesson) — a retained sample payload must never alias one
+        buffer.add(v.asInstanceOf[Long],
+          p.asInstanceOf[UTF8String].copy().getBytes)
     }
     buffer
   }

@@ -1448,10 +1448,10 @@ object Dedup {
     *
     * Plan shape: new-batch window hashes equi-join the state on hash
     * (state has one row per distinct corpus substring — no explosion on
-    * heavy duplicates); witness substrings are sliced for the DISTINCT
-    * (corpus_id, corpus_pos) pairs the candidates reference, one corpus
-    * fetch join; verified positions distinct-ed, then the single-window
-    * coverage pass. `sampleMod` must match the state's.
+    * heavy duplicates); ONE corpus fetch join slices each candidate's
+    * witness substring in the same pass (the candidate table is consumed
+    * exactly once); verified positions distinct-ed, then the
+    * single-window coverage pass. `sampleMod` must match the state's.
     *
     * Preconditions: unique non-null ids in the new batch; `corpus`
     * must be the table the state was built from (same ids).
@@ -1491,18 +1491,17 @@ object Dedup {
     val withNew = cand.join(base, Seq("__id"))
       .select(col("__id"), col("__pos"), col("corpus_id"), col("corpus_pos"),
         expr(s"substring(__text, __pos + 1, $window)").as("__nsub"))
-    // fetch witness substrings: one corpus-text consultation, restricted
-    // to the distinct (corpus_id, corpus_pos) pairs candidates reference
+    // verify against the corpus witness IN ONE PASS: withNew is consumed
+    // exactly once (a distinct-witness pre-slice would consume it twice
+    // — the round-5 "groupBy-filter + re-join re-executes the upstream"
+    // plan smell). Corpus text ships once per matched doc into the join;
+    // only the verified (id, pos) pairs survive the projection.
     val cbase = corpus
       .select(col(idCol).as("corpus_id"), col(textCol).as("__ctext"))
-    val witnesses = withNew.select(col("corpus_id"), col("corpus_pos"))
-      .distinct()
-      .join(cbase, Seq("corpus_id"))
-      .select(col("corpus_id"), col("corpus_pos"),
-        expr(s"substring(__ctext, corpus_pos + 1, $window)").as("__csub"))
     val dupPos = withNew
-      .join(witnesses, Seq("corpus_id", "corpus_pos"))
-      .filter(col("__csub") === col("__nsub"))
+      .join(cbase, Seq("corpus_id"))
+      .filter(expr(s"substring(__ctext, corpus_pos + 1, $window)")
+        === col("__nsub"))
       .select(col("__id"), col("__pos"))
       .distinct()
     spanCoverage(base, dupPos, window, idCol)
@@ -1617,10 +1616,14 @@ object Dedup {
       else {
         rounds += 1
         // maxRounds PRODUCTIVE rounds are allowed; fail only when a round
-        // beyond that still changes something
-        if (rounds > maxRounds)
+        // beyond that still changes something — releasing the final
+        // checkpoint first (the throw path must not leak what the
+        // release handle exists to free)
+        if (rounds > maxRounds) {
+          prev.foreach(_.unpersist(blocking = false))
           throw new IllegalStateException(
             s"maskDuplicateSpansFixpoint did not converge in $maxRounds rounds")
+        }
       }
     }
     val result = cur.join(orig, Seq(idCol))

@@ -36,8 +36,11 @@ case class ColumnProfile(
   *  - distinct counts AND a uniform distinct-sample: ONE KMV
   *    distinct-sample-with-payload sketch per column — EXACT below k
   *    (flagged; the sample is then ALL distinct values), a bounded
-  *    estimate plus a uniform k-sample above. `sample_values` is
-  *    sorted lexicographically for determinism;
+  *    estimate plus a uniform k-sample above. `sample_values` holds
+  *    PREVIEWS (first `samplePreviewChars` chars — buffers stay
+  *    k x preview bytes even over huge documents; hashing uses the
+  *    full value, so counts are unaffected), sorted lexicographically
+  *    for determinism;
   *  - heavy value: Misra-Gries with deterministic count interval;
   *  - median: t-digest (numeric columns).
   *
@@ -54,7 +57,10 @@ object Profile {
       df: DataFrame,
       columns: Seq[String] = Nil,
       distinctK: Int = graft.core.Kmv.DefaultK,
-      heavyK: Int = 4096): DataFrame = {
+      heavyK: Int = 4096,
+      samplePreviewChars: Int = 256): DataFrame = {
+    require(samplePreviewChars >= 1,
+      s"samplePreviewChars must be >= 1, got $samplePreviewChars")
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq
     require(cols.nonEmpty, "no columns to profile")
     cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
@@ -74,8 +80,15 @@ object Profile {
       val cc = col(c)
       val key = if (hashable(df.schema(c).dataType)) cc else cc.cast("string")
       aggs += sum(when(cc.isNull, 1L).otherwise(0L)).as(s"__nulls_$c")
-      // one sketch carries BOTH the distinct estimate and the sample
-      aggs += kmv_sample_agg(key, cc.cast("string"), distinctK).as(s"__kmv_$c")
+      // one sketch carries BOTH the distinct estimate and the sample.
+      // The payload is a PREVIEW (first samplePreviewChars chars): a
+      // profiler sample of a long-text column must not multiply the
+      // aggregation buffer by the document length (k x 64 KiB/column
+      // otherwise) — hashing still uses the FULL value, so distinct
+      // counts are unaffected
+      aggs += kmv_sample_agg(key,
+        substring(cc.cast("string"), 1, samplePreviewChars),
+        distinctK).as(s"__kmv_$c")
       aggs += min(cc).cast("string").as(s"__min_$c")
       aggs += max(cc).cast("string").as(s"__max_$c")
       aggs += mg_agg(cc.cast("string"), heavyK).as(s"__mg_$c")

@@ -47,6 +47,14 @@ class ProfileSpec extends SparkTestBase {
     val sample = r.getSeq[String](11)
     assert(sample.size === 64 && sample.forall(_.startsWith("v")))
     assert(sample === sample.sorted)
+    // sample payloads are PREVIEWS: long documents must not blow up the
+    // aggregation buffer (hashing still uses the full value — the two
+    // long texts below differ only past the preview cut and must count
+    // as 2 distinct)
+    val docs = Seq("A" * 500 + "x", "A" * 500 + "y").toDF("t")
+    val p = Profile.profile(docs, samplePreviewChars = 8).head()
+    assert(p.getLong(3) === 2L)
+    assert(p.getSeq[String](11).forall(_.length <= 8))
   }
 
   test("non-hashable column types profile their string form") {
