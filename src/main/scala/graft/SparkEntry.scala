@@ -599,6 +599,37 @@ object SparkEntry {
     // every per-day n_distinct is exact and HASH-MATCHES DuckDB's
     // COUNT(DISTINCT) (windowedDistinct's HLL bound boolean, upgraded
     // to value equality).
+    // Streaming windowed distinct-SAMPLE under the gate: per-day KMV
+    // payload sketches (k sized above every day's distinct count, so
+    // the sample is ALL of that day's distinct user ids and the count
+    // is exact) — the per-day sample CSV and count are VALUE-matched
+    // against DuckDB's DISTINCT recompute.
+    "streaming_distinct_sample" -> { (s, dir) =>
+      val events = table(s, dir, "events")
+      val maxDay = events.groupBy(to_date(col("ts")))
+        .agg(countDistinct(col("user_id")).as("d"))
+        .agg(max(col("d"))).head().getLong(0)
+      val k = math.max(graft.core.Kmv.MinK.toLong,
+        math.min(maxDay + 16, graft.core.Kmv.MaxK.toLong)).toInt
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sds").toString
+      events.write.parquet(s"$tmp/in")
+      val stream = s.readStream.schema(events.schema).parquet(s"$tmp/in")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val agg = graft.streaming.StreamingSketches.windowedDistinctSample(
+        stream, "ts", "user_id", "1 day", "1 hour", k)
+      val qname = "sds_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname).select(
+        col("window_start").cast("date").as("day"),
+        col("n_distinct"), col("is_exact"),
+        concat_ws(",", array_sort(col("sample_keys"))).as("sample_csv"))
+        .orderBy(col("day"))
+    },
+
     "streaming_windowed_kmv" -> { (s, dir) =>
       val events = table(s, dir, "events")
       // k sizing uses the SAME day derivation as the DuckDB oracle
@@ -1876,6 +1907,15 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     // k sized above every day's distinct count => the streamed KMV
     // counts are exact VALUES, not a bound boolean
+    "streaming_distinct_sample" ->
+      """WITH d AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |                user_id
+        |           FROM events)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(1 AS BOOLEAN) AS is_exact,
+        |  string_agg(CAST(user_id AS VARCHAR), ','
+        |             ORDER BY CAST(user_id AS VARCHAR)) AS sample_csv
+        |FROM d GROUP BY day ORDER BY day""".stripMargin,
     "streaming_windowed_kmv" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
         |CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,

@@ -86,6 +86,36 @@ object StreamingSketches {
           .as("is_exact"),
         col("sketch"))
 
+  /** Windowed distinct-SAMPLE via the KMV payload sketch: per window, a
+    * uniform sample of up to k distinct keys (their string payloads)
+    * plus the distinct estimate — "what are the new user ids this hour,
+    * roughly how many" in one bounded-state aggregate. State per window
+    * is at most k * (12 + payload preview) bytes; the sketch column
+    * rolls up in batch (`kmv_sample_union_agg`) into day/week samples.
+    * The sample is EXACT (all distinct keys) while the window stays
+    * under k — `is_exact` says so per window.
+    */
+  def windowedDistinctSample(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      k: Int = graft.core.Kmv.DefaultK): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(kmv_sample_agg(
+        col(keyCol), col(keyCol).cast("string"), k).as("sketch"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        kmv_sample_estimate(col("sketch")).as("n_distinct"),
+        (!graft.functions.kmv_sample_describe(col("sketch"))
+          .getField("saturated")).as("is_exact"),
+        kmv_sample_values(col("sketch")).as("sample_keys"),
+        col("sketch"))
+
   /** Windowed quantiles via t-digest: per window, the serialized digest
     * plus the requested quantile estimates. State per window is ONE
     * digest (O(compression) centroids) — latency-percentile monitoring

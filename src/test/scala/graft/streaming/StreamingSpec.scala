@@ -98,6 +98,38 @@ class StreamingSpec extends SparkTestBase {
     assert(s1.mergeIn(s2).estimate === 800.0)
   }
 
+  test("windowed distinct-SAMPLE: exact sample below k, rolls up in batch") {
+    val input = MemoryStream[(Timestamp, String)]
+    // k = 128 so even the cross-window UNION (70 distinct) stays in the
+    // exact regime — the rollup assertion below is a set equality
+    val q = StreamingSketches.windowedDistinctSample(
+      input.toDF().toDF("ts", "key"), "ts", "key", "10 minutes", "0 seconds",
+      k = 128)
+      .writeStream.format("memory").queryName("wds").outputMode("append").start()
+    // window 1: 40 distinct keys fed 3x; window 2: 30 distinct
+    input.addData((0 until 120).map(i => (ts(i % 10), s"a${i % 40}")): _*)
+    input.addData((0 until 30).map(i => (ts(10 + i % 10), s"b$i")): _*)
+    q.processAllAvailable()
+    input.addData((ts(59), "latewm"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wds")
+      .filter(col("window_start").isin(
+        Timestamp.valueOf("2026-01-01 10:00:00"),
+        Timestamp.valueOf("2026-01-01 10:10:00")))
+      .orderBy(col("window_start")).collect()
+    assert(rows.length === 2)
+    assert(rows(0).getLong(2) === 40L && rows(0).getBoolean(3))
+    assert(rows(0).getSeq[String](4).toSet === (0 until 40).map(i => s"a$i").toSet)
+    assert(rows(1).getLong(2) === 30L && rows(1).getBoolean(3))
+    // the sketch column rolls up in batch: union == all distinct keys
+    val merged = graft.core.KmvSample.fromBytes(rows(0).getAs[Array[Byte]](5))
+      .mergeIn(graft.core.KmvSample.fromBytes(rows(1).getAs[Array[Byte]](5)))
+    assert(merged.estimate === 70.0)
+    assert(merged.payloads.map(p => new String(p, "UTF-8")).toSet ===
+      ((0 until 40).map(i => s"a$i") ++ (0 until 30).map(i => s"b$i")).toSet)
+  }
+
   test("windowed HLL distinct over a stream within bound") {
     val input = MemoryStream[(Timestamp, String)]
     val q = StreamingSketches.windowedDistinct(
