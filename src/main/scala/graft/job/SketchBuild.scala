@@ -127,6 +127,36 @@ object PartitionSketcher {
       Sbf.fromBytes(bytes).compact().toBytes
   }
 
+  /** Distinct-sample-with-payload build: like [[kmv]] but each retained
+    * key hash carries a bounded string PREVIEW of the value. The
+    * projection is a (hash, preview) struct, null'd when the value is
+    * null so the build's null-skip applies; the wire is content-
+    * canonical (deterministic payload tie rule), so resume byte-identity
+    * holds like every other family.
+    */
+  def kmvSample(
+      k: Int = graft.core.Kmv.DefaultK,
+      previewChars: Int = 256): PartitionSketcher = new PartitionSketcher {
+    def project(valueCol: Column): Column =
+      when(valueCol.isNull, lit(null))
+        .otherwise(struct(
+          abloom_key_hash(valueCol).as("h"),
+          substring(valueCol.cast(StringType), 1, previewChars).as("p")))
+    def newBuffer(): AnyRef = graft.core.KmvSample.empty(k)
+    def update(b: AnyRef, row: InternalRow): Unit = {
+      val s = row.getStruct(0, 2)
+      // copy() for ownership: the UTF8String can alias a reused buffer
+      b.asInstanceOf[graft.core.KmvSample]
+        .add(s.getLong(0), s.getUTF8String(1).copy().getBytes)
+    }
+    def toBytes(b: AnyRef): Array[Byte] =
+      b.asInstanceOf[graft.core.KmvSample].toBytes
+    def unionAgg(c: Column): Column = graft.functions.kmv_sample_union_agg(c)
+    def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      graft.core.KmvSample.fromBytes(a)
+        .mergeIn(graft.core.KmvSample.fromBytes(b)).toBytes
+  }
+
   /** Bottom-k/theta build: the state is a canonical set, so tree and
     * flat merges are byte-equal like the cell-wise families. */
   def kmv(k: Int = graft.core.Kmv.DefaultK): PartitionSketcher = new HashedKernel {

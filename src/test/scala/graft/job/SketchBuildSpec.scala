@@ -73,6 +73,21 @@ class SketchBuildSpec extends SparkTestBase {
       s"estimate ${kmv.estimate} vs $n")
   }
 
+  test("kmvSample: resume byte-stable; sample is the true bottom-k with previews") {
+    val sk = PartitionSketcher.kmvSample(256, previewChars = 4)
+    resumeIsByteStable(sk, "id")
+    val s = graft.core.KmvSample.fromBytes(
+      SketchBuild.resume(longs, col("id"), sk, tmp()))
+    assert(s.isSaturated && s.size === 256)
+    // the retained payloads are exactly the previews of the 256 keys
+    // with the smallest hashes, recomputed independently
+    val expect = (0L until n)
+      .map(i => graft.core.Hashing.hashLong(i) -> i.toString.take(4))
+      .sortWith((a, b) => java.lang.Long.compareUnsigned(a._1, b._1) < 0)
+      .take(256).map(_._2)
+    assert(s.payloads.map(p => new String(p, "UTF-8")).toSeq === expect)
+  }
+
   test("cms: resume byte-stable and point queries within eps*N over-count") {
     val sk = PartitionSketcher.cms(0.01, 0.01)
     resumeIsByteStable(sk, "id")
