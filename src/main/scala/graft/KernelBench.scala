@@ -88,7 +88,9 @@ object KernelBench {
     } ++ Seq(
       "mg_add_2m_mkeys_s" -> mgAddThroughput(reps),
       "kmv_add_10m_mkeys_s" -> kmvAddThroughput(reps),
-      "window_hash_2m_mchars_s" -> windowHashThroughput(reps))
+      "window_hash_2m_mchars_s" -> windowHashThroughput(reps),
+      "jpeg_encode_mpixels_s" -> jpegEncodeThroughput(reps),
+      "jpeg_decode_mpixels_s" -> jpegDecodeThroughput(reps))
 
   /** Misra–Gries update throughput (M keys/s): 2M UTF8String keys over a
     * 10k-key zipf-ish stream into a k=256 summary — the UTF8String-native
@@ -152,6 +154,37 @@ object KernelBench {
       require(out.length == n - 39, "unexpected window count")
     }
     n / 1e6 / sec
+  }
+
+  /** Baseline-JPEG codec throughput (M pixels/s) on a 640x480 NON-FLAT
+    * grayscale image (every block takes the full FDCT / Huffman / IDCT
+    * path, no DC-only shortcut) — the per-image cost of the de-faked
+    * multimodal content decode.
+    */
+  private val jpegBenchW = 640
+  private val jpegBenchH = 480
+  private def jpegBenchPixel(x: Int, y: Int): Int =
+    (x * 31 + y * 17 + (x * y) % 7) % 256
+
+  private[graft] def jpegEncodeThroughput(reps: Int): Double = {
+    val px = jpegBenchW.toLong * jpegBenchH
+    val sec = bestOf(reps) {
+      val out = graft.ops.MediaCodecs.encodeJpegGray(
+        jpegBenchW, jpegBenchH, jpegBenchPixel)
+      require(out.length > 1000, "unexpected jpeg size")
+    }
+    px / 1e6 / sec
+  }
+
+  private[graft] def jpegDecodeThroughput(reps: Int): Double = {
+    val bytes = graft.ops.MediaCodecs.encodeJpegGray(
+      jpegBenchW, jpegBenchH, jpegBenchPixel)
+    val px = jpegBenchW.toLong * jpegBenchH
+    val sec = bestOf(reps) {
+      val st = graft.ops.MediaCodecs.decodeJpegGray(bytes)
+      require(st.exists(_.n == px), "jpeg decode failed")
+    }
+    px / 1e6 / sec
   }
 
   def main(args: Array[String]): Unit = {

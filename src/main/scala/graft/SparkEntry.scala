@@ -1795,6 +1795,10 @@ object SparkEntry {
           |  SELECT o_orderpriority,
           |         hll_estimate(hll_agg(o_custkey)) AS est,
           |         kmv_estimate(kmv_agg(o_custkey, ${cap + 16})) AS kmv_cnt,
+          |         concat_ws(',', array_sort(kmv_sample_values(
+          |           kmv_sample_agg(o_custkey % 100,
+          |                          CAST(o_custkey % 100 AS STRING), 128))))
+          |           AS sample_csv,
           |         bloom_agg(o_custkey, $cap, 0.01) AS bf,
           |         tdigest_quantile(tdigest_agg(o_totalprice), 0.5) AS med
           |  FROM sqlsurf_orders GROUP BY o_orderpriority
@@ -1805,7 +1809,7 @@ object SparkEntry {
           |),
           |per_group AS (
           |  SELECT s.o_orderpriority, e.exact_distinct, s.est, s.kmv_cnt,
-          |         s.bf, s.med
+          |         s.sample_csv, s.bf, s.med
           |  FROM sketches s JOIN exacts e USING (o_orderpriority)
           |),
           |probe AS (
@@ -1824,6 +1828,7 @@ object SparkEntry {
           |SELECT g.o_orderpriority,
           |       g.exact_distinct,
           |       g.kmv_cnt,
+          |       g.sample_csv,
           |       p.n_rows,
           |       abs(g.est - g.exact_distinct) <= greatest(3 * 0.0082 * g.exact_distinct, 2.0)
           |         AS hll_within_bound,
@@ -2814,13 +2819,21 @@ object SparkEntry {
     // makes the SQL-surface KMV exact, so DuckDB's COUNT(DISTINCT) must
     // hash-match it (unlike the HLL/bloom/median bound booleans)
     "sql_surface" ->
-      """SELECT o_orderpriority,
+      """WITH ms AS (SELECT DISTINCT o_orderpriority, o_custkey % 100 AS m
+        |            FROM orders),
+        |samp AS (SELECT o_orderpriority,
+        |  string_agg(CAST(m AS VARCHAR), ',' ORDER BY CAST(m AS VARCHAR))
+        |    AS sample_csv
+        |  FROM ms GROUP BY o_orderpriority)
+        |SELECT o.o_orderpriority,
         |count(DISTINCT o_custkey) AS exact_distinct,
         |CAST(count(DISTINCT o_custkey) AS BIGINT) AS kmv_cnt,
+        |any_value(samp.sample_csv) AS sample_csv,
         |count(*) AS n_rows,
         |CAST(1 AS BOOLEAN) AS hll_within_bound,
         |CAST(1 AS BOOLEAN) AS bloom_zero_fn,
         |CAST(1 AS BOOLEAN) AS median_rank_ok
-        |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin)
+        |FROM orders o JOIN samp USING (o_orderpriority)
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin)
 }
