@@ -93,6 +93,51 @@ object SparkEntry {
       })
     }
 
+  /** Replay a batch table as a file stream — the AvailableNow testing
+    * shape every streaming harness query shares: write once to a temp
+    * dir, read back with the same schema. The synthetic `ts` column is
+    * TIMESTAMP_NTZ and watermarks require TIMESTAMP, so it is cast when
+    * present (the harness pins the session timezone to UTC, making the
+    * cast value-preserving).
+    */
+  private def replayStream(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    val tmp = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    events.write.parquet(s"$tmp/in")
+    val raw = s.readStream.schema(events.schema).parquet(s"$tmp/in")
+    if (events.columns.contains("ts"))
+      raw.withColumn("ts", col("ts").cast("timestamp"))
+    else raw
+  }
+
+  /** Drain a streaming aggregate through a memory sink (AvailableNow)
+    * and return the result table.
+    */
+  private def runToMemory(
+      agg: DataFrame, prefix: String, mode: String = "complete"): DataFrame = {
+    val s = agg.sparkSession
+    val qname = prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.format("memory").queryName(qname)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname)
+  }
+
+  /** k sizing for the exact-regime per-day KMV queries: max per-day
+    * distinct of `keyCol` + headroom, clamped to the sketch's bounds.
+    * The day derivation (to_date) matches the oracles' date_trunc('day')
+    * under the UTC session pin.
+    */
+  private def perDayExactK(events: DataFrame, keyCol: String): Int = {
+    val maxDay = events.groupBy(to_date(col("ts")))
+      .agg(countDistinct(col(keyCol)).as("d"))
+      .agg(max(col("d"))).head().getLong(0)
+    math.max(graft.core.Kmv.MinK.toLong,
+      math.min(maxDay + 16, graft.core.Kmv.MaxK.toLong)).toInt
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Bloom-accelerated semi-join: lineitems of high-value orders, the
     * filter standing in for the runtime pre-filter a 100 TB fact scan
@@ -564,21 +609,9 @@ object SparkEntry {
     // published bound.
     "streaming_windowed_distinct" -> { (s, dir) =>
       val events = table(s, dir, "events")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-swd").toString
-      events.write.parquet(s"$tmp/in")
-      // the synthetic ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP
-      // (session TZ is UTC, so the cast is value-preserving)
-      val stream = s.readStream.schema(events.schema).parquet(s"$tmp/in")
-        .withColumn("ts", col("ts").cast("timestamp"))
       val agg = graft.streaming.StreamingSketches.windowedDistinct(
-        stream, "ts", "user_id", "1 day", "1 hour")
-      val qname = "swd_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = agg.writeStream.format("memory").queryName(qname)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val est = s.table(qname).select(
+        replayStream(events), "ts", "user_id", "1 day", "1 hour")
+      val est = runToMemory(agg, "swd").select(
         col("window_start").cast("date").as("day"),
         col("approx_distinct"))
       val exact = events
@@ -594,11 +627,6 @@ object SparkEntry {
         .orderBy(col("day"))
     },
 
-    // Streaming windowed KMV under the gate — the EXACT streaming
-    // distinct: k is sized above the max per-day distinct count, so
-    // every per-day n_distinct is exact and HASH-MATCHES DuckDB's
-    // COUNT(DISTINCT) (windowedDistinct's HLL bound boolean, upgraded
-    // to value equality).
     // Streaming windowed distinct-SAMPLE under the gate: per-day KMV
     // payload sketches (k sized above every day's distinct count, so
     // the sample is ALL of that day's distinct user ids and the count
@@ -606,54 +634,28 @@ object SparkEntry {
     // against DuckDB's DISTINCT recompute.
     "streaming_distinct_sample" -> { (s, dir) =>
       val events = table(s, dir, "events")
-      val maxDay = events.groupBy(to_date(col("ts")))
-        .agg(countDistinct(col("user_id")).as("d"))
-        .agg(max(col("d"))).head().getLong(0)
-      val k = math.max(graft.core.Kmv.MinK.toLong,
-        math.min(maxDay + 16, graft.core.Kmv.MaxK.toLong)).toInt
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sds").toString
-      events.write.parquet(s"$tmp/in")
-      val stream = s.readStream.schema(events.schema).parquet(s"$tmp/in")
-        .withColumn("ts", col("ts").cast("timestamp"))
+      val k = perDayExactK(events, "user_id")
       val agg = graft.streaming.StreamingSketches.windowedDistinctSample(
-        stream, "ts", "user_id", "1 day", "1 hour", k)
-      val qname = "sds_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = agg.writeStream.format("memory").queryName(qname)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(qname).select(
+        replayStream(events), "ts", "user_id", "1 day", "1 hour", k)
+      runToMemory(agg, "sds").select(
         col("window_start").cast("date").as("day"),
         col("n_distinct"), col("is_exact"),
         concat_ws(",", array_sort(col("sample_keys"))).as("sample_csv"))
         .orderBy(col("day"))
     },
 
+    // Streaming windowed KMV under the gate — the EXACT streaming
+    // distinct: k is sized above the max per-day distinct count
+    // (perDayExactK — to_date matches the oracle's date_trunc under the
+    // UTC session pin), so every per-day n_distinct is exact and
+    // HASH-MATCHES DuckDB's COUNT(DISTINCT) (windowedDistinct's HLL
+    // bound boolean, upgraded to value equality).
     "streaming_windowed_kmv" -> { (s, dir) =>
       val events = table(s, dir, "events")
-      // k sizing uses the SAME day derivation as the DuckDB oracle
-      // (to_date == date_trunc('day')); the harness pins
-      // spark.sql.session.timeZone=UTC so window(ts,'1 day') boundaries and
-      // to_date agree with DuckDB's naive-timestamp truncation
-      val maxDay = events.groupBy(to_date(col("ts")))
-        .agg(countDistinct(col("user_id")).as("d"))
-        .agg(max(col("d"))).head().getLong(0)
-      val k = math.max(graft.core.Kmv.MinK.toLong,
-        math.min(maxDay + 16, graft.core.Kmv.MaxK.toLong)).toInt
-      val tmp = java.nio.file.Files.createTempDirectory("graft-swk").toString
-      events.write.parquet(s"$tmp/in")
-      val stream = s.readStream.schema(events.schema).parquet(s"$tmp/in")
-        .withColumn("ts", col("ts").cast("timestamp"))
+      val k = perDayExactK(events, "user_id")
       val agg = graft.streaming.StreamingSketches.windowedDistinctKmv(
-        stream, "ts", "user_id", "1 day", "1 hour", k)
-      val qname = "swk_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = agg.writeStream.format("memory").queryName(qname)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(qname).select(
+        replayStream(events), "ts", "user_id", "1 day", "1 hour", k)
+      runToMemory(agg, "swk").select(
         col("window_start").cast("date").as("day"),
         col("n_distinct"), col("is_exact"))
         .orderBy(col("day"))
@@ -666,19 +668,10 @@ object SparkEntry {
     // cross-engine oracle.
     "streaming_windowed_quantiles" -> { (s, dir) =>
       val events = table(s, dir, "events")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-swq").toString
-      events.write.parquet(s"$tmp/in")
-      val stream = s.readStream.schema(events.schema).parquet(s"$tmp/in")
-        .withColumn("ts", col("ts").cast("timestamp"))
       val agg = graft.streaming.StreamingSketches.windowedQuantiles(
-        stream, "ts", "value", "1 day", "1 hour", quantiles = Seq(0.5))
-      val qname = "swq_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = agg.writeStream.format("memory").queryName(qname)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val est = s.table(qname).select(
+        replayStream(events), "ts", "value", "1 day", "1 hour",
+        quantiles = Seq(0.5))
+      val est = runToMemory(agg, "swq").select(
         col("window_start").cast("date").as("day"), col("q50"))
       val perDay = events
         .select(col("ts").cast("date").as("day"), col("value"))
@@ -706,19 +699,9 @@ object SparkEntry {
       val aug = docs.unionByName(planted)
         .withColumn("ts",
           (lit(1700000000L) + col("doc_id") % 3600).cast("timestamp"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sdd").toString
-      aug.write.parquet(s"$tmp/in")
-      val stream = s.readStream.schema(aug.schema).parquet(s"$tmp/in")
-        .withColumn("ts", col("ts").cast("timestamp"))
       val deduped = graft.streaming.StreamingSketches.dedupExact(
-        stream, "ts", "text", "2 hours")
-      val qname = "sdd_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = deduped.writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val kept = s.table(qname)
+        replayStream(aug), "ts", "text", "2 hours")
+      val kept = runToMemory(deduped, "sdd", mode = "append")
       kept.agg(
         count(lit(1)).as("n_unique"),
         countDistinct(col("text")).as("n_distinct_texts"))
@@ -978,8 +961,6 @@ object SparkEntry {
     // cache parses each day's blob once per thread.)
     "streaming_windowed_bloom" -> { (s, dir) =>
       val events = table(s, dir, "events")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-swb").toString
-      events.write.parquet(s"$tmp/in")
       // every day derivation below goes through the SAME cast + window()
       // alignment the stream uses — mixing window() (epoch-aligned) with
       // cast-to-date (session-timezone days) would let the capacity
@@ -988,17 +969,10 @@ object SparkEntry {
       // capacity must cover the biggest day at ANY scale factor
       val perDayMax = evTs.groupBy(window(col("ts"), "1 day")).count()
         .agg(max(col("count"))).head().getLong(0)
-      val stream = s.readStream.schema(events.schema).parquet(s"$tmp/in")
-        .withColumn("ts", col("ts").cast("timestamp"))
       val agg = graft.streaming.StreamingSketches.windowedBloom(
-        stream, "ts", "user_id", "1 day", "1 hour", perDayMax.max(16L), 0.01)
-      val qname = "swb_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = agg.writeStream.format("memory").queryName(qname)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val filters = s.table(qname)
+        replayStream(events), "ts", "user_id", "1 day", "1 hour",
+        perDayMax.max(16L), 0.01)
+      val filters = runToMemory(agg, "swb")
         .select(col("window_start").cast("date").as("day"), col("filter"))
       evTs.select(
           window(col("ts"), "1 day").getField("start").cast("date").as("day"),
@@ -1019,19 +993,10 @@ object SparkEntry {
     // hash-equality oracle — not just a bounds check.
     "streaming_heavy_hitters" -> { (s, dir) =>
       val events = table(s, dir, "events")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-shh").toString
-      events.write.parquet(s"$tmp/in")
-      val stream = s.readStream.schema(events.schema).parquet(s"$tmp/in")
-        .withColumn("ts", col("ts").cast("timestamp"))
       val agg = graft.streaming.StreamingSketches.windowedHeavyHitters(
-        stream, "ts", "event_type", "1 day", "1 hour", k = 32, topM = 100)
-      val qname = "shh_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = agg.writeStream.format("memory").queryName(qname)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(qname)
+        replayStream(events), "ts", "event_type", "1 day", "1 hour",
+        k = 32, topM = 100)
+      runToMemory(agg, "shh")
         .select(col("window_start").cast("date").as("day"), explode(col("top")).as("e"))
         .select(col("day"), col("e.item").as("item"), col("e.count_lb").as("cnt"))
         .orderBy(col("day"), col("item"))
@@ -1051,22 +1016,14 @@ object SparkEntry {
       val events = table(s, dir, "events")
         .select(col("event_type"), col("user_id"), col("event_id"))
       val aug = events.unionByName(events.filter(col("event_id") % 5 === 0))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sfs").toString
-      aug.write.parquet(s"$tmp/in")
       val total = aug.count()
       val nDistinct = aug.select(col("event_type"), col("user_id")).distinct().count()
-      val stream = s.readStream.schema(aug.schema).parquet(s"$tmp/in")
+      val stream = replayStream(aug)
         .select(col("event_type").as("entity"), col("user_id").cast("string").as("key"))
         .as[graft.streaming.StreamingSketches.KeyedEvent]
       val out = graft.streaming.StreamingSketches.firstSeen(
         stream, capacity = total.max(16L), fpRate = 0.0001)
-      val qname = "sfs_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.toDF().writeStream.format("memory").queryName(qname)
-        .outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val t = s.table(qname)
+      val t = runToMemory(out.toDF(), "sfs", mode = "update")
       val nOut = t.count()
       val nNew = t.filter(col("isNew")).count()
       val fpBudget = math.max(10L, nDistinct / 100)
@@ -1915,7 +1872,7 @@ object SparkEntry {
     "streaming_distinct_sample" ->
       """WITH d AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
         |                user_id
-        |           FROM events)
+        |           FROM events WHERE user_id IS NOT NULL)
         |SELECT day, CAST(count(*) AS BIGINT) AS n_distinct,
         |  CAST(1 AS BOOLEAN) AS is_exact,
         |  string_agg(CAST(user_id AS VARCHAR), ','

@@ -52,6 +52,15 @@ final class KmvSample private[core] (
   private def lexLt(a: Array[Byte], b: Array[Byte]): Boolean =
     java.util.Arrays.compareUnsigned(a, b) < 0
 
+  /** Cheap pre-check for callers that want to avoid materializing (or
+    * copying) the payload for rows the sketch would reject outright:
+    * true iff [[add]] with this hash could change the state (a present
+    * hash counts — the tie rule may swap its payload).
+    */
+  def wouldAccept(h: Long): Boolean =
+    map.size < k || map.containsKey(java.lang.Long.valueOf(h)) ||
+      java.lang.Long.compareUnsigned(h, kthMin) < 0
+
   def add(h: Long, payload: Array[Byte]): Unit = {
     val p =
       if (payload.length <= KmvSample.MaxPayloadBytes) payload

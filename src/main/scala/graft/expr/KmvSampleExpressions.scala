@@ -54,13 +54,25 @@ case class KmvSampleAgg(
   override def update(buffer: KmvSample, input: InternalRow): KmvSample = {
     val v = child.eval(input)
     if (v != null) {
-      val p = payload.eval(input)
-      if (p != null)
-        // copy() for OWNERSHIP: getBytes' fast path can return the live
-        // backing array of a reused row buffer (the round-4 MisraGries
-        // lesson) — a retained sample payload must never alias one
-        buffer.add(v.asInstanceOf[Long],
-          p.asInstanceOf[UTF8String].copy().getBytes)
+      val h = v.asInstanceOf[Long]
+      // reject-before-copy: a saturated sketch discards most rows in
+      // O(1) — never materialize their payloads at all
+      if (buffer.wouldAccept(h)) {
+        val p = payload.eval(input)
+        if (p != null) {
+          val u = p.asInstanceOf[UTF8String]
+          // truncate BEFORE copying (at most MaxPayloadBytes are ever
+          // retained — never copy a whole document), into a FRESH array
+          // for ownership: the UTF8String can alias a reused row buffer
+          // (the round-4 MisraGries lesson)
+          val n = math.min(u.numBytes, KmvSample.MaxPayloadBytes)
+          val arr = new Array[Byte](n)
+          org.apache.spark.unsafe.Platform.copyMemory(
+            u.getBaseObject, u.getBaseOffset, arr,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, n.toLong)
+          buffer.add(h, arr)
+        }
+      }
     }
     buffer
   }

@@ -136,7 +136,10 @@ object PartitionSketcher {
     */
   def kmvSample(
       k: Int = graft.core.Kmv.DefaultK,
-      previewChars: Int = 256): PartitionSketcher = new PartitionSketcher {
+      previewChars: Int = 256): PartitionSketcher = {
+    require(previewChars >= 1,
+      s"previewChars must be >= 1, got $previewChars")
+    new PartitionSketcher {
     def project(valueCol: Column): Column =
       when(valueCol.isNull, lit(null))
         .otherwise(struct(
@@ -155,6 +158,7 @@ object PartitionSketcher {
     def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
       graft.core.KmvSample.fromBytes(a)
         .mergeIn(graft.core.KmvSample.fromBytes(b)).toBytes
+    }
   }
 
   /** Bottom-k/theta build: the state is a canonical set, so tree and
