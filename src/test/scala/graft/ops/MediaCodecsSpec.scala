@@ -113,6 +113,33 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeJpegGray(progressive) === None, "non-baseline SOF")
   }
 
+  test("JPEG property: random dims round-trip exactly on block-constant images") {
+    val rnd = new scala.util.Random(77)
+    (1 to 25).foreach { case _ =>
+      // include sub-block dims (1..7) and non-multiples of 8
+      val w = 1 + rnd.nextInt(200)
+      val h = 1 + rnd.nextInt(150)
+      val id = rnd.nextInt(100000).toLong
+      val pix = (x: Int, y: Int) => ((id + (y >> 3)) % 256).toInt
+      val jpg = MediaCodecs.encodeJpegGray(w, h, pix)
+      val st = MediaCodecs.decodeJpegGray(jpg)
+        .getOrElse(fail(s"decode failed at ${w}x$h id=$id"))
+      val expSum = w.toLong * (0 until h).map(y => (id + y / 8) % 256).sum
+      val expSq = w.toLong * (0 until h).map { y =>
+        val v = (id + y / 8) % 256; v * v
+      }.sum
+      assert(st === MediaCodecs.ContentStats("jpeg", w.toLong * h, expSum, expSq),
+        s"${w}x$h id=$id")
+      // and the independent decoder agrees on the pixels
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+      assert(img.getWidth === w && img.getHeight === h)
+      var ioSum = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        ioSum += img.getRaster.getSample(x, y, 0)
+      assert(ioSum === expSum, s"imageio ${w}x$h id=$id")
+    }
+  }
+
   test("WAV: encoder output is spec-valid (javax.sound agrees), duration exact") {
     for ((ch, rate, samples) <- Seq((1, 8000, 8000), (2, 44100, 44100), (1, 8000, 12345))) {
       val bytes = MediaCodecs.encodeWav(ch, rate, samples)
