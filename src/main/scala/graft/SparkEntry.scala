@@ -1632,6 +1632,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // The SAME screen with STREAMED state: the corpus arrives as a file
+    // stream and maintainSubstringState appends each micro-batch's
+    // substringState rows to the persisted state dir (replay-tolerant by
+    // the append-only update rule), then the new batch screens against
+    // the STREAMED state. The oracle is byte-identical to
+    // dedup_substrings_incremental's — state provenance (batch build vs
+    // streaming maintenance) must not change the screen.
+    "streaming_substring_state" -> { (s, dir) =>
+      val corpus = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val off = corpus.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val newBatch = corpus.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + off)
+        .withColumn("text", concat(col("text"),
+          lit(" GRAFT NOVEL SUFFIX 2026 incremental ingest marker not in corpus")))
+        .unionByName(corpus.filter(col("doc_id") % 8 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(2) * off)
+          .withColumn("text", reverse(col("text"))))
+      val statePath =
+        java.nio.file.Files.createTempDirectory("graft-sss").toString + "/state"
+      val q = graft.streaming.StreamingSketches.maintainSubstringState(
+        replayStream(corpus), "text", "doc_id", statePath, window = 40,
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      val state = s.read.parquet(statePath)
+      graft.ops.Dedup.duplicateSpansAgainst(
+          newBatch, state, corpus, "text", "doc_id", window = 40)
+        .orderBy(col("doc_id"))
+    },
+
     // The ACTIONABLE half: remove all-but-canonical occurrences of every
     // duplicated 40-char substring. Byte-auditable like text_redact —
     // the oracle reconstructs the masked text character by character
@@ -1795,6 +1824,60 @@ object SparkEntry {
           |JOIN ranks r USING (o_orderpriority)
           |ORDER BY g.o_orderpriority""".stripMargin)
     })
+
+  /** Shared by dedup_substrings_incremental AND streaming_substring_state:
+    * the screen must be identical regardless of state provenance. */
+  private val incrementalSubstringOracle: String =
+    """WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+      |newb AS (
+      |  SELECT doc_id + (SELECT o FROM off) AS doc_id,
+      |    text || ' GRAFT NOVEL SUFFIX 2026 incremental ingest marker not in corpus' AS text
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2 * (SELECT o FROM off), reverse(text)
+      |  FROM documents WHERE doc_id % 8 = 0),
+      |cw AS (
+      |  SELECT DISTINCT substr(text, CAST(p AS BIGINT), 40) AS s
+      |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 40 + 2)) AS p
+      |        FROM documents WHERE length(text) >= 40)),
+      |npos AS (
+      |  SELECT doc_id, unnest(range(1, length(text) - 40 + 2)) AS p
+      |  FROM newb WHERE length(text) >= 40),
+      |nsub AS (
+      |  SELECT npos.doc_id, p, substr(n.text, CAST(p AS BIGINT), 40) AS s
+      |  FROM npos JOIN newb n ON npos.doc_id = n.doc_id),
+      |dup AS (SELECT doc_id, p FROM nsub JOIN cw USING (s)),
+      |cov AS (
+      |  SELECT doc_id, p,
+      |    lead(p) OVER w AS np,
+      |    CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 40
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM dup
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+      |isl AS (
+      |  SELECT doc_id, p, np,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+      |                   ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM cov),
+      |isl2 AS (
+      |  SELECT doc_id, p, np,
+      |    min(p) OVER (PARTITION BY doc_id, island) AS ist
+      |  FROM isl),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+      |    CAST(sum(CASE WHEN np IS NULL THEN 40
+      |                  ELSE least(40, np - p) END) AS BIGINT) AS dup_chars,
+      |    CAST(max(p - ist + 40) AS BIGINT) AS max_dup_run
+      |  FROM isl2 GROUP BY doc_id),
+      |base AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+      |         FROM newb)
+      |SELECT b.doc_id, b.n_chars,
+      |  greatest(b.n_chars - 39, 0) AS n_windows,
+      |  COALESCE(n_dup_windows, 0) AS n_dup_windows,
+      |  COALESCE(dup_chars, 0) AS dup_chars,
+      |  COALESCE(max_dup_run, 0) AS max_dup_run
+      |FROM base b LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2570,57 +2653,8 @@ object SparkEntry {
     // incremental screen recomputed from first principles: DISTINCT
     // corpus 40-substrings joined against every new-batch window, then
     // the same gaps-and-islands interval union as dedup_substrings
-    "dedup_substrings_incremental" ->
-      """WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
-        |newb AS (
-        |  SELECT doc_id + (SELECT o FROM off) AS doc_id,
-        |    text || ' GRAFT NOVEL SUFFIX 2026 incremental ingest marker not in corpus' AS text
-        |  FROM documents WHERE doc_id % 5 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 2 * (SELECT o FROM off), reverse(text)
-        |  FROM documents WHERE doc_id % 8 = 0),
-        |cw AS (
-        |  SELECT DISTINCT substr(text, CAST(p AS BIGINT), 40) AS s
-        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 40 + 2)) AS p
-        |        FROM documents WHERE length(text) >= 40)),
-        |npos AS (
-        |  SELECT doc_id, unnest(range(1, length(text) - 40 + 2)) AS p
-        |  FROM newb WHERE length(text) >= 40),
-        |nsub AS (
-        |  SELECT npos.doc_id, p, substr(n.text, CAST(p AS BIGINT), 40) AS s
-        |  FROM npos JOIN newb n ON npos.doc_id = n.doc_id),
-        |dup AS (SELECT doc_id, p FROM nsub JOIN cw USING (s)),
-        |cov AS (
-        |  SELECT doc_id, p,
-        |    lead(p) OVER w AS np,
-        |    CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 40
-        |         THEN 1 ELSE 0 END AS brk
-        |  FROM dup
-        |  WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
-        |isl AS (
-        |  SELECT doc_id, p, np,
-        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p
-        |                   ROWS UNBOUNDED PRECEDING) AS island
-        |  FROM cov),
-        |isl2 AS (
-        |  SELECT doc_id, p, np,
-        |    min(p) OVER (PARTITION BY doc_id, island) AS ist
-        |  FROM isl),
-        |agg AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
-        |    CAST(sum(CASE WHEN np IS NULL THEN 40
-        |                  ELSE least(40, np - p) END) AS BIGINT) AS dup_chars,
-        |    CAST(max(p - ist + 40) AS BIGINT) AS max_dup_run
-        |  FROM isl2 GROUP BY doc_id),
-        |base AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
-        |         FROM newb)
-        |SELECT b.doc_id, b.n_chars,
-        |  greatest(b.n_chars - 39, 0) AS n_windows,
-        |  COALESCE(n_dup_windows, 0) AS n_dup_windows,
-        |  COALESCE(dup_chars, 0) AS dup_chars,
-        |  COALESCE(max_dup_run, 0) AS max_dup_run
-        |FROM base b LEFT JOIN agg USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    "dedup_substrings_incremental" -> incrementalSubstringOracle,
+    "streaming_substring_state" -> incrementalSubstringOracle,
 
     // masked text rebuilt character by character: rank each duplicated
     // substring's occurrences by (doc_id, pos); non-canonical windows

@@ -11,8 +11,9 @@ import graft.functions._
   * `n_distinct` is exact iff `distinct_is_exact` (the KMV stayed
   * unsaturated); `top_value` counts are the deterministic Misra-Gries
   * interval (exact iff lb == ub, guaranteed when the column's distinct
-  * count fits the summary); `p50` is a t-digest quantile (numeric
-  * columns only, ~1-2% interior rank error, NaN-free).
+  * count fits the summary); `p25`/`p50`/`p75` are t-digest quantiles
+  * (numeric columns only, ~1-2% interior rank error, NaN-free — all
+  * three ride one digest).
   */
 case class ColumnProfile(
     column: String,
@@ -25,7 +26,9 @@ case class ColumnProfile(
     top_value: String,
     top_count_lb: Long,
     top_count_ub: Long,
+    p25: Option[Double],
     p50: Option[Double],
+    p75: Option[Double],
     sample_values: Seq[String])
 
 /** One-pass table profiling — the "describe this 100 TB table"
@@ -101,11 +104,13 @@ object Profile {
       val kmv = graft.core.KmvSample.fromBytes(row.getAs[Array[Byte]](s"__kmv_$c"))
       val mg = graft.core.MisraGries.fromBytes(row.getAs[Array[Byte]](s"__mg_$c"))
       val top = mg.topK(1).headOption
-      val p50 =
+      // quartiles come from the SAME digest — no extra scan
+      val quartiles =
         if (!numeric(c)) None
         else {
           val td = graft.core.TDigest.fromBytes(row.getAs[Array[Byte]](s"__td_$c"))
-          if (td.count == 0) None else Some(td.quantile(0.5))
+          if (td.count == 0) None
+          else Some((td.quantile(0.25), td.quantile(0.5), td.quantile(0.75)))
         }
       ColumnProfile(
         column = c,
@@ -118,7 +123,9 @@ object Profile {
         top_value = top.map(_._1).orNull,
         top_count_lb = top.map(_._2).getOrElse(0L),
         top_count_ub = top.map(_._3).getOrElse(0L),
-        p50 = p50,
+        p25 = quartiles.map(_._1),
+        p50 = quartiles.map(_._2),
+        p75 = quartiles.map(_._3),
         sample_values = kmv.payloads
           .map(p => new String(p, java.nio.charset.StandardCharsets.UTF_8))
           .toSeq.sorted)

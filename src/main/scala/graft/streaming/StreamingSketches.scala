@@ -116,6 +116,44 @@ object StreamingSketches {
         kmv_sample_values(col("sketch")).as("sample_keys"),
         col("sketch"))
 
+  /** Maintain the incremental duplicate-substring PIPELINE STATE
+    * ([[graft.ops.Dedup.substringState]]) from a document stream: each
+    * micro-batch's state rows are APPENDED to the persisted parquet
+    * directory, which [[graft.ops.Dedup.duplicateSpansAgainst]] screens
+    * later batches against.
+    *
+    * Replay-sound BY CONSTRUCTION, not by transactional dedup: the
+    * state's append-only update rule is property-tested to screen
+    * identically under duplicate witnesses, so an at-least-once
+    * foreachBatch retry only adds redundant rows — never a wrong screen.
+    * (Contrast with counters/filters, where replay safety needs the
+    * partition-id dedup of [[graft.job.SketchBuild]].)
+    *
+    * The caller supplies the checkpoint location for restartable
+    * streams; the returned query runs until stopped.
+    */
+  def maintainSubstringState(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      statePath: String,
+      window: Int = 40,
+      sampleMod: Int = 1,
+      checkpoint: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var w = docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Dedup
+          .substringState(batch.toDF(), textCol, idCol, window, sampleMod)
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(statePath)
+        ()
+    }
+    checkpoint.foreach(c => w = w.option("checkpointLocation", c))
+    trigger.foreach(t => w = w.trigger(t))
+    w.start()
+  }
+
   /** Windowed quantiles via t-digest: per window, the serialized digest
     * plus the requested quantile estimates. State per window is ONE
     * digest (O(compression) centroids) — latency-percentile monitoring

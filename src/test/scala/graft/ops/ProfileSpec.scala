@@ -31,11 +31,15 @@ class ProfileSpec extends SparkTestBase {
     assert(name.getLong(8) === 3L && name.getLong(9) === 3L)  // exact interval
     val score = rows("score")
     assert(score.getLong(2) === 1L && score.getLong(3) === 4L)
-    assert(!score.isNullAt(10) && math.abs(score.getDouble(10) - 2.5) < 1.5)
-    assert(rows("name").isNullAt(10))                         // p50 numeric-only
+    // quartiles (p25 @10, p50 @11, p75 @12) from one digest, ordered
+    assert(!score.isNullAt(11) && math.abs(score.getDouble(11) - 2.5) < 1.5)
+    assert(score.getDouble(10) <= score.getDouble(11) &&
+      score.getDouble(11) <= score.getDouble(12))
+    assert(rows("name").isNullAt(10) && rows("name").isNullAt(11) &&
+      rows("name").isNullAt(12)) // quartiles numeric-only
     // exact regime: the distinct-sample is ALL distinct values, sorted
-    assert(name.getSeq[String](11) === Seq("alpha", "beta"))
-    assert(id.getSeq[String](11) === Seq("1", "2", "3", "4", "5"))
+    assert(name.getSeq[String](13) === Seq("alpha", "beta"))
+    assert(id.getSeq[String](13) === Seq("1", "2", "3", "4", "5"))
   }
 
   test("saturated distinct flags itself; estimate within RSE; sample is k values") {
@@ -44,7 +48,7 @@ class ProfileSpec extends SparkTestBase {
     assert(!r.getBoolean(4), "must flag saturation")
     assert(math.abs(r.getLong(3) - 5000L) <= 4.0 / math.sqrt(62.0) * 5000)
     // saturated: the sample is exactly k real values from the column
-    val sample = r.getSeq[String](11)
+    val sample = r.getSeq[String](13)
     assert(sample.size === 64 && sample.forall(_.startsWith("v")))
     assert(sample === sample.sorted)
     // sample payloads are PREVIEWS: long documents must not blow up the
@@ -54,7 +58,7 @@ class ProfileSpec extends SparkTestBase {
     val docs = Seq("A" * 500 + "x", "A" * 500 + "y").toDF("t")
     val p = Profile.profile(docs, samplePreviewChars = 8).head()
     assert(p.getLong(3) === 2L)
-    assert(p.getSeq[String](11).forall(_.length <= 8))
+    assert(p.getSeq[String](13).forall(_.length <= 8))
   }
 
   test("non-hashable column types profile their string form") {

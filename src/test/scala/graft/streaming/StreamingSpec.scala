@@ -130,6 +130,48 @@ class StreamingSpec extends SparkTestBase {
       ((0 until 40).map(i => s"a$i") ++ (0 until 30).map(i => s"b$i")).toSet)
   }
 
+  test("maintainSubstringState: streamed state screens like from-scratch; replay-tolerant") {
+    import graft.ops.Dedup
+    val input = MemoryStream[(Long, String)]
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-msss").toString + "/state"
+    val q = StreamingSketches.maintainSubstringState(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id", statePath,
+      window = 8)
+    val b1 = Seq(
+      (1L, "unique alpha text one SHARED BOILERPLATE tail a"),
+      (2L, "wholly distinct content nothing repeated"))
+    val b2 = Seq(
+      (3L, "second ingest with SHARED BOILERPLATE again"),
+      (4L, "abcabcabcabcabcabc"))
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val corpus = (b1 ++ b2).toDF("doc_id", "text")
+    val newb = Seq(
+      (101L, "x SHARED BOILERPLATE y"),
+      (102L, "abcabc plus fresh"),
+      (103L, "entirely novel never seen")).toDF("doc_id", "text")
+    def screen(state: org.apache.spark.sql.DataFrame) =
+      Dedup.duplicateSpansAgainst(newb, state, corpus, "text", "doc_id",
+        window = 8).collect()
+        .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+    val streamed = screen(spark.read.parquet(statePath))
+    val scratch = screen(
+      Dedup.substringState(corpus, "text", "doc_id", window = 8))
+    assert(streamed === scratch)
+    assert(streamed(101L)._2 > 0L && streamed(103L)._2 === 0L)
+    // at-least-once REPLAY: re-append batch 1's state (a retried
+    // micro-batch) — redundant witnesses must not change the screen
+    Dedup.substringState(b1.toDF("doc_id", "text"), "text", "doc_id",
+        window = 8)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(statePath)
+    assert(screen(spark.read.parquet(statePath)) === streamed)
+  }
+
   test("windowed HLL distinct over a stream within bound") {
     val input = MemoryStream[(Timestamp, String)]
     val q = StreamingSketches.windowedDistinct(
