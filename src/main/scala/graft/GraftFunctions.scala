@@ -237,6 +237,29 @@ object functions {
   def kmv_sample_describe(sketch: Column): Column =
     toCol(KmvSampleDescribe(toExpr(sketch)))
 
+  /** WEIGHTED distinct-sample (Efraimidis-Spirakis A-RES): retain the k
+    * distinct keys with the largest priorities u(hash)^(1/weight) — a
+    * sample-proportional-to-weight of the distinct keys, invariant to
+    * duplication/order/partitioning. Exact (ALL distinct keys) below k.
+    */
+  def weighted_sample_agg(
+      key: Column, weight: Column, payload: Column, k: Int): Column =
+    toCol(WeightedSampleAgg(
+      AbloomKeyHash(toExpr(key)),
+      org.apache.spark.sql.catalyst.expressions.Cast(toExpr(weight),
+        org.apache.spark.sql.types.DoubleType),
+      toExpr(payload), lit(k)).toAggregateExpression())
+
+  def weighted_sample_union_agg(sketches: Column): Column =
+    toCol(WeightedSampleUnionAgg(toExpr(sketches)).toAggregateExpression())
+
+  /** The retained (value, weight) sample entries, ascending by hash. */
+  def weighted_sample_entries(sketch: Column): Column =
+    toCol(WeightedSampleEntries(toExpr(sketch)))
+
+  def weighted_sample_describe(sketch: Column): Column =
+    toCol(WeightedSampleDescribe(toExpr(sketch)))
+
   /** Count-min frequency sketch: estimate in [true, true + eps*N] w.p. 1-delta. */
   def cms_agg(key: Column, eps: Double, delta: Double): Column =
     toCol(CmsAgg(AbloomKeyHash(toExpr(key)), lit(eps), lit(delta))

@@ -842,6 +842,48 @@ object SparkEntry {
         .toDF("n_cust_hi", "n_cust_overlap", "n_cust_union", "kmv_saturated_ok")
     },
 
+    // WEIGHTED distinct-sample under the gate (Efraimidis-Spirakis
+    // A-RES): documents sampled proportional to weight = length + 1.
+    // Exact regime (k sized above the corpus): the sample is ALL docs
+    // with their weights — DuckDB recomputes both value-exactly. The
+    // SATURATED regime is verified Spark-side: a small-k sketch's
+    // retained set must equal the top-k by priority u(hash)^(1/w)
+    // recomputed independently (boolean column).
+    "weighted_sample" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val n = docs.count()
+      val kExact = math.max(graft.core.Kmv.MinK.toLong,
+        math.min(n + 16, graft.core.Kmv.MaxK.toLong)).toInt
+      val weight = (length(col("text")) + 1).cast("double")
+      // saturated law, checked against a driver recompute of the
+      // priorities with the same kernel (bounded metadata: (id, weight))
+      val smallK = 64
+      val smallBlob = docs
+        .agg(weighted_sample_agg(col("doc_id"), weight,
+          col("doc_id").cast("string"), smallK))
+        .head().getAs[Array[Byte]](0)
+      val small = graft.core.WeightedSample.fromBytes(smallBlob)
+      val expectTop = docs
+        .select(col("doc_id"), weight.as("w")).collect()
+        .map(r => (graft.core.Hashing.hashLong(r.getLong(0)), r.getDouble(1)))
+        .sortWith { case ((h1, w1), (h2, w2)) =>
+          val p1 = graft.core.WeightedSample.priority(h1, w1)
+          val p2 = graft.core.WeightedSample.priority(h2, w2)
+          p1 > p2 || (p1 == p2 && java.lang.Long.compareUnsigned(h1, h2) > 0)
+        }
+        .take(smallK).map(_._1).toSet
+      val satOk = small.isSaturated &&
+        small.entries.map(_._1).toSet == expectTop
+      docs
+        .agg(weighted_sample_agg(col("doc_id"), weight,
+          col("doc_id").cast("string"), kExact).as("s"))
+        .select(explode(weighted_sample_entries(col("s"))).as("e"))
+        .select(col("e.value").cast("long").as("doc_id"),
+          col("e.weight").as("weight"),
+          lit(satOk).as("saturated_sample_is_topk"))
+        .orderBy(col("doc_id"))
+    },
+
     // KMV distinct-sample-with-payload under the gate: ONE aggregation
     // pass per nation yields the distinct-customer count AND a uniform
     // sample of the customer keys. k is sized above every group's
@@ -1405,6 +1447,25 @@ object SparkEntry {
       graft.ops.Packing.packSequences(docs, "tokens", "doc_id",
           binTokens = 512, buckets = 8)
         .select(col("doc_id"), col("tokens"), col("start_offset"), col("bin"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Token-budget corpus selection: rank by an integer quality proxy
+    // (char length DESC, id ASC — docs are all-ASCII so both engines
+    // count the same), then greedy take-while under half the corpus's
+    // token total. All-integer arithmetic: DuckDB's single global
+    // window must reproduce the distributed two-level prefix sum and
+    // the cut EXACTLY.
+    "token_budget_select" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tokens"),
+          length(col("text")).cast("long").as("prio"))
+      val budget = docs.agg(sum(col("tokens"))).head.getLong(0) / 2
+      graft.ops.Selection
+        .selectByBudget(docs, "tokens", "prio", "doc_id", budget, buckets = 8)
+        .select(col("doc_id"), col("tokens"), col("prio"),
+          col("cum_tokens"), col("selected"))
         .orderBy(col("doc_id"))
     },
 
@@ -2017,6 +2078,12 @@ object SparkEntry {
         |  CAST((SELECT count(DISTINCT o_custkey) FROM orders) AS BIGINT)
         |    AS n_cust_union,
         |  CAST(1 AS BOOLEAN) AS kmv_saturated_ok""".stripMargin,
+    // exact regime: the weighted sample is ALL docs with their weights
+    "weighted_sample" ->
+      """SELECT doc_id,
+        |CAST(length(text) + 1 AS DOUBLE) AS weight,
+        |CAST(1 AS BOOLEAN) AS saturated_sample_is_topk
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // exact regime: the sketch's sample is ALL distinct custkeys per
     // nation — value-exact against an independent DISTINCT recompute
     "kmv_distinct_sample" ->
@@ -2469,6 +2536,24 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, tokens, start_offset,
         |       CAST(start_offset // 512 AS BIGINT) AS bin
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    // greedy take-while under budget = total/2, rank (length DESC, id):
+    // pure integer arithmetic, exact cross-engine
+    "token_budget_select" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+        |    CAST(length(text) AS BIGINT) AS prio
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, tokens, prio,
+        |    CAST(SUM(tokens) OVER (ORDER BY prio DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, tokens, prio, cum_tokens,
+        |  cum_tokens <= (SELECT SUM(tokens) // 2 FROM t) AS selected
         |FROM o ORDER BY doc_id""".stripMargin,
 
     // exact similarity join: the oracle IS the definition — all-pairs

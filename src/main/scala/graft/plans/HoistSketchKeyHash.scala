@@ -33,7 +33,7 @@ object HoistSketchKeyHash extends Rule[LogicalPlan] {
 
   private def isSketchAgg(f: Expression): Boolean = f match {
     case _: BloomFilterAgg | _: CbfAgg | _: SbfAgg | _: HllAgg | _: CmsAgg |
-         _: KmvAgg | _: KmvSampleAgg => true
+         _: KmvAgg | _: KmvSampleAgg | _: WeightedSampleAgg => true
     case _ => false
   }
 

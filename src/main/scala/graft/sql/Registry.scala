@@ -110,6 +110,16 @@ object Registry {
     "kmv_sample_estimate" -> { args => KmvSampleEstimate(args.head) },
     "kmv_sample_values" -> { args => KmvSampleValues(args.head) },
     "kmv_sample_describe" -> { args => KmvSampleDescribe(args.head) },
+    "weighted_sample_agg" -> { args =>
+      require(args.size >= 3, "weighted_sample_agg(key, weight, payload[, k])")
+      val k = if (args.size > 3) args(3)
+        else org.apache.spark.sql.catalyst.expressions.Literal(graft.core.Kmv.DefaultK)
+      WeightedSampleAgg(AbloomKeyHash(args(0)),
+        Cast(args(1), org.apache.spark.sql.types.DoubleType), args(2), k)
+    },
+    "weighted_sample_union_agg" -> { args => WeightedSampleUnionAgg(args.head) },
+    "weighted_sample_entries" -> { args => WeightedSampleEntries(args.head) },
+    "weighted_sample_describe" -> { args => WeightedSampleDescribe(args.head) },
     "kmv_intersect_estimate" -> { args =>
       require(args.size == 2, "kmv_intersect_estimate(a, b)")
       KmvIntersectEstimate(args(0), args(1))

@@ -346,6 +346,65 @@ class SketchSparkSpec extends SparkTestBase {
     assert(graft.core.KmvSample.fromBytes(np).size === 2)
   }
 
+  test("weighted_sample_agg: distributed == driver byte-identical; exact + saturated laws") {
+    val n = 4000
+    val rows = (0 until n).map(i => (s"k${i % 700}", 1.0 + (i % 700) % 9))
+    val df = rows.toDF("k", "w")
+    val bytes = df.repartition(6)
+      .agg(weighted_sample_agg(col("k"), col("w"), col("k"), 2048))
+      .head.getAs[Array[Byte]](0)
+    val driver = graft.core.WeightedSample.empty(2048)
+    rows.foreach { case (k, w) =>
+      driver.add(Hashing.hashString(k), w, k.getBytes("UTF-8"))
+    }
+    assert(java.util.Arrays.equals(bytes, driver.toBytes))
+    // partition-invariant; grouped-union == whole build
+    val other = df.repartition(2)
+      .agg(weighted_sample_agg(col("k"), col("w"), col("k"), 2048))
+      .head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(other, bytes))
+    val unioned = df.withColumn("g", col("k").substr(2, 1))
+      .groupBy("g")
+      .agg(weighted_sample_agg(col("k"), col("w"), col("k"), 2048).as("s"))
+      .agg(weighted_sample_union_agg(col("s"))).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(unioned, bytes))
+    // exact regime: all 700 distinct keys retained with their MAX weight
+    val es = graft.core.WeightedSample.fromBytes(bytes)
+    assert(!es.isSaturated && es.size === 700)
+    // saturated: retained == independent top-k by priority
+    val k = 64
+    val small = df.agg(weighted_sample_agg(col("k"), col("w"), col("k"), k))
+      .head.getAs[Array[Byte]](0)
+    val ss = graft.core.WeightedSample.fromBytes(small)
+    val expect = (0 until 700).map { i =>
+      val key = s"k$i"
+      val w = rows.filter(_._1 == key).map(_._2).max
+      (Hashing.hashString(key), w)
+    }.sortWith { case ((h1, w1), (h2, w2)) =>
+      val p1 = graft.core.WeightedSample.priority(h1, w1)
+      val p2 = graft.core.WeightedSample.priority(h2, w2)
+      p1 > p2 || (p1 == p2 && java.lang.Long.compareUnsigned(h1, h2) > 0)
+    }.take(k).map(_._1).toSet
+    assert(ss.entries.map(_._1).toSet === expect)
+    // nulls / invalid weights skipped
+    val withBad = Seq(
+      (Some("a"), Some(2.0)), (None, Some(1.0)), (Some("b"), None),
+      (Some("c"), Some(0.0)), (Some("d"), Some(Double.NaN)))
+      .toDF("k", "w")
+      .agg(weighted_sample_agg(col("k"), col("w"), col("k"), 16))
+      .head.getAs[Array[Byte]](0)
+    assert(graft.core.WeightedSample.fromBytes(withBad).size === 1)
+    // SQL surface
+    graft.sql.Registry.register(spark)
+    df.createOrReplaceTempView("ws_in")
+    val viaSql = spark.sql(
+      """SELECT weighted_sample_describe(s).n AS n,
+        |       size(weighted_sample_entries(s)) AS ne
+        |FROM (SELECT weighted_sample_agg(k, w, k, 64) AS s FROM ws_in)""".stripMargin)
+      .head
+    assert(viaSql.getInt(0) === 64 && viaSql.getInt(1) === 64)
+  }
+
   test("kmv_sample SQL surface + hoist rule keeps the update path a getLong") {
     graft.sql.Registry.register(spark)
     (0 until 1000).map(i => s"u${i % 50}").toDF("k")
