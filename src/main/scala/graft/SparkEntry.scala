@@ -644,6 +644,25 @@ object SparkEntry {
         .orderBy(col("day"))
     },
 
+    // Streaming windowed WEIGHTED sample under the gate: per-day A-RES
+    // sketches keyed on user_id with weight = value (positive double).
+    // k is sized above every day's distinct count, so the sample is ALL
+    // of that day's users with their MAX single-event value — DuckDB
+    // recomputes (day, user, max(value)) value-exactly (comparison-only
+    // arithmetic: the max of identical doubles is bit-identical).
+    "streaming_weighted_sample" -> { (s, dir) =>
+      val events = table(s, dir, "events")
+      val k = perDayExactK(events, "user_id")
+      val agg = graft.streaming.StreamingSketches.windowedWeightedSample(
+        replayStream(events), "ts", "user_id", "value", "1 day", "1 hour", k)
+      runToMemory(agg, "sws")
+        .select(col("window_start").cast("date").as("day"),
+          col("is_exact"), explode(col("sample")).as("e"))
+        .select(col("day"), col("e.value").cast("long").as("user_id"),
+          col("e.weight").as("weight"), col("is_exact"))
+        .orderBy(col("day"), col("user_id"))
+    },
+
     // Streaming windowed KMV under the gate — the EXACT streaming
     // distinct: k is sized above the max per-day distinct count
     // (perDayExactK — to_date matches the oracle's date_trunc under the
@@ -2022,6 +2041,17 @@ object SparkEntry {
         |  string_agg(CAST(user_id AS VARCHAR), ','
         |             ORDER BY CAST(user_id AS VARCHAR)) AS sample_csv
         |FROM d GROUP BY day ORDER BY day""".stripMargin,
+    // exact regime: every day's sample is ALL its users with their max
+    // single-event value (null keys/weights skipped by the sketch)
+    "streaming_weighted_sample" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  user_id,
+        |  max(value) AS weight,
+        |  CAST(1 AS BOOLEAN) AS is_exact
+        |FROM events
+        |WHERE user_id IS NOT NULL AND value IS NOT NULL AND value > 0
+        |GROUP BY day, user_id
+        |ORDER BY day, user_id""".stripMargin,
     "streaming_windowed_kmv" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
         |CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,

@@ -116,6 +116,40 @@ object StreamingSketches {
         kmv_sample_values(col("sketch")).as("sample_keys"),
         col("sketch"))
 
+  /** Windowed WEIGHTED distinct-sample via the A-RES sketch
+    * ([[graft.core.WeightedSample]]): per window, up to k distinct keys
+    * sampled proportional to their weight (re-observation keeps the MAX
+    * weight) — "which users moved the most value this hour, with a
+    * principled sample when there are too many to list". State per
+    * window is at most k * (20 + payload preview) bytes; the sketch
+    * column rolls up in batch (`weighted_sample_union_agg`). EXACT (all
+    * distinct keys + max weights) while the window stays under k —
+    * `is_exact` says so per window.
+    */
+  def windowedWeightedSample(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      weightCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      k: Int = graft.core.Kmv.DefaultK): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(weighted_sample_agg(
+        col(keyCol), col(weightCol), col(keyCol).cast("string"), k)
+        .as("sketch"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        graft.functions.weighted_sample_describe(col("sketch"))
+          .getField("n").as("n_sampled"),
+        (!graft.functions.weighted_sample_describe(col("sketch"))
+          .getField("saturated")).as("is_exact"),
+        weighted_sample_entries(col("sketch")).as("sample"),
+        col("sketch"))
+
   /** Maintain the incremental duplicate-substring PIPELINE STATE
     * ([[graft.ops.Dedup.substringState]]) from a document stream: each
     * micro-batch's state rows are APPENDED to the persisted parquet

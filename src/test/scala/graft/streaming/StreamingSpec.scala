@@ -130,6 +130,43 @@ class StreamingSpec extends SparkTestBase {
       ((0 until 40).map(i => s"a$i") ++ (0 until 30).map(i => s"b$i")).toSet)
   }
 
+  test("windowed WEIGHTED sample: exact below k, max-weight rule, rolls up in batch") {
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamingSketches.windowedWeightedSample(
+      input.toDF().toDF("ts", "key", "w"), "ts", "key", "w",
+      "10 minutes", "0 seconds", k = 128)
+      .writeStream.format("memory").queryName("wws").outputMode("append").start()
+    // window 1: 40 distinct keys, each seen with weights i+1 and 2(i+1)
+    // — the retained weight must be the MAX; window 2: 30 distinct
+    input.addData((0 until 80).map { i =>
+      (ts(i % 10), s"a${i % 40}", (i % 40 + 1).toDouble * (1 + i / 40))
+    }: _*)
+    input.addData((0 until 30).map(i => (ts(10 + i % 10), s"b$i", 5.0)): _*)
+    q.processAllAvailable()
+    input.addData((ts(59), "latewm", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wws")
+      .filter(col("window_start").isin(
+        Timestamp.valueOf("2026-01-01 10:00:00"),
+        Timestamp.valueOf("2026-01-01 10:10:00")))
+      .orderBy(col("window_start")).collect()
+    assert(rows.length === 2)
+    assert(rows(0).getInt(2) === 40 && rows(0).getBoolean(3))
+    val w1 = rows(0).getSeq[org.apache.spark.sql.Row](4)
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(w1 === (0 until 40).map(i => s"a$i" -> (i + 1) * 2.0).toMap)
+    assert(rows(1).getInt(2) === 30 && rows(1).getBoolean(3))
+    // the sketch column rolls up in batch: union == all keys, max weights
+    val merged = graft.core.WeightedSample
+      .fromBytes(rows(0).getAs[Array[Byte]](5))
+      .mergeIn(graft.core.WeightedSample.fromBytes(rows(1).getAs[Array[Byte]](5)))
+    assert(merged.size === 70)
+    assert(merged.entries.map { case (_, w, p) => new String(p, "UTF-8") -> w }.toMap ===
+      ((0 until 40).map(i => s"a$i" -> (i + 1) * 2.0) ++
+        (0 until 30).map(i => s"b$i" -> 5.0)).toMap)
+  }
+
   test("maintainSubstringState: streamed state screens like from-scratch; replay-tolerant") {
     import graft.ops.Dedup
     val input = MemoryStream[(Long, String)]
