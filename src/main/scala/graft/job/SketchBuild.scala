@@ -161,6 +161,54 @@ object PartitionSketcher {
     }
   }
 
+  /** WEIGHTED distinct-sample build ([[graft.core.WeightedSample]],
+    * A-RES): like [[kmvSample]] but retention is by priority
+    * u(hash)^(1/weight). `weight` is a DRIVER-SIDE plan fragment
+    * (@transient — `project` runs on the driver only; executors never
+    * touch the field). Rows with a null value or a
+    * null/non-positive/non-finite weight are nulled in the projection,
+    * matching the aggregate expression's skip semantics; the wire is
+    * content-canonical, so resume byte-identity holds like every other
+    * family.
+    */
+  def weightedSample(
+      weight: Column,
+      k: Int = graft.core.Kmv.DefaultK,
+      previewChars: Int = 256): PartitionSketcher = {
+    require(previewChars >= 1,
+      s"previewChars must be >= 1, got $previewChars")
+    new WeightedSampleKernel(weight, k, previewChars)
+  }
+
+  private final class WeightedSampleKernel(
+      @transient private val weight: Column,
+      k: Int,
+      previewChars: Int) extends PartitionSketcher {
+    def project(valueCol: Column): Column = {
+      val w = weight.cast(DoubleType)
+      when(valueCol.isNull || w.isNull || isnan(w) || w <= 0.0 ||
+          w === lit(Double.PositiveInfinity), lit(null))
+        .otherwise(struct(
+          abloom_key_hash(valueCol).as("h"),
+          w.as("w"),
+          substring(valueCol.cast(StringType), 1, previewChars).as("p")))
+    }
+    def newBuffer(): AnyRef = graft.core.WeightedSample.empty(k)
+    def update(b: AnyRef, row: InternalRow): Unit = {
+      val s = row.getStruct(0, 3)
+      // copy() for ownership: the UTF8String can alias a reused buffer
+      b.asInstanceOf[graft.core.WeightedSample]
+        .add(s.getLong(0), s.getDouble(1), s.getUTF8String(2).copy().getBytes)
+    }
+    def toBytes(b: AnyRef): Array[Byte] =
+      b.asInstanceOf[graft.core.WeightedSample].toBytes
+    def unionAgg(c: Column): Column =
+      graft.functions.weighted_sample_union_agg(c)
+    def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      graft.core.WeightedSample.fromBytes(a)
+        .mergeIn(graft.core.WeightedSample.fromBytes(b)).toBytes
+  }
+
   /** Bottom-k/theta build: the state is a canonical set, so tree and
     * flat merges are byte-equal like the cell-wise families. */
   def kmv(k: Int = graft.core.Kmv.DefaultK): PartitionSketcher = new HashedKernel {

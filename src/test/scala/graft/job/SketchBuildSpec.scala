@@ -88,6 +88,34 @@ class SketchBuildSpec extends SparkTestBase {
     assert(s.payloads.map(p => new String(p, "UTF-8")).toSeq === expect)
   }
 
+  test("weightedSample: resume byte-stable; retained set is the true top-k by priority") {
+    val wcol = (col("id") % 97 + 1).cast("double")
+    val sk = PartitionSketcher.weightedSample(wcol, 256, previewChars = 4)
+    resumeIsByteStable(sk, "id")
+    val s = graft.core.WeightedSample.fromBytes(
+      SketchBuild.resume(longs, col("id"), sk, tmp()))
+    assert(s.isSaturated && s.size === 256)
+    // independent recompute of the top-256 priorities
+    val expect = (0L until n)
+      .map(i => (graft.core.Hashing.hashLong(i), (i % 97 + 1).toDouble))
+      .sortWith { case ((h1, w1), (h2, w2)) =>
+        val p1 = graft.core.WeightedSample.priority(h1, w1)
+        val p2 = graft.core.WeightedSample.priority(h2, w2)
+        p1 > p2 || (p1 == p2 && java.lang.Long.compareUnsigned(h1, h2) > 0)
+      }
+      .take(256).map(_._1).toSet
+    assert(s.entries.map(_._1).toSet === expect)
+    // invalid weights null the projection (skipped, not an error)
+    val skBad = PartitionSketcher.weightedSample(
+      when(col("id") < 10, lit(Double.NaN))
+        .when(col("id") < 20, lit(0.0))
+        .when(col("id") < 30, lit(null).cast("double"))
+        .otherwise(lit(1.0)), 32768, previewChars = 4)
+    val sb = graft.core.WeightedSample.fromBytes(
+      SketchBuild.resume(longs, col("id"), skBad, tmp()))
+    assert(sb.size === (n - 30).toInt)
+  }
+
   test("cms: resume byte-stable and point queries within eps*N over-count") {
     val sk = PartitionSketcher.cms(0.01, 0.01)
     resumeIsByteStable(sk, "id")
@@ -167,7 +195,9 @@ class SketchBuildSpec extends SparkTestBase {
       PartitionSketcher.cms(0.01, 0.01),
       PartitionSketcher.cbf(n, 0.01),
       PartitionSketcher.sbf(1024, 0.001),
-      PartitionSketcher.kmv(256)).foreach { sk =>
+      PartitionSketcher.kmv(256),
+      PartitionSketcher.weightedSample(
+        (col("id") % 97 + 1).cast("double"), 256)).foreach { sk =>
       val dir = checkpoint(sk)
       val flat = SketchBuild.merge(spark, sk, dir)
       val tree = SketchBuild.merge(spark, sk, dir, groups = 3)
