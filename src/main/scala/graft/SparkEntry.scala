@@ -1452,6 +1452,24 @@ object SparkEntry {
         .orderBy(col("event_type"))
     },
 
+    // DOMAIN MIXTURE with EXACT counts: documents grouped into 3
+    // domains (web/books/code from the source id) and mixed at 6:3:1 —
+    // quotas from all-integer arithmetic, per-domain selection = first
+    // quota rows in sha256(key||salt) order. DuckDB recomputes the
+    // identical quotas and ranks (one window per domain), exact match.
+    "mixture_sample" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .withColumn("domain",
+          expr("CASE WHEN CAST(substring(source, 4) AS INT) < 10 THEN 'web' " +
+            "WHEN CAST(substring(source, 4) AS INT) < 15 THEN 'books' " +
+            "ELSE 'code' END"))
+      graft.ops.Mixture.mixtureSample(docs, "domain", "doc_id",
+          Seq("web" -> 6L, "books" -> 3L, "code" -> 1L),
+          salt = "mixsalt", buckets = 8)
+        .select(col("domain"), col("doc_id"), col("mix_rank"), col("selected"))
+        .orderBy(col("domain"), col("doc_id"))
+    },
+
     // SEQUENCE PACKING for training-data assembly: every document gets
     // the bin where its first token lands on the global doc_id-ordered
     // token stream (bin = start_offset div 512). The Spark side is a
@@ -2567,6 +2585,31 @@ object SparkEntry {
         |SELECT doc_id, tokens, start_offset,
         |       CAST(start_offset // 512 AS BIGINT) AS bin
         |FROM o ORDER BY doc_id""".stripMargin,
+
+    // exact-count mixture: quotas s_d = w_d*S//W with
+    // S = min_d(n_d*W//w_d), selection = first s_d per domain in
+    // sha256-hex rank order — all integer, exact cross-engine
+    "mixture_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN CAST(substring(source, 4) AS INT) < 10 THEN 'web'
+        |         WHEN CAST(substring(source, 4) AS INT) < 15 THEN 'books'
+        |         ELSE 'code' END AS domain,
+        |    sha256(CAST(doc_id AS VARCHAR) || 'mixsalt') AS h
+        |  FROM documents),
+        |w(domain, wt) AS (VALUES ('web', 6), ('books', 3), ('code', 1)),
+        |c AS (SELECT t.domain, wt, count(*) AS n
+        |      FROM t JOIN w ON t.domain = w.domain GROUP BY t.domain, wt),
+        |s AS (SELECT min(n * 10 // wt) AS total FROM c),
+        |q AS (SELECT domain, wt * (SELECT total FROM s) // 10 AS quota FROM c),
+        |r AS (SELECT domain, doc_id,
+        |        row_number() OVER (PARTITION BY domain ORDER BY h, doc_id)
+        |          AS mix_rank
+        |      FROM t)
+        |SELECT r.domain, r.doc_id, CAST(r.mix_rank AS BIGINT) AS mix_rank,
+        |       r.mix_rank <= q.quota AS selected
+        |FROM r JOIN q ON r.domain = q.domain
+        |ORDER BY r.domain, r.doc_id""".stripMargin,
 
     // greedy take-while under budget = total/2, rank (length DESC, id):
     // pure integer arithmetic, exact cross-engine
