@@ -1452,6 +1452,18 @@ object SparkEntry {
         .orderBy(col("event_type"))
     },
 
+    // DETERMINISTIC EPOCH SHUFFLE: every doc's 0-based position in
+    // sha256(doc_id||'epoch1') rank order — a reproducible global
+    // training order. DuckDB recomputes the identical permutation with
+    // one global window; the Spark side never sorts globally (fixed
+    // hash buckets + within-bucket window).
+    "epoch_shuffle" -> { (s, dir) =>
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+      graft.ops.Shuffle.epochShuffle(docs, "doc_id", "epoch1", buckets = 8)
+        .select(col("doc_id"), col("shuffle_pos"))
+        .orderBy(col("doc_id"))
+    },
+
     // DOMAIN MIXTURE with EXACT counts: documents grouped into 3
     // domains (web/books/code from the source id) and mixed at 6:3:1 —
     // quotas from all-integer arithmetic, per-domain selection = first
@@ -2585,6 +2597,15 @@ object SparkEntry {
         |SELECT doc_id, tokens, start_offset,
         |       CAST(start_offset // 512 AS BIGINT) AS bin
         |FROM o ORDER BY doc_id""".stripMargin,
+
+    // the permutation is a pure function of (keys, salt): one global
+    // window in DuckDB reproduces the distributed rank exactly
+    "epoch_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY sha256(CAST(doc_id AS VARCHAR) || 'epoch1'), doc_id)
+        |    - 1 AS BIGINT) AS shuffle_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // exact-count mixture: quotas s_d = w_d*S//W with
     // S = min_d(n_d*W//w_d), selection = first s_d per domain in

@@ -63,8 +63,6 @@ object Mixture {
     require(weights.forall(_._2 > 0L), "weights must be positive")
     require(weights.map(_._1).distinct.size == weights.size,
       "duplicate domain in weights")
-    require(buckets >= 1 && buckets <= 65536,
-      s"buckets must be in [1, 65536], got $buckets")
     val bigW = weights.map(_._2).reduce((a: Long, b: Long) => Math.addExact(a, b))
     // string-compare the domain (weights are string-keyed); NULL
     // domains fail the isin filter and are excluded like unlisted ones
@@ -75,13 +73,10 @@ object Mixture {
     import spark.implicits._
 
     // hash rank + fixed equal-width bucket on the leading 16 bits
-    val h = sha2(concat(key.cast("string"), lit(salt)), 256)
     val listed = df
       .filter(domain.isin(weights.map(_._1): _*))
-      .withColumn("__mix_h", h)
-      .withColumn("__mix_bucket",
-        (conv(substring(col("__mix_h"), 1, 4), 16, 10).cast("long") *
-          buckets / 65536L).cast("int"))
+      .withColumn("__mix_h", HashOrder.hashCol(key, salt))
+      .withColumn("__mix_bucket", HashOrder.bucketCol(col("__mix_h"), buckets))
 
     // one pass: per-cell counts + preconditions. A duplicated
     // (domain, key) shares its hash and therefore its cell, so
