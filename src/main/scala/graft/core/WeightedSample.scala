@@ -50,9 +50,25 @@ final class WeightedSample private (
     }
   }
 
+  /** True iff [[add]] with this (hash, weight) could change the sketch —
+    * the O(1) reject test callers use to skip materializing payloads on
+    * the saturated hot path (the KmvSample reject-before-copy rule).
+    */
+  def wouldAccept(h: Long, weight: Double): Boolean =
+    byHash.size < k || byHash.containsKey(java.lang.Long.valueOf(h)) ||
+      beatsWorst(WeightedSample.priority(h, weight), h)
+
+  private def beatsWorst(pr: Double, h: Long): Boolean = {
+    val worst = byPriority.firstKey()
+    // strict composite order (priority, hash): total and deterministic,
+    // so the retained set is insertion-order-free
+    pr > worst._1 ||
+      (pr == worst._1 && java.lang.Long.compareUnsigned(h, worst._2) > 0)
+  }
+
   def add(h: Long, weight: Double, payload: Array[Byte]): Unit = {
-    require(weight > 0.0 && !weight.isInfinite && !weight.isNaN,
-      s"weight must be a positive finite number, got $weight")
+    require(WeightedSample.validWeight(weight),
+      s"weight must be a finite number >= ${WeightedSample.MinWeight}, got $weight")
     val p =
       if (payload.length <= KmvSample.MaxPayloadBytes) payload
       else java.util.Arrays.copyOf(payload, KmvSample.MaxPayloadBytes)
@@ -68,17 +84,10 @@ final class WeightedSample private (
         byHash.put(boxed, (weight, p)); () // payload tie rule
       }
     } else {
-      val pr = WeightedSample.priority(h, weight)
       if (byHash.size < k) insertEntry(boxed, weight, p)
-      else {
-        val worst = byPriority.firstKey()
-        // strict composite order (priority, hash): total and
-        // deterministic, so the retained set is insertion-order-free
-        if (pr > worst._1 || (pr == worst._1 &&
-            java.lang.Long.compareUnsigned(h, worst._2) > 0)) {
-          remove(byPriority.firstEntry().getValue)
-          insertEntry(boxed, weight, p)
-        }
+      else if (beatsWorst(WeightedSample.priority(h, weight), h)) {
+        remove(byPriority.firstEntry().getValue)
+        insertEntry(boxed, weight, p)
       }
     }
   }
@@ -155,12 +164,26 @@ final class WeightedSample private (
 
 object WeightedSample {
 
+  /** Weights below this (subnormals) are invalid: 1/w would overflow to
+    * +Infinity and u^Inf is NaN at u == 1.0, which Double.compare sorts
+    * GREATEST — an unevictable entry whose retention would depend on
+    * arrival order. MIN_NORMAL is comfortably above the 1/Double.MaxValue
+    * overflow threshold and easy to document.
+    */
+  val MinWeight: Double = java.lang.Double.MIN_NORMAL
+
+  def validWeight(w: Double): Boolean =
+    w >= MinWeight && !w.isInfinite // NaN fails >=
+
   /** A-RES priority: u^(1/w) with u = normalize(hash) in (0, 1].
-    * Monotone in w; a pure deterministic function of (hash, weight), so
-    * every replica/merge computes the identical value.
+    * Monotone in w; a pure deterministic function of (hash, weight) —
+    * StrictMath.pow, NOT Math.pow: Math.pow may differ by 1 ulp across
+    * platforms/JITs, and a last-bit divergence at the eviction threshold
+    * would break the byte-identical wire/resume contract on a cluster
+    * with heterogeneous executors.
     */
   def priority(h: Long, weight: Double): Double =
-    math.pow(Kmv.normalize(h), 1.0 / weight)
+    StrictMath.pow(Kmv.normalize(h), 1.0 / weight)
 
   private val PriorityHashOrder: java.util.Comparator[(Double, Long)] =
     (a: (Double, Long), b: (Double, Long)) => {
@@ -195,8 +218,7 @@ object WeightedSample {
         "corrupt weighted sample blob: hashes not strictly ascending")
       prev = h
       val w = in.getDouble
-      require(w > 0.0 && !w.isInfinite && !w.isNaN,
-        s"corrupt weighted sample blob: weight $w")
+      require(validWeight(w), s"corrupt weighted sample blob: weight $w")
       val len = in.getInt
       require(len >= 0 && len <= KmvSample.MaxPayloadBytes &&
         in.remaining() >= len,

@@ -19,8 +19,9 @@ import graft.core.{KmvSample, WeightedSample}
 
 /** `weighted_sample_agg(key_hash, weight, payload, k) -> binary` —
   * retain the k distinct keys with the largest priorities
-  * u(hash)^(1/weight). Rows with a null key, null/non-positive/non-
-  * finite weight or null payload are skipped.
+  * u(hash)^(1/weight). Rows with a null key, an invalid weight (null,
+  * NaN, infinite, or below [[WeightedSample.MinWeight]] — subnormals
+  * would make 1/w overflow) or a null payload are skipped.
   */
 case class WeightedSampleAgg(
     child: Expression,
@@ -64,9 +65,13 @@ case class WeightedSampleAgg(
       val wv = weight.eval(input)
       if (wv != null) {
         val w = wv.asInstanceOf[Double]
+        val h = v.asInstanceOf[Long]
         // skip invalid weights (null semantics, not an error: a 100 TB
-        // scan survives a few bad quality scores observably)
-        if (w > 0.0 && !w.isInfinite) {
+        // scan survives a few bad quality scores observably); reject by
+        // (priority, hash) BEFORE materializing the payload — on a
+        // saturated sketch most rows never copy a byte (the
+        // KmvSampleAgg reject-before-copy rule)
+        if (WeightedSample.validWeight(w) && buffer.wouldAccept(h, w)) {
           val p = payload.eval(input)
           if (p != null) {
             val u = p.asInstanceOf[UTF8String]
@@ -76,7 +81,7 @@ case class WeightedSampleAgg(
             org.apache.spark.unsafe.Platform.copyMemory(
               u.getBaseObject, u.getBaseOffset, arr,
               org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, n.toLong)
-            buffer.add(v.asInstanceOf[Long], w, arr)
+            buffer.add(h, w, arr)
           }
         }
       }

@@ -165,8 +165,9 @@ object PartitionSketcher {
     * A-RES): like [[kmvSample]] but retention is by priority
     * u(hash)^(1/weight). `weight` is a DRIVER-SIDE plan fragment
     * (@transient — `project` runs on the driver only; executors never
-    * touch the field). Rows with a null value or a
-    * null/non-positive/non-finite weight are nulled in the projection,
+    * touch the field). Rows with a null value or an invalid weight
+    * (null, NaN, infinite, or below [[graft.core.WeightedSample.MinWeight]])
+    * are nulled in the projection,
     * matching the aggregate expression's skip semantics; the wire is
     * content-canonical, so resume byte-identity holds like every other
     * family.
@@ -186,7 +187,10 @@ object PartitionSketcher {
       previewChars: Int) extends PartitionSketcher {
     def project(valueCol: Column): Column = {
       val w = weight.cast(DoubleType)
-      when(valueCol.isNull || w.isNull || isnan(w) || w <= 0.0 ||
+      // isnan is explicit: Spark's NaN ordering makes NaN < x FALSE, so
+      // the range test alone would admit NaN
+      when(valueCol.isNull || w.isNull || isnan(w) ||
+          w < lit(graft.core.WeightedSample.MinWeight) ||
           w === lit(Double.PositiveInfinity), lit(null))
         .otherwise(struct(
           abloom_key_hash(valueCol).as("h"),

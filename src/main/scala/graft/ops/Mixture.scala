@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic domain-mixture sampling with EXACT per-domain counts —
@@ -43,8 +42,9 @@ object Mixture {
     *
     * Preconditions (checked, riding the aggregation pass): `keyCol`
     * non-null and unique within each listed domain; every listed
-    * domain non-empty (an absent target domain cannot be mixed —
-    * fails loudly rather than returning an empty selection).
+    * domain non-empty, and every computed quota positive (an absent or
+    * starved target domain cannot be mixed — fails loudly rather than
+    * returning a selection that is not at the target ratio).
     *
     * @param weights  (domain value, positive integer target weight) —
     *                 e.g. Seq("web" -> 6L, "books" -> 3L, "code" -> 1L)
@@ -67,37 +67,18 @@ object Mixture {
     // string-compare the domain (weights are string-keyed); NULL
     // domains fail the isin filter and are excluded like unlisted ones
     val domain = col(domainCol).cast("string")
-    val key = col(keyCol)
 
     val spark = df.sparkSession
     import spark.implicits._
 
-    // hash rank + fixed equal-width bucket on the leading 16 bits
+    // shared rank machinery ([[HashOrder.rankByHash]]): hash buckets,
+    // one count pass with the key preconditions, per-cell window rank
     val listed = df
       .filter(domain.isin(weights.map(_._1): _*))
-      .withColumn("__mix_h", HashOrder.hashCol(key, salt))
-      .withColumn("__mix_bucket", HashOrder.bucketCol(col("__mix_h"), buckets))
-
-    // one pass: per-cell counts + preconditions. A duplicated
-    // (domain, key) shares its hash and therefore its cell, so
-    // per-cell distinct checks see every global duplicate.
-    val cells = listed.groupBy(domain.as("__d"), col("__mix_bucket"))
-      .agg(
-        count(lit(1)).as("n"),
-        count(key).as("n_keys"),
-        countDistinct(key).as("n_distinct"))
-      .collect()
-    cells.foreach { r =>
-      require(r.getLong(3) == r.getLong(2),
-        s"mixtureSample: $keyCol must be non-null (domain ${r.get(0)})")
-      require(r.getLong(4) == r.getLong(3),
-        s"mixtureSample: $keyCol must be unique within domain ${r.get(0)} " +
-          s"(${r.getLong(3)} keys, ${r.getLong(4)} distinct)")
-    }
-    val perDomain = cells.groupBy(_.getString(0))
-    val counts: Map[String, Long] = perDomain.map { case (d, rs) =>
-      d -> rs.map(_.getLong(2)).reduce((a: Long, b: Long) => Math.addExact(a, b))
-    }
+      .withColumn("__mix_d", domain)
+    val (ranked, counts) = HashOrder.rankByHash(
+      listed, keyCol, salt, buckets, groupCol = Some("__mix_d"),
+      rankCol = "mix_rank", opName = "mixtureSample")
     weights.foreach { case (d, _) =>
       require(counts.getOrElse(d, 0L) > 0L,
         s"mixtureSample: listed domain '$d' has no rows — the target " +
@@ -111,24 +92,22 @@ object Mixture {
     val quotas: Map[String, Long] = weights.map { case (d, w) =>
       d -> Math.multiplyExact(w, total) / bigW
     }.toMap
-
-    // per-(domain, bucket) exclusive offsets in ascending bucket order
-    val offsetRows = perDomain.toSeq.flatMap { case (d, rs) =>
-      val sorted = rs.sortBy(_.getInt(1))
-      val offs = sorted.map(_.getLong(2)).scanLeft(0L)(Math.addExact).init
-      sorted.zip(offs).map { case (r, o) => (d, r.getInt(1), o, quotas(d)) }
+    // a zero quota means the output omits a listed domain entirely —
+    // the mixture is degenerate, not merely small; fail loudly like the
+    // absent-domain case rather than returning a selection that is not
+    // at the target ratio
+    quotas.find(_._2 == 0L).foreach { case (d, _) =>
+      throw new IllegalArgumentException(
+        s"mixtureSample: domain '$d' gets a zero quota — the rarest " +
+          s"listed domain is too small to supply even one row per " +
+          s"weight unit at this mixture (S=$total of W=$bigW); add data " +
+          "or lower the large weights")
     }
-    val offsetDf = offsetRows
-      .toDF("__d", "__mix_bucket", "__cell_offset", "__quota")
 
-    val w = Window.partitionBy(domain, col("__mix_bucket"))
-      .orderBy(col("__mix_h").asc, key.asc)
-    listed
-      .join(broadcast(offsetDf),
-        domain === col("__d") && listed("__mix_bucket") === offsetDf("__mix_bucket"))
-      .drop(offsetDf("__mix_bucket")).drop("__d")
-      .withColumn("mix_rank", col("__cell_offset") + row_number().over(w))
+    val quotaDf = quotas.toSeq.toDF("__mix_d2", "__quota")
+    ranked
+      .join(broadcast(quotaDf), col("__mix_d") === col("__mix_d2"))
       .withColumn("selected", col("mix_rank") <= col("__quota"))
-      .drop("__mix_h", "__mix_bucket", "__cell_offset", "__quota")
+      .drop("__mix_d", "__mix_d2", "__quota")
   }
 }

@@ -94,12 +94,16 @@ object Selection {
         count(key).as("n_keys"),
         count(prio).as("n_prios"),
         countDistinct(prio, key).as("n_distinct"),
-        sum(when(toks.isNull || toks < 0, 1L).otherwise(0L)).as("n_bad_tokens"))
+        sum(when(toks.isNull || toks < 0, 1L).otherwise(0L)).as("n_bad_tokens"),
+        // NaN would bucket as WORST (Spark's NaN ordering) but
+        // window-rank FIRST within its bucket — a rank matching no
+        // total order, and one that changes with `buckets`
+        sum(when(isnan(prio.cast("double")), 1L).otherwise(0L)).as("n_nan_prio"))
       .collect()
       .sortBy(_.getInt(0))
     perBucket.foreach { r =>
       // fields: 0 bucket, 1 bucket_tokens, 2 n, 3 n_keys, 4 n_prios,
-      // 5 n_distinct, 6 n_bad_tokens
+      // 5 n_distinct, 6 n_bad_tokens, 7 n_nan_prio
       require(r.getLong(6) == 0L,
         s"selectByBudget: $tokenCol must be non-null and >= 0 " +
           s"(${r.getLong(6)} offending rows in bucket ${r.getInt(0)})")
@@ -107,6 +111,9 @@ object Selection {
         s"selectByBudget: $keyCol must be non-null")
       require(r.getLong(4) == r.getLong(2),
         s"selectByBudget: $priorityCol must be non-null")
+      require(r.getLong(7) == 0L,
+        s"selectByBudget: $priorityCol must not be NaN " +
+          s"(${r.getLong(7)} offending rows in bucket ${r.getInt(0)})")
       require(r.getLong(5) == r.getLong(2),
         s"selectByBudget: ($priorityCol, $keyCol) must be unique — bucket " +
           s"${r.getInt(0)} has ${r.getLong(2)} rows but ${r.getLong(5)} " +

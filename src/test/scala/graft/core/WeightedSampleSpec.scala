@@ -101,6 +101,23 @@ class WeightedSampleSpec extends AnyFunSuite {
     assert(new String(t.entries.next()._3, "UTF-8") === "alpha")
   }
 
+  test("wouldAccept agrees with add on every step of a random stream") {
+    val r = rng(6)
+    val s = WeightedSample.empty(32)
+    (0 until 3000).foreach { i =>
+      val h = r.nextLong() % 500
+      val w = 1.0 + r.nextInt(9)
+      val before = s.toBytes
+      val wa = s.wouldAccept(h, w)
+      s.add(h, w, s"p$i$h".getBytes("UTF-8"))
+      val changed = !java.util.Arrays.equals(s.toBytes, before)
+      // add may be a no-op when wouldAccept is true (same key, smaller
+      // weight, larger payload) but must NEVER change when it is false
+      if (!wa) assert(!changed, s"step $i: rejected insert changed the sketch")
+      if (changed) assert(wa, s"step $i: accepted insert was pre-rejected")
+    }
+  }
+
   test("invalid weights rejected loudly at the core; codec validation") {
     val s = WeightedSample.empty(16)
     intercept[IllegalArgumentException](s.add(1L, 0.0, Array[Byte](1)))
@@ -108,6 +125,12 @@ class WeightedSampleSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](s.add(1L, Double.NaN, Array[Byte](1)))
     intercept[IllegalArgumentException](
       s.add(1L, Double.PositiveInfinity, Array[Byte](1)))
+    // subnormal weights: 1/w overflows to +Inf and u^Inf is NaN at
+    // u == 1.0 (an unevictable entry) — rejected below MinWeight
+    intercept[IllegalArgumentException](
+      s.add(1L, java.lang.Double.MIN_VALUE, Array[Byte](1)))
+    s.add(1L, WeightedSample.MinWeight, Array[Byte](1)) // boundary is valid
+    assert(!WeightedSample.priority(-1L, WeightedSample.MinWeight).isNaN)
 
     val good = build(64, (1L to 100L).map(h =>
       (Hashing.mix64(h), 1.0 + (h % 5), s"v$h"))).toBytes

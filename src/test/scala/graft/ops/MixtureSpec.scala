@@ -99,5 +99,15 @@ class MixtureSpec extends SparkTestBase {
       Mixture.mixtureSample(nullKey, "domain", "id", weights).collect()
     }
     assert(e3.getMessage.contains("non-null"))
+
+    // degenerate quotas: one tiny domain starves the whole mixture —
+    // must be loud, never an all-false selection
+    val starved = (Seq(("big", 0L)) ++ (1L to 100L).map(("small", _)))
+      .toDF("domain", "id")
+    val e4 = intercept[IllegalArgumentException] {
+      Mixture.mixtureSample(starved, "domain", "id",
+        Seq("big" -> 6L, "small" -> 1L))
+    }
+    assert(e4.getMessage.contains("zero quota"))
   }
 }

@@ -89,5 +89,12 @@ class SelectionSpec extends SparkTestBase {
       Selection.selectByBudget(neg, "tokens", "prio", "id", 100L)
     }
     assert(e3.getMessage.contains(">= 0"))
+
+    // NaN priority would bucket as worst but window-rank first — loud
+    val nanPrio = Seq((1L, 5L, 1.0), (2L, 5L, Double.NaN))
+      .toDF("id", "tokens", "prio")
+    intercept[IllegalArgumentException] {
+      Selection.selectByBudget(nanPrio, "tokens", "prio", "id", 100L)
+    }
   }
 }
