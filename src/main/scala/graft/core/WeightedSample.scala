@@ -36,6 +36,40 @@ final class WeightedSample private (
   def size: Int = byHash.size
   def isSaturated: Boolean = byHash.size >= k
 
+  // ---- saturated fast-reject accelerator (pure cache, never on the
+  // wire): for any weight w <= maxWeightSeen, priority u^(1/w) <=
+  // u^(1/maxWeightSeen), so u < worstPriority^maxWeightSeen implies the
+  // entry loses to the current minimum for EVERY admissible weight —
+  // one normalize + one compare instead of a StrictMath.pow per row
+  // (measured 6-10 -> see KernelBench ws_add). The cut is shrunk by a
+  // (maxWeightSeen + 4) * 1e-12 relative margin: after the ^(1/w)
+  // exponentiation the surviving margin is >= ~1e-12 relative, four
+  // orders above pow's <= 1 ulp error, so a fast-rejected row can never
+  // be one the exact test would have accepted (gray-band rows fall
+  // through to the exact test).
+  private var maxWeightSeen: Double = 0.0
+  private var rejectCut: Double = 0.0 // u below this loses; 0 = disabled
+  private var cutValid: Boolean = false
+
+  private def recomputeCut(): Unit = {
+    val worstP = byPriority.firstKey()._1
+    val margin = 1.0 - (maxWeightSeen + 4.0) * 1e-12
+    rejectCut =
+      if (margin <= 0.5 || worstP <= 0.0) 0.0
+      else StrictMath.pow(worstP, maxWeightSeen) * margin
+    cutValid = true
+  }
+
+  /** True iff (h, weight) provably loses to the retained minimum — the
+    * O(1) saturated-path reject. Only ever called with the key ABSENT
+    * and the sketch saturated.
+    */
+  private def fastRejects(h: Long, weight: Double): Boolean = {
+    if (weight > maxWeightSeen) { maxWeightSeen = weight; cutValid = false }
+    if (!cutValid) recomputeCut()
+    Kmv.normalize(h) < rejectCut
+  }
+
   /** Smallest retained priority (the eviction threshold); 0 while
     * unsaturated (everything is retained).
     */
@@ -46,6 +80,7 @@ final class WeightedSample private (
     val e = byHash.remove(h)
     if (e != null) {
       byPriority.remove((WeightedSample.priority(h.longValue(), e._1), h.longValue()))
+      cutValid = false
       ()
     }
   }
@@ -56,7 +91,8 @@ final class WeightedSample private (
     */
   def wouldAccept(h: Long, weight: Double): Boolean =
     byHash.size < k || byHash.containsKey(java.lang.Long.valueOf(h)) ||
-      beatsWorst(WeightedSample.priority(h, weight), h)
+      (!fastRejects(h, weight) &&
+        beatsWorst(WeightedSample.priority(h, weight), h))
 
   private def beatsWorst(pr: Double, h: Long): Boolean = {
     val worst = byPriority.firstKey()
@@ -85,7 +121,8 @@ final class WeightedSample private (
       }
     } else {
       if (byHash.size < k) insertEntry(boxed, weight, p)
-      else if (beatsWorst(WeightedSample.priority(h, weight), h)) {
+      else if (!fastRejects(h, weight) &&
+          beatsWorst(WeightedSample.priority(h, weight), h)) {
         remove(byPriority.firstEntry().getValue)
         insertEntry(boxed, weight, p)
       }
@@ -96,6 +133,7 @@ final class WeightedSample private (
       h: java.lang.Long, weight: Double, payload: Array[Byte]): Unit = {
     byHash.put(h, (weight, payload))
     byPriority.put((WeightedSample.priority(h.longValue(), weight), h.longValue()), h)
+    cutValid = false // the retained minimum may have changed
     ()
   }
 

@@ -101,6 +101,31 @@ class WeightedSampleSpec extends AnyFunSuite {
     assert(new String(t.entries.next()._3, "UTF-8") === "alpha")
   }
 
+  test("fast-reject path == brute-force top-k across weight scales") {
+    // the cached-cut accelerator must never change the retained set;
+    // sweep weight magnitudes so the cut margin sees small AND huge
+    // maxWeightSeen values (incl. a mid-stream max jump invalidating it)
+    val r = rng(7)
+    Seq(1.0, 100.0, 1e6, 1e9).foreach { scale =>
+      val entries = Seq.fill(4000)(r.nextLong()).distinct.map { h =>
+        (h, (0.5 + r.nextDouble()) * scale, s"v$h")
+      }
+      // a late maximal weight forces a cut recompute mid-stream
+      val withJump = entries.take(2000) ++
+        Seq((r.nextLong(), scale * 50, "JUMP")) ++ entries.drop(2000)
+      val k = 64
+      val s = build(k, withJump)
+      val expect = withJump
+        .sortWith { case ((h1, w1, _), (h2, w2, _)) =>
+          val p1 = WeightedSample.priority(h1, w1)
+          val p2 = WeightedSample.priority(h2, w2)
+          p1 > p2 || (p1 == p2 && java.lang.Long.compareUnsigned(h1, h2) > 0)
+        }
+        .take(k).map(_._1).toSet
+      assert(s.entries.map(_._1).toSet === expect, s"scale=$scale")
+    }
+  }
+
   test("wouldAccept agrees with add on every step of a random stream") {
     val r = rng(6)
     val s = WeightedSample.empty(32)
