@@ -1895,6 +1895,9 @@ object SparkEntry {
           |           kmv_sample_agg(o_custkey % 100,
           |                          CAST(o_custkey % 100 AS STRING), 128))))
           |           AS sample_csv,
+          |         weighted_sample_describe(weighted_sample_agg(
+          |           o_custkey % 100, CAST(o_custkey % 100 + 1 AS DOUBLE),
+          |           CAST(o_custkey % 100 AS STRING), 128)).n AS ws_n,
           |         bloom_agg(o_custkey, $cap, 0.01) AS bf,
           |         tdigest_quantile(tdigest_agg(o_totalprice), 0.5) AS med
           |  FROM sqlsurf_orders GROUP BY o_orderpriority
@@ -1905,7 +1908,7 @@ object SparkEntry {
           |),
           |per_group AS (
           |  SELECT s.o_orderpriority, e.exact_distinct, s.est, s.kmv_cnt,
-          |         s.sample_csv, s.bf, s.med
+          |         s.sample_csv, s.ws_n, s.bf, s.med
           |  FROM sketches s JOIN exacts e USING (o_orderpriority)
           |),
           |probe AS (
@@ -1925,6 +1928,7 @@ object SparkEntry {
           |       g.exact_distinct,
           |       g.kmv_cnt,
           |       g.sample_csv,
+          |       CAST(g.ws_n AS BIGINT) AS ws_n,
           |       p.n_rows,
           |       abs(g.est - g.exact_distinct) <= greatest(3 * 0.0082 * g.exact_distinct, 2.0)
           |         AS hll_within_bound,
@@ -2999,6 +3003,7 @@ object SparkEntry {
         |count(DISTINCT o_custkey) AS exact_distinct,
         |CAST(count(DISTINCT o_custkey) AS BIGINT) AS kmv_cnt,
         |any_value(samp.sample_csv) AS sample_csv,
+        |CAST(count(DISTINCT o_custkey % 100) AS BIGINT) AS ws_n,
         |count(*) AS n_rows,
         |CAST(1 AS BOOLEAN) AS hll_within_bound,
         |CAST(1 AS BOOLEAN) AS bloom_zero_fn,
