@@ -1377,6 +1377,16 @@ object SparkEntry {
     // augments each doc from doc_id (same expression in both engines) to
     // exercise the line/bullet/ellipsis/stopword/duplicate-line rules;
     // DuckDB recomputes every signal from first principles.
+    // CORPUS-STATISTICAL surprisal scoring: per-doc unigram surprisal
+    // vs the corpus's own token document-frequencies, ilog2 computed as
+    // binary-string length (never a floating log) — every score is
+    // integer-exact cross-engine. The LM-perplexity-filter stand-in.
+    "text_surprisal" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      graft.ops.TextAnalysis.surprisalScore(docs, "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     "text_gopher_quality" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
       val aug = docs.select(col("doc_id"), concat(
@@ -2437,6 +2447,29 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     // every signal recomputed from first principles on the identically
+    // surprisal(t) = ilog2(N) - ilog2(df(t)); ilog2 via binary-string
+    // length in BOTH engines — all integer, exact match; empty/null-text
+    // docs survive with zeros (LEFT JOIN + COALESCE, the unnest gotcha)
+    "text_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |dft AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |s AS (
+        |  SELECT tok.doc_id,
+        |    count(*) AS n_tokens,
+        |    sum(length(printf('%b', (SELECT nd FROM n))) -
+        |        length(printf('%b', dft.df))) AS surp
+        |  FROM tok JOIN dft USING (t) GROUP BY tok.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(s.surp, 0) AS BIGINT) AS total_surprisal,
+        |  CAST(CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0
+        |       ELSE COALESCE(s.surp, 0) * 1000 // s.n_tokens END AS BIGINT)
+        |    AS mean_surprisal_x1000
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // augmented text; thresholds re-derived as the same integer
     // cross-multiplications (never float division)
     "text_gopher_quality" ->

@@ -240,6 +240,60 @@ object TextAnalysis {
     * exact whenever the corpus has at most k distinct tokens, and always
     * containing the truth with width <= total_tokens/(k+1).
     */
+  /** CORPUS-STATISTICAL quality scoring: per-document unigram
+    * surprisal against the corpus's own token document-frequencies —
+    * the integer-exact stand-in for LM-perplexity filtering (template /
+    * boilerplate text scores LOW total surprisal per token because its
+    * tokens appear in many documents; rare-vocabulary text scores
+    * high).
+    *
+    * Per token occurrence t in a doc:
+    *   surprisal(t) = ilog2(N) - ilog2(df(t))
+    * where N = corpus document count, df(t) = number of distinct
+    * documents containing t, and ilog2(x) = floor(log2(x)) computed as
+    * `length(binary-string(x)) - 1` — EXACT integer arithmetic (never
+    * a floating log whose last bit could differ across engines), so an
+    * independent engine reproduces every score bit-for-bit.
+    *
+    * Scale shape: the canonical TF-IDF plan — one explode, a token
+    * groupBy for the df table, a token-keyed join back (the dim side
+    * is 1 row per token, so fact-side skew on hot tokens stays a plain
+    * shuffle join), a doc groupBy. Empty documents survive with
+    * n_tokens = 0 / surprisal 0 via the final left join (the
+    * unnest-drops-empty-docs oracle gotcha, both sides).
+    *
+    * Output: `idCol`, `n_tokens`, `total_surprisal`, plus
+    * `mean_surprisal_x1000` (integer-scaled mean so the oracle stays
+    * float-free).
+    */
+  def surprisalScore(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val n = df.count()
+    require(n > 0, "surprisalScore: empty corpus")
+    def ilog2(c: Column): Column = length(conv(c.cast("string"), 10, 2)) - 1
+    val tok = df.select(col(idCol),
+      explode(split(col(textCol), " ")).as("__t"))
+    val dfTable = tok.groupBy(col("__t"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+    val scored = tok.join(dfTable, "__t")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum((ilog2(lit(n)) - ilog2(col("__df"))).cast("long"))
+          .as("total_surprisal"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("total_surprisal"), lit(0L)).as("total_surprisal"))
+      .withColumn("mean_surprisal_x1000",
+        when(col("n_tokens") === 0L, 0L)
+          // integer div — `/` on longs would return a double
+          .otherwise(expr("total_surprisal * 1000L div n_tokens")))
+  }
+
   def topTokens(df: org.apache.spark.sql.DataFrame, textCol: String,
       k: Int, m: Int): org.apache.spark.sql.DataFrame = {
     import graft.functions.{mg_agg, mg_topk}

@@ -206,6 +206,37 @@ class OpsSpec extends SparkTestBase {
     assert(n.isNullAt(0) && n.isNullAt(1))
   }
 
+  test("surprisalScore: matches brute-force integer surprisal; empty and null docs") {
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the dog sat"),
+      (3L, "the the the"),
+      (4L, "unique tokens here"),
+      (5L, ""),
+      (6L, null: String)).toDF("doc_id", "text")
+    val got = TextAnalysis.surprisalScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // brute-force reference
+    def ilog2(x: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val corpus = Seq(
+      1L -> "the cat sat", 2L -> "the dog sat", 3L -> "the the the",
+      4L -> "unique tokens here", 5L -> "")
+    val toks = corpus.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val df = toks.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = 6L
+    toks.foreach { case (id, ts) =>
+      val total = ts.map(t => (ilog2(n) - ilog2(df(t))).toLong).sum
+      assert(got(id) === ((ts.size.toLong, total, total * 1000 / ts.size)),
+        s"doc $id")
+    }
+    // null text contributes no tokens but survives with zeros
+    assert(got(6L) === ((0L, 0L, 0L)))
+    // boilerplate scores lower than rare vocabulary (the filtering signal)
+    assert(got(3L)._3 < got(4L)._3)
+  }
+
   test("stratifiedSample: deterministic, monotone in rate, rate-accurate, default + null strata") {
     val n = 10000
     val rows = (0 until n).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
