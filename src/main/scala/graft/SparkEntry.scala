@@ -1387,6 +1387,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // INCREMENTAL surprisal: a synthetic new batch (planted OOV marker
+    // token, data-derived id offset) scored against the STORED (tok, df)
+    // state — the corpus is never re-scanned. DuckDB recomputes the
+    // state and every score from first principles; OOV tokens score as
+    // df = 1 and are counted. All integer, exact match.
+    "text_surprisal_incremental" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val off = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+      val newb = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + off).as("doc_id"),
+          concat(col("text"), lit(" graftoovmarker2026")).as("text"))
+      val state = graft.ops.TextAnalysis.wordDf(docs, "text", "doc_id")
+      graft.ops.TextAnalysis
+        .surprisalScoreAgainst(newb, "text", "doc_id", state, docs.count())
+        .orderBy(col("doc_id"))
+    },
+
     "text_gopher_quality" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
       val aug = docs.select(col("doc_id"), concat(
@@ -2468,6 +2485,36 @@ object SparkEntry {
         |       ELSE COALESCE(s.surp, 0) * 1000 // s.n_tokens END AS BIGINT)
         |    AS mean_surprisal_x1000
         |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // incremental: state df from the corpus only; OOV scores as df = 1
+    "text_surprisal_incremental" ->
+      """WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+        |newb AS (
+        |  SELECT doc_id + (SELECT o FROM off) AS doc_id,
+        |         text || ' graftoovmarker2026' AS text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |dft AS (
+        |  SELECT t, count(DISTINCT doc_id) AS df
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |        FROM documents) GROUP BY t),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM newb),
+        |s AS (
+        |  SELECT tok.doc_id,
+        |    count(*) AS n_tokens,
+        |    sum(CASE WHEN dft.df IS NULL THEN 1 ELSE 0 END) AS n_oov,
+        |    sum(length(printf('%b', (SELECT nd FROM n))) -
+        |        length(printf('%b', COALESCE(dft.df, 1)))) AS surp
+        |  FROM tok LEFT JOIN dft USING (t) GROUP BY tok.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(s.n_oov, 0) AS BIGINT) AS n_oov,
+        |  CAST(COALESCE(s.surp, 0) AS BIGINT) AS total_surprisal,
+        |  CAST(CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0
+        |       ELSE COALESCE(s.surp, 0) * 1000 // s.n_tokens END AS BIGINT)
+        |    AS mean_surprisal_x1000
+        |FROM newb d LEFT JOIN s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
     // augmented text; thresholds re-derived as the same integer

@@ -272,26 +272,101 @@ object TextAnalysis {
       idCol: String): org.apache.spark.sql.DataFrame = {
     val n = df.count()
     require(n > 0, "surprisalScore: empty corpus")
-    def ilog2(c: Column): Column = length(conv(c.cast("string"), 10, 2)) - 1
     val tok = df.select(col(idCol),
-      explode(split(col(textCol), " ")).as("__t"))
-    val dfTable = tok.groupBy(col("__t"))
-      .agg(countDistinct(col(idCol)).as("__df"))
-    val scored = tok.join(dfTable, "__t")
+      explode(split(col(textCol), " ")).as("tok"))
+    val scored = tok.join(wordDf(df, textCol, idCol), "tok")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_tokens"),
-        sum((ilog2(lit(n)) - ilog2(col("__df"))).cast("long"))
+        sum((ilog2(lit(n)) - ilog2(col("df"))).cast("long"))
           .as("total_surprisal"))
-    df.select(col(idCol))
+    withMeanSurprisal(df, idCol, scored, oov = false)
+  }
+
+  /** floor(log2(x)) for a positive integral column, computed as
+    * binary-string length - 1 — exact integer arithmetic that any
+    * engine reproduces (a floating log's last bit could differ).
+    */
+  private def ilog2(c: Column): Column =
+    length(conv(c.cast("string"), 10, 2)) - 1
+
+  private def withMeanSurprisal(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      scored: org.apache.spark.sql.DataFrame,
+      oov: Boolean): org.apache.spark.sql.DataFrame = {
+    val oovCols =
+      if (oov) Seq(coalesce(col("n_oov"), lit(0L)).as("n_oov")) else Nil
+    docs.select(col(idCol))
       .join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("total_surprisal"), lit(0L)).as("total_surprisal"))
+      .select((Seq(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens")) ++ oovCols ++ Seq(
+        coalesce(col("total_surprisal"), lit(0L)).as("total_surprisal"))): _*)
       .withColumn("mean_surprisal_x1000",
         when(col("n_tokens") === 0L, 0L)
           // integer div — `/` on longs would return a double
           .otherwise(expr("total_surprisal * 1000L div n_tokens")))
+  }
+
+  /** Word-token document-frequency PIPELINE STATE for incremental
+    * surprisal scoring: one (tok, df) row per distinct whitespace
+    * token, df = number of distinct documents containing it. Persist
+    * it (plus the corpus document count) once; score every incoming
+    * batch with [[surprisalScoreAgainst]] without re-scanning the
+    * corpus, and fold an APPENDED batch in with [[updateWordDf]].
+    */
+  def wordDf(
+      corpus: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame =
+    corpus
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+
+  /** Update rule after a batch is APPENDED to the corpus: dfs add
+    * because the batch's doc ids are disjoint from the corpus's
+    * (caller precondition, as in [[Dedup.updateTokenDf]]). Union +
+    * re-sum — one shuffle, no outer join.
+    */
+  def updateWordDf(
+      stored: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame =
+    stored.select(col("tok"), col("df"))
+      .unionByName(wordDf(batch, textCol, idCol))
+      .groupBy("tok").agg(sum(col("df")).as("df"))
+
+  /** Score a NEW batch against the STORED corpus statistics — the
+    * incremental form of [[surprisalScore]]: the corpus is never
+    * re-scanned, only the (tok, df) state is joined. Out-of-vocabulary
+    * tokens (df = 0 in the state) score as df = 1 — the maximum
+    * surprisal any singleton could earn — and are counted in `n_oov`
+    * so a drifted batch is observable.
+    */
+  def surprisalScoreAgainst(
+      newDocs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      dfState: org.apache.spark.sql.DataFrame,
+      corpusDocs: Long): org.apache.spark.sql.DataFrame = {
+    require(corpusDocs > 0, "surprisalScoreAgainst: empty corpus")
+    require(Seq("tok", "df").forall(dfState.columns.contains),
+      s"surprisalScoreAgainst: dfState needs (tok, df) columns, got " +
+        dfState.columns.mkString(", "))
+    val tok = newDocs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("tok"))
+    val scored = tok
+      .join(dfState.select(col("tok"), col("df")), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("df").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum((ilog2(lit(corpusDocs)) -
+          ilog2(greatest(coalesce(col("df"), lit(1L)), lit(1L)))).cast("long"))
+          .as("total_surprisal"))
+    withMeanSurprisal(newDocs, idCol, scored, oov = true)
   }
 
   def topTokens(df: org.apache.spark.sql.DataFrame, textCol: String,

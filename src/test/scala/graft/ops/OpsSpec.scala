@@ -237,6 +237,40 @@ class OpsSpec extends SparkTestBase {
     assert(got(3L)._3 < got(4L)._3)
   }
 
+  test("surprisal state: stored-df scoring == batch scoring; OOV rule; update == recompute") {
+    val corpus = Seq(
+      (1L, "the cat sat"), (2L, "the dog sat"), (3L, "rare words appear"))
+      .toDF("doc_id", "text")
+    val state = TextAnalysis.wordDf(corpus, "text", "doc_id")
+    // in-vocabulary batch == the one-shot scorer restricted to it
+    val whole = TextAnalysis.surprisalScore(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val viaState = TextAnalysis
+      .surprisalScoreAgainst(corpus, "text", "doc_id", state, 3L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    whole.foreach { case (id, (nt, surp)) =>
+      assert(viaState(id) === ((nt, 0L, surp)), s"doc $id")
+    }
+    // OOV tokens score as df = 1 and are counted
+    val oovBatch = Seq((9L, "the zzznovel")).toDF("doc_id", "text")
+    val r = TextAnalysis
+      .surprisalScoreAgainst(oovBatch, "text", "doc_id", state, 3L)
+      .head
+    def ilog2(x: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    assert(r.getLong(1) === 2L && r.getLong(2) === 1L)
+    assert(r.getLong(3) ===
+      (ilog2(3) - ilog2(2)) + (ilog2(3) - ilog2(1)).toLong)
+    // update rule: fold an appended batch == recompute from scratch
+    val batch = Seq((4L, "the cat returns")).toDF("doc_id", "text")
+    val updated = TextAnalysis.updateWordDf(state, batch, "text", "doc_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = TextAnalysis
+      .wordDf(corpus.unionByName(batch), "text", "doc_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(updated === full)
+  }
+
   test("stratifiedSample: deterministic, monotone in rate, rate-accurate, default + null strata") {
     val n = 10000
     val rows = (0 until n).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
