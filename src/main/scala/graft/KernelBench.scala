@@ -140,8 +140,9 @@ object KernelBench {
     * longs with cycling weights 1..8 into a k=4096 sketch. The
     * saturated path is the cached-cut fast reject (normalize + one
     * compare; see [[graft.core.WeightedSample]]) — the exact
-    * StrictMath.pow runs only for gray-band candidates. Measured ~3x
-    * over the pow-per-row baseline (6-10 -> 21-29 M keys/s warm).
+    * StrictMath.pow runs only for gray-band candidates. Official
+    * record: 35.8 M keys/s best-of (BENCH/BASELINE.md §8) vs a
+    * 6-10 M keys/s pow-per-row baseline measured the same way.
     */
   private[graft] def wsAddThroughput(reps: Int): Double = {
     val n = 10000000

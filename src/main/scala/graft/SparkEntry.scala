@@ -1370,13 +1370,6 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
-    // GOPHER QUALITY FILTER: the full Rae et al. 2021 A1.1 rule set as
-    // exact integer signals from the one-pass codegen kernel + integer
-    // cross-multiplied thresholds (no float ratios anywhere). The corpus
-    // text has no newlines/symbols, so the query deterministically
-    // augments each doc from doc_id (same expression in both engines) to
-    // exercise the line/bullet/ellipsis/stopword/duplicate-line rules;
-    // DuckDB recomputes every signal from first principles.
     // CORPUS-STATISTICAL surprisal scoring: per-doc unigram surprisal
     // vs the corpus's own token document-frequencies, ilog2 computed as
     // binary-string length (never a floating log) — every score is
@@ -1404,6 +1397,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // GOPHER QUALITY FILTER: the full Rae et al. 2021 A1.1 rule set as
+    // exact integer signals from the one-pass codegen kernel + integer
+    // cross-multiplied thresholds (no float ratios anywhere). The corpus
+    // text has no newlines/symbols, so the query deterministically
+    // augments each doc from doc_id (same expression in both engines) to
+    // exercise the line/bullet/ellipsis/stopword/duplicate-line rules;
+    // DuckDB recomputes every signal from first principles.
     "text_gopher_quality" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
       val aug = docs.select(col("doc_id"), concat(
@@ -2463,7 +2463,6 @@ object SparkEntry {
         |LEFT JOIN bga USING (doc_id) LEFT JOIN tga USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
-    // every signal recomputed from first principles on the identically
     // surprisal(t) = ilog2(N) - ilog2(df(t)); ilog2 via binary-string
     // length in BOTH engines — all integer, exact match; empty/null-text
     // docs survive with zeros (LEFT JOIN + COALESCE, the unnest gotcha)
@@ -2517,6 +2516,7 @@ object SparkEntry {
         |FROM newb d LEFT JOIN s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // every signal recomputed from first principles on the identically
     // augmented text; thresholds re-derived as the same integer
     // cross-multiplications (never float division)
     "text_gopher_quality" ->

@@ -231,15 +231,6 @@ object TextAnalysis {
         alpha || stop || dupLines || dupChars).as("reject"))
   }
 
-  /** Top-m most frequent whitespace tokens across a corpus, via the
-    * Misra-Gries heavy-hitters aggregate over the exploded token stream —
-    * the canonical "vocabulary head" question a training-data pipeline
-    * asks of a 100 TB corpus. One shuffle (the aggregate's partials are
-    * k-entry summaries, independent of row count); returns
-    * (token, count_lb, count_ub) with the deterministic MG interval —
-    * exact whenever the corpus has at most k distinct tokens, and always
-    * containing the truth with width <= total_tokens/(k+1).
-    */
   /** CORPUS-STATISTICAL quality scoring: per-document unigram
     * surprisal against the corpus's own token document-frequencies —
     * the integer-exact stand-in for LM-perplexity filtering (template /
@@ -265,6 +256,10 @@ object TextAnalysis {
     * Output: `idCol`, `n_tokens`, `total_surprisal`, plus
     * `mean_surprisal_x1000` (integer-scaled mean so the oracle stays
     * float-free).
+    *
+    * PRECONDITION (like the [[Dedup]] asymmetric joins): `idCol` must
+    * be unique — a duplicated id would merge both docs' tokens into one
+    * score and then emit it once per input row.
     */
   def surprisalScore(
       df: org.apache.spark.sql.DataFrame,
@@ -343,7 +338,8 @@ object TextAnalysis {
     * re-scanned, only the (tok, df) state is joined. Out-of-vocabulary
     * tokens (df = 0 in the state) score as df = 1 — the maximum
     * surprisal any singleton could earn — and are counted in `n_oov`
-    * so a drifted batch is observable.
+    * so a drifted batch is observable. Same unique-`idCol` precondition
+    * as [[surprisalScore]].
     */
   def surprisalScoreAgainst(
       newDocs: org.apache.spark.sql.DataFrame,
@@ -369,6 +365,15 @@ object TextAnalysis {
     withMeanSurprisal(newDocs, idCol, scored, oov = true)
   }
 
+  /** Top-m most frequent whitespace tokens across a corpus, via the
+    * Misra-Gries heavy-hitters aggregate over the exploded token stream —
+    * the canonical "vocabulary head" question a training-data pipeline
+    * asks of a 100 TB corpus. One shuffle (the aggregate's partials are
+    * k-entry summaries, independent of row count); returns
+    * (token, count_lb, count_ub) with the deterministic MG interval —
+    * exact whenever the corpus has at most k distinct tokens, and always
+    * containing the truth with width <= total_tokens/(k+1).
+    */
   def topTokens(df: org.apache.spark.sql.DataFrame, textCol: String,
       k: Int, m: Int): org.apache.spark.sql.DataFrame = {
     import graft.functions.{mg_agg, mg_topk}
