@@ -3051,10 +3051,31 @@ object SparkEntry {
         |        * (w.base + r.r) * (w.base + r.r)) AS sq
         |  FROM wav w CROSS JOIN generate_series(0, 15) AS r(r)
         |  GROUP BY w.doc_id, w.n),
+        |-- video rows ALSO carry a Motion-JPEG track: 4 baseline-JPEG
+        |-- frames with pixel(x, y, f) = (id + f + y//8) % 256 —
+        |-- block-constant per frame, so the lossy codec round-trips
+        |-- EXACTLY and the demuxed+decoded stats equal this closed form
+        |vidf AS (
+        |  SELECT doc_id, 32 + (doc_id*7919) % 608 AS w,
+        |         32 + (doc_id*4241) % 448 AS h
+        |  FROM m WHERE kind = 'video'),
+        |vidf_stats AS (
+        |  SELECT v.doc_id, 4 * CAST(v.w AS BIGINT) * v.h AS n,
+        |    v.w * sum((v.doc_id + f.f + y.y // 8) % 256) AS s,
+        |    v.w * sum(((v.doc_id + f.f + y.y // 8) % 256)
+        |              * ((v.doc_id + f.f + y.y // 8) % 256)) AS sq
+        |  FROM vidf v JOIN generate_series(0, 478) AS y(y) ON y.y < v.h
+        |  CROSS JOIN generate_series(0, 3) AS f(f)
+        |  GROUP BY v.doc_id, v.w, v.h),
+        |-- pre-aggregate per doc: video docs now contribute TWO stats
+        |-- rows (PCM + frames) and the kind join must stay 1:1
         |stats AS (
-        |  SELECT doc_id, n, s, sq FROM png_stats
-        |  UNION ALL SELECT doc_id, n, s, sq FROM jpeg_stats
-        |  UNION ALL SELECT doc_id, n, s, sq FROM wav_stats)
+        |  SELECT doc_id, sum(n) AS n, sum(s) AS s, sum(sq) AS sq FROM (
+        |    SELECT doc_id, n, s, sq FROM png_stats
+        |    UNION ALL SELECT doc_id, n, s, sq FROM jpeg_stats
+        |    UNION ALL SELECT doc_id, n, s, sq FROM wav_stats
+        |    UNION ALL SELECT doc_id, n, s, sq FROM vidf_stats)
+        |  GROUP BY doc_id)
         |SELECT m.kind, count(*) AS n_rows,
         |CAST(sum(CASE WHEN st.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
         |CAST(coalesce(sum(st.n), 0) AS BIGINT) AS n_samples,

@@ -28,9 +28,9 @@ object MediaKernels {
     * real FDCT + Huffman entropy coding, [[MediaCodecs.encodeJpegGray]]),
     * audio -> spec-valid 16-bit PCM WAV at 8 kHz whose duration is
     * exactly `durationMs`, video -> COMPLETE ISO BMFF (MP4) file (header
-    * boxes + mdat + full sample tables) with a real 'twos' PCM sound
-    * track, anything else -> an opaque tagged blob that [[decodeMeta]]
-    * reports as unparseable.
+    * boxes + mdat + full sample tables) with a Motion-JPEG video track
+    * AND a real 'twos' PCM sound track, anything else -> an opaque
+    * tagged blob that [[decodeMeta]] reports as unparseable.
     *
     * ALL four containers carry REAL id-derived content (not silence):
     * PNG pixel(x, y) = (variant + y) mod 256 (scanline-constant, encoded
@@ -38,7 +38,10 @@ object MediaKernels {
     * JPEG pixel(x, y) = (variant + floor(y/8)) mod 256 (block-constant,
     * so the lossy codec is EXACT on these: DC-only blocks); WAV
     * and MP4 sample(j) = (variant mod 64) + (j mod 16) over
-    * n = durationMs * 8. All formulas are integer-exact and
+    * n = durationMs * 8; MP4 video frame f pixel(x, y) =
+    * (variant + f + floor(y/8)) mod 256 over 4 frames (block-constant
+    * per frame — the Motion-JPEG round trip is exact like the image
+    * synth). All formulas are integer-exact and
     * SQL-expressible, so a cross-engine oracle can recompute the content
     * statistics [[decodeContentStats]] reads back from the bytes.
     */
@@ -64,13 +67,20 @@ object MediaKernels {
         MediaCodecs.encodeWav(1, 8000, (durationMs * 8L).toInt,
           j => ((variant & 63L) + (j % 16L)).toShort)
       case "video" =>
-        // complete MP4: header boxes + a REAL 'twos' PCM sound track
+        // complete MP4: a REAL Motion-JPEG video track (4 baseline-JPEG
+        // frames; pixel(x, y, f) = (variant + f + y/8) mod 256 —
+        // block-constant per frame, so the lossy codec round-trips
+        // EXACTLY like the image synth) + a REAL 'twos' PCM sound track
         // whose samples follow the SAME formula as the WAV synth (8 kHz
         // media timescale, so n = durationMs * 8 reproduces exactly)
         require(durationMs >= 0 && durationMs <= Int.MaxValue / 16L,
           s"video duration_ms out of range: $durationMs")
+        val frames = (0 until 4).map { f =>
+          MediaCodecs.encodeJpegGray(width, height,
+            (_, y) => ((variant + f + (y >> 3)) & 0xffL).toInt)
+        }
         MediaCodecs.encodeMp4(width, height, durationMs,
-          j => ((variant & 63L) + (j % 16L)).toShort)
+          j => ((variant & 63L) + (j % 16L)).toShort, frames = frames)
       case _ =>
         val tag = s"GRAFTRAW:$variant:$width:$height:$durationMs"
         tag.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -17,25 +17,27 @@ import graft.core.Hashing
   *    IHDR / JPEG SOF walk, [[MediaCodecs]]); no codec library needed.
   *  - audio: REAL — valid 16-bit PCM WAV synthesis + RIFF chunk parse
   *    (channels, duration from data size / byte rate).
-  *  - video: REAL header parse (ISO BMFF box walk — ftyp, moov -> mvhd
-  *    duration/timescale, trak -> tkhd 16.16 presentation size) AND a
-  *    REAL sound track: [[attachRealMedia]]'s MP4s are complete files
-  *    whose mdat carries uncompressed 'twos' PCM addressed by real
-  *    stts/stsc/stsz/stco sample tables ([[MediaCodecs.encodeMp4]]);
-  *    the decode walks those tables like a demuxer. For unknown
-  *    payloads `media_meta` returns NULL so any fallback is explicit,
-  *    never silent.
+  *  - video: REAL — [[attachRealMedia]]'s MP4s are complete ISO BMFF
+  *    files with TWO decodable tracks: a Motion-JPEG video track (4
+  *    baseline-JPEG frames — real FDCT + Huffman per frame — demuxed
+  *    and pixel-decoded by [[MediaCodecs.decodeMp4Jpeg]] through the
+  *    real stts/stsc/stsz/stco sample tables) and an uncompressed
+  *    'twos' PCM sound track ([[MediaCodecs.decodeMp4Pcm]]); the
+  *    header parse (ftyp, moov -> mvhd duration, tkhd presentation
+  *    size) rides the same box walk. For unknown payloads `media_meta`
+  *    returns NULL so any fallback is explicit, never silent.
   * Feature extraction ([[extractFeatures]]) is REAL for payloads whose
   * sample content is readable — grayscale PNG (Inflater + scanline
   * unfilter), baseline grayscale JPEG (Huffman decode + dequant +
-  * IDCT), 16-bit PCM WAV (LE sample reads), and MP4 PCM sound
-  * tracks — via `MediaCodecs.decodeContent`, emitting exact statistics
-  * of the decoded samples. What remains fake and declared as such:
-  * compressed VIDEO frame pixels only (a motion/video entropy decoder
-  * is out of scope offline; the MP4s' video trak stays tkhd-only while
-  * their SOUND track is fully decoded), plus
-  * the legacy length-derived [[decode_meta]] (kept as the schema
-  * template / for payloads that are not real containers). The rest of
+  * IDCT), 16-bit PCM WAV (LE sample reads), and MP4 Motion-JPEG +
+  * PCM tracks — via `MediaCodecs.decodeContent`, emitting exact
+  * statistics of the decoded samples. NOTHING in the media surface is
+  * fake any more: the one omitted capability is third-party
+  * inter-frame video codecs (H.264/VP9 — vendored codec code is out
+  * of scope offline; Motion-JPEG is a real intra-only compressed
+  * format). The legacy length-derived [[decode_meta]] stays as the
+  * schema template / fallback for payloads that are not real
+  * containers, with the honesty tag marking its outputs. The rest of
   * the surface is
   * the Spark-side contract a production decoder plugs into: the schema,
   * binary column handling, batch-shaped mapPartitions execution (the
@@ -88,13 +90,13 @@ object Multimodal {
       .otherwise(lit(0L)))
 
   /** Attach REAL media payloads to a documents-like table: per row a
-    * spec-valid PNG (even ids) or JPEG marker stream (odd ids) with
+    * spec-valid PNG (even ids) or full baseline JPEG (odd ids) with
     * id-derived dimensions for `image` rows, a valid PCM WAV with an
-    * id-derived duration for `audio` rows, and an MP4 ftyp+moov header
-    * (mvhd duration + tkhd size) for `video` rows. `media_meta` must
-    * recover the id-derived numbers by PARSING the bytes — the
-    * cross-engine oracle recomputes the same numbers from the id
-    * formulas.
+    * id-derived duration for `audio` rows, and a COMPLETE MP4 (Motion-
+    * JPEG video track + 'twos' PCM sound track, real sample tables)
+    * for `video` rows. `media_meta` must recover the id-derived
+    * numbers by PARSING the bytes — the cross-engine oracle recomputes
+    * the same numbers from the id formulas.
     */
   def attachRealMedia(df: DataFrame, idCol: String): DataFrame = {
     val id = col(idCol).cast("long")

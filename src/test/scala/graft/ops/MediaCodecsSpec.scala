@@ -252,6 +252,63 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeContent(mp4) === Some(st))
   }
 
+  test("MP4 Motion-JPEG track: demux + full JPEG decode is exact; ImageIO agrees on a demuxed frame") {
+    val (w, h, id) = (88, 56, 47L)
+    val frames = (0 until 4).map { f =>
+      MediaCodecs.encodeJpegGray(w, h, (_, y) => ((id + f + (y >> 3)) & 0xffL).toInt)
+    }
+    val mp4 = MediaCodecs.encodeMp4(w, h, 1234L,
+      j => ((id & 63L) + (j % 16L)).toShort, frames = frames)
+    // header metadata unchanged by the full video trak
+    val meta = MediaCodecs.decodeMeta(mp4).get
+    assert(meta.width == w && meta.height == h && meta.durationMs == 1234L)
+    // closed-form expected frame stats (block-constant frames round-trip
+    // bit-exactly through the lossy codec)
+    var en = 0L; var es = 0L; var esq = 0L
+    for (f <- 0 until 4; y <- 0 until h) {
+      val v = (id + f + (y >> 3)) & 0xffL
+      en += w; es += w * v; esq += w * v * v
+    }
+    val vid = MediaCodecs.decodeMp4Jpeg(mp4).get
+    assert(vid.format == "mjpeg" && vid.n == en && vid.sum == es && vid.sumsq == esq)
+    // decodeContent = video pixels + PCM samples
+    val aud = MediaCodecs.decodeMp4Pcm(mp4).get
+    val comb = MediaCodecs.decodeContent(mp4).get
+    assert(comb.n == vid.n + aud.n && comb.sum == vid.sum + aud.sum &&
+      comb.sumsq == vid.sumsq + aud.sumsq)
+    // the demuxed sample bytes are a real JPEG: ImageIO decodes frame 2
+    // and agrees pixel-by-pixel with the synthesis formula
+    val off = frames.take(2).map(_.length).sum
+    val ftypLen = ((mp4(0) & 0xff) << 24) | ((mp4(1) & 0xff) << 16) |
+      ((mp4(2) & 0xff) << 8) | (mp4(3) & 0xff)
+    val frame2 = java.util.Arrays.copyOfRange(
+      mp4, ftypLen + 8 + off, ftypLen + 8 + off + frames(2).length)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame2))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val expect = ((id + 2 + (y >> 3)) & 0xffL).toInt
+      assert((img.getRaster.getSample(x, y, 0) & 0xff) == expect,
+        s"pixel ($x,$y)")
+    }
+    // frameless MP4s keep returning None from the video decoder
+    val plain = MediaCodecs.encodeMp4(w, h, 100L, _ => 0.toShort)
+    assert(MediaCodecs.decodeMp4Jpeg(plain).isEmpty)
+    // a truncated frame (stsz size past mdat) bails loudly: patch the
+    // VIDEO stsz's first entry (the first "stsz" after the mdat — the
+    // video trak precedes the audio trak in moov)
+    val bad = mp4.clone()
+    val mdatSize = ((bad(ftypLen) & 0xff) << 24) | ((bad(ftypLen + 1) & 0xff) << 16) |
+      ((bad(ftypLen + 2) & 0xff) << 8) | (bad(ftypLen + 3) & 0xff)
+    val moovStart = ftypLen + mdatSize
+    val pat = "stsz".getBytes("US-ASCII")
+    val p = (moovStart to bad.length - 4)
+      .find(i => pat.indices.forall(k => bad(i + k) == pat(k))).get
+    // box layout from the type field: +4 verflags, +8 sample_size(=0),
+    // +12 count, +16 first per-sample entry
+    bad(p + 16) = 0x7f // absurd first-frame size
+    assert(MediaCodecs.decodeMp4Jpeg(bad).isEmpty)
+  }
+
   test("MP4 PCM decode: sowt little-endian variant and malformed-table bail-outs") {
     val mp4 = MediaCodecs.encodeMp4(64, 48, 100L, j => (j * 37 % 1000 - 500).toShort)
     val st = MediaCodecs.decodeMp4Pcm(mp4).get

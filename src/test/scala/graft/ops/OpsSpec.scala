@@ -1039,16 +1039,24 @@ class OpsSpec extends SparkTestBase {
       assert(f(1) === math.sqrt(s.sumsq.toDouble / s.n).toFloat, s"rms id=$id")
       assert(f(2) === (s.sumsq.toDouble / s.n - mean * mean).toFloat, s"var id=$id")
       assert(f(3) === math.log1p(s.n.toDouble).toFloat && f(7) === 1f)
-      // MP4 samples follow the same formula as WAV at the same n:
-      // sample(j) = (id % 64) + (j % 16) over n = duration_ms * 8
+      // MP4 stats combine the PCM sound track (same formula as WAV:
+      // sample(j) = (id % 64) + (j % 16) over duration_ms * 8) with the
+      // Motion-JPEG track's 4 block-constant frames
+      // (pixel(x, y, f) = (id + f + y/8) % 256 — lossy codec exact)
       if (kind == "video") {
-        val n = s.n
+        val w = 32 + (id * 7919 % 608)
+        val h = 32 + (id * 4241 % 448)
+        val pcmN = (1000 + id * 31 % 60000) * 8
         val base = id % 64
-        val per = n / 16
-        val rem = n % 16
-        val expSum = (0 until 16).map(r =>
+        val per = pcmN / 16
+        val rem = pcmN % 16
+        val pcmSum = (0 until 16).map(r =>
           (per + (if (r < rem) 1L else 0L)) * (base + r)).sum
-        assert(s.sum === expSum, s"mp4 sum id=$id")
+        val frameSum = w * (for {
+          f <- 0L until 4L; y <- 0L until h
+        } yield (id + f + y / 8) % 256).sum
+        assert(s.n === pcmN + 4 * w * h, s"mp4 n id=$id")
+        assert(s.sum === pcmSum + frameSum, s"mp4 sum id=$id")
       }
       // JPEG (odd-id images): the lossy codec is EXACT on the
       // block-constant synth — decoded sum equals the closed form
