@@ -410,6 +410,13 @@ object functions {
   def media_content_stats(payload: Column): Column =
     toCol(MediaContentStats(toExpr(payload)))
 
+  /** Per-FRAME Motion-JPEG pixel stats (demux + full JPEG decode) ->
+    * array<struct<n, sum, sumsq>> in sample order; NULL without a
+    * decodable jpeg-coded video track.
+    */
+  def media_frame_stats(payload: Column): Column =
+    toCol(MediaFrameStats(toExpr(payload)))
+
   /** Deterministic synthesis of real PNG/JPEG/WAV payloads per row. */
   def media_encode(kind: Column, variant: Column, width: Column,
       height: Column, durationMs: Column): Column =

@@ -1866,6 +1866,23 @@ object SparkEntry {
     // IDCT/PCM paths breaks the hash. JPEG exactness rides on
     // block-constant synth images (DC-only blocks survive quantization
     // bit-exactly); every row must decode (n_decoded == n_rows).
+    // FRAME-LEVEL video features: every video row's Motion-JPEG track
+    // demuxed to per-frame exact pixel stats (posexplode for the frame
+    // index). Block-constant frames round-trip the lossy codec exactly,
+    // so DuckDB recomputes each frame's stats from the synthesis
+    // formula pixel(x, y, f) = (id + f + y//8) % 256 — bit-exact.
+    "multimodal_frames" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      graft.ops.Multimodal.attachRealMedia(docs, "doc_id")
+        .filter(col("kind") === "video")
+        .select(col("media_id"),
+          posexplode(media_frame_stats(col("payload"))).as(Seq("frame_idx", "st")))
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("st.n").as("n_pixels"), col("st.sum").as("sum_pixels"),
+          col("st.sumsq").as("sumsq_pixels"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+
     "multimodal_features" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
       val media = graft.ops.Multimodal.attachRealMedia(docs, "doc_id")
@@ -3005,6 +3022,27 @@ object SparkEntry {
     // (j % 16) over n = duration_ms * 8 samples (16 residue classes
     // with exact counts). All-integer arithmetic -> bit-exact
     // cross-engine.
+    // per-frame stats from the synthesis formula — the Spark side must
+    // demux + JPEG-decode its way to the identical integers
+    "multimodal_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, 32 + (doc_id*7919) % 608 AS w,
+        |         32 + (doc_id*4241) % 448 AS h
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT f AS frame_idx FROM generate_series(0, 3) AS t(f))
+        |SELECT v.doc_id AS media_id,
+        |  CAST(f.frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(v.w AS BIGINT) * v.h AS n_pixels,
+        |  CAST(v.w * sum((v.doc_id + f.frame_idx + y.y // 8) % 256) AS BIGINT)
+        |    AS sum_pixels,
+        |  CAST(v.w * sum(((v.doc_id + f.frame_idx + y.y // 8) % 256)
+        |            * ((v.doc_id + f.frame_idx + y.y // 8) % 256)) AS BIGINT)
+        |    AS sumsq_pixels
+        |FROM v CROSS JOIN f
+        |JOIN generate_series(0, 478) AS y(y) ON y.y < v.h
+        |GROUP BY v.doc_id, v.w, v.h, f.frame_idx
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
     "multimodal_features" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -96,6 +96,20 @@ object MediaKernels {
           Array[Any](UTF8String.fromString(s.format), s.n, s.sum, s.sumsq))
       case None => null
     }
+
+  /** Per-frame Motion-JPEG pixel stats in sample order; null when the
+    * payload has no decodable jpeg-coded video track.
+    */
+  def decodeFrameStats(payload: Array[Byte])
+    : org.apache.spark.sql.catalyst.util.ArrayData =
+    MediaCodecs.decodeMp4Frames(payload) match {
+      case Some(fs) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          fs.map(s =>
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](s.n, s.sum, s.sumsq)): Any))
+      case None => null
+    }
 }
 
 /** `media_meta(payload) -> struct<format, width, height, channels,
@@ -178,6 +192,46 @@ object MediaContentStats {
     StructField("n", LongType, nullable = false),
     StructField("sum", LongType, nullable = false),
     StructField("sumsq", LongType, nullable = false)))
+}
+
+/** `media_frame_stats(payload) -> array<struct<n, sum, sumsq>>`: the
+  * Motion-JPEG track's frames demuxed + JPEG-decoded to PER-FRAME exact
+  * pixel statistics, in sample order (posexplode for the frame index) —
+  * the exploded shape frame-level feature extraction works on. NULL for
+  * payloads without a decodable jpeg-coded video track.
+  */
+case class MediaFrameStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = MediaFrameStats.schema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"media_frame_stats expects BINARY, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaKernels.decodeFrameStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val arr = ctx.freshName("frameStats")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $arr =
+        graft.expr.MediaKernels.decodeFrameStats($c);
+      if ($arr == null) { ${ev.isNull} = true; } else { ${ev.value} = $arr; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MediaFrameStats =
+    copy(child = newChild)
+  override def prettyName: String = "media_frame_stats"
+}
+
+object MediaFrameStats {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("sum", LongType, nullable = false),
+    StructField("sumsq", LongType, nullable = false))), containsNull = false)
 }
 
 /** `media_encode(kind, variant, width, height, duration_ms) -> binary`:

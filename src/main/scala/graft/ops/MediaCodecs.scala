@@ -1542,7 +1542,19 @@ object MediaCodecs {
     * jpeg-coded video track, malformed/truncated tables, or any frame
     * the JPEG decoder rejects — the loud-fallback policy throughout.
     */
-  def decodeMp4Jpeg(b: Array[Byte]): Option[ContentStats] = {
+  def decodeMp4Jpeg(b: Array[Byte]): Option[ContentStats] =
+    decodeMp4Frames(b).map { fs =>
+      var n = 0L; var sum = 0L; var sumsq = 0L
+      fs.foreach { s => n += s.n; sum += s.sum; sumsq += s.sumsq }
+      ContentStats("mjpeg", n, sum, sumsq)
+    }
+
+  /** Per-FRAME pixel statistics of the Motion-JPEG track, in sample
+    * order — the exploded shape frame-level feature extraction wants.
+    * Same demux + decode as [[decodeMp4Jpeg]]; None under the same
+    * loud-fallback conditions.
+    */
+  def decodeMp4Frames(b: Array[Byte]): Option[Array[ContentStats]] = {
     if (!isMp4(b)) return None
     var isJpegTrack = false
     var totalSamples = -1L
@@ -1643,9 +1655,7 @@ object MediaCodecs {
       }
     } else java.util.Arrays.fill(sizes, uniformSize.toLong)
 
-    var n = 0L
-    var sum = 0L
-    var sumsq = 0L
+    val out = new Array[ContentStats](sizes.length)
     var read = 0
     var run = 0
     var chunk = 1L
@@ -1659,7 +1669,7 @@ object MediaCodecs {
         if (off < 0 || sz <= 0 || off + sz > b.length) return None
         val frame = java.util.Arrays.copyOfRange(b, off.toInt, (off + sz).toInt)
         decodeJpegGray(frame) match {
-          case Some(s) => n += s.n; sum += s.sum; sumsq += s.sumsq
+          case Some(s) => out(read) = s
           case None => return None // a frame the codec rejects = loud
         }
         off += sz
@@ -1669,7 +1679,7 @@ object MediaCodecs {
       chunk += 1
     }
     if (read != sizes.length) return None
-    Some(ContentStats("mjpeg", n, sum, sumsq))
+    Some(out)
   }
 
   // ------------------------------------------------------------- dispatch

@@ -245,6 +245,10 @@ object Registry {
       require(args.size == 1, "media_content_stats(payload)")
       MediaContentStats(args.head)
     },
+    "media_frame_stats" -> { args =>
+      require(args.size == 1, "media_frame_stats(payload)")
+      MediaFrameStats(args.head)
+    },
     "media_encode" -> { args =>
       require(args.size == 5, "media_encode(kind, variant, width, height, duration_ms)")
       import org.apache.spark.sql.types.{IntegerType, LongType}

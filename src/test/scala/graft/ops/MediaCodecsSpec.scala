@@ -309,6 +309,29 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeMp4Jpeg(bad).isEmpty)
   }
 
+  test("decodeMp4Frames: per-frame stats in sample order; aggregate equals decodeMp4Jpeg") {
+    val (w, h, id) = (40, 24, 9L)
+    val frames = (0 until 3).map { f =>
+      MediaCodecs.encodeJpegGray(w, h, (_, y) => ((id + f + (y >> 3)) & 0xffL).toInt)
+    }
+    val mp4 = MediaCodecs.encodeMp4(w, h, 900L, _ => 0.toShort, frames = frames)
+    val fs = MediaCodecs.decodeMp4Frames(mp4).get
+    assert(fs.length === 3)
+    fs.zipWithIndex.foreach { case (s, f) =>
+      var es = 0L; var esq = 0L
+      for (y <- 0 until h) {
+        val v = (id + f + (y >> 3)) & 0xffL
+        es += w * v; esq += w * v * v
+      }
+      assert(s.n == w.toLong * h && s.sum == es && s.sumsq == esq, s"frame $f")
+    }
+    val agg = MediaCodecs.decodeMp4Jpeg(mp4).get
+    assert(agg.n === fs.map(_.n).sum && agg.sum === fs.map(_.sum).sum)
+    // non-video payloads: null through the expression kernel
+    assert(graft.expr.MediaKernels.decodeFrameStats(
+      MediaCodecs.encodeWav(1, 8000, 16)) == null)
+  }
+
   test("MP4 PCM decode: sowt little-endian variant and malformed-table bail-outs") {
     val mp4 = MediaCodecs.encodeMp4(64, 48, 100L, j => (j * 37 % 1000 - 500).toShort)
     val st = MediaCodecs.decodeMp4Pcm(mp4).get
