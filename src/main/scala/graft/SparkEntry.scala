@@ -1880,7 +1880,14 @@ object SparkEntry {
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
           col("st.n").as("n_pixels"), col("st.sum").as("sum_pixels"),
           col("st.sumsq").as("sumsq_pixels"))
-        .orderBy(col("media_id"), col("frame_idx"))
+        // repartition(1) + in-partition sort, NOT orderBy: a global
+        // sort's RangePartitioner sampling job re-executes the
+        // encode+decode upstream a second time, and coalesce(1) would
+        // collapse the decode itself to one task — the shuffle boundary
+        // keeps the decode parallel and the tiny result sorts in one
+        // partition (total order either way)
+        .repartition(1)
+        .sortWithinPartitions(col("media_id"), col("frame_idx"))
     },
 
     "multimodal_features" -> { (s, dir) =>
@@ -3026,8 +3033,8 @@ object SparkEntry {
     // demux + JPEG-decode its way to the identical integers
     "multimodal_frames" ->
       """WITH v AS (
-        |  SELECT doc_id, 32 + (doc_id*7919) % 608 AS w,
-        |         32 + (doc_id*4241) % 448 AS h
+        |  SELECT doc_id, 32 + (doc_id*7919) % 128 AS w,
+        |         32 + (doc_id*4241) % 96 AS h
         |  FROM documents WHERE doc_id % 3 = 2),
         |f AS (SELECT f AS frame_idx FROM generate_series(0, 3) AS t(f))
         |SELECT v.doc_id AS media_id,
@@ -3093,9 +3100,11 @@ object SparkEntry {
         |-- frames with pixel(x, y, f) = (id + f + y//8) % 256 —
         |-- block-constant per frame, so the lossy codec round-trips
         |-- EXACTLY and the demuxed+decoded stats equal this closed form
+        |-- coded frame size is smaller than the tkhd presentation size
+        |-- (players scale): w = 32 + id*7919 % 128, h = 32 + id*4241 % 96
         |vidf AS (
-        |  SELECT doc_id, 32 + (doc_id*7919) % 608 AS w,
-        |         32 + (doc_id*4241) % 448 AS h
+        |  SELECT doc_id, 32 + (doc_id*7919) % 128 AS w,
+        |         32 + (doc_id*4241) % 96 AS h
         |  FROM m WHERE kind = 'video'),
         |vidf_stats AS (
         |  SELECT v.doc_id, 4 * CAST(v.w AS BIGINT) * v.h AS n,

@@ -72,15 +72,22 @@ object MediaKernels {
         // block-constant per frame, so the lossy codec round-trips
         // EXACTLY like the image synth) + a REAL 'twos' PCM sound track
         // whose samples follow the SAME formula as the WAV synth (8 kHz
-        // media timescale, so n = durationMs * 8 reproduces exactly)
+        // media timescale, so n = durationMs * 8 reproduces exactly).
+        // The CODED frame size is intentionally smaller than the tkhd
+        // presentation size (legal and common — players scale): every
+        // codec path stays real while the per-row work stays benchable;
+        // the raw Mpixels/s numbers live in KernelBench.
         require(durationMs >= 0 && durationMs <= Int.MaxValue / 16L,
           s"video duration_ms out of range: $durationMs")
+        val fw = 32 + ((variant * 7919L) % 128L).toInt
+        val fh = 32 + ((variant * 4241L) % 96L).toInt
         val frames = (0 until 4).map { f =>
-          MediaCodecs.encodeJpegGray(width, height,
+          MediaCodecs.encodeJpegGray(fw, fh,
             (_, y) => ((variant + f + (y >> 3)) & 0xffL).toInt)
         }
         MediaCodecs.encodeMp4(width, height, durationMs,
-          j => ((variant & 63L) + (j % 16L)).toShort, frames = frames)
+          j => ((variant & 63L) + (j % 16L)).toShort, frames = frames,
+          frameWidth = fw, frameHeight = fh)
       case _ =>
         val tag = s"GRAFTRAW:$variant:$width:$height:$durationMs"
         tag.getBytes(java.nio.charset.StandardCharsets.UTF_8)

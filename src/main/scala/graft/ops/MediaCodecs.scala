@@ -1087,7 +1087,8 @@ object MediaCodecs {
     */
   def encodeMp4(width: Int, height: Int, durationMs: Long,
       sample: Int => Short, variableStsz: Boolean = false,
-      frames: Seq[Array[Byte]] = Nil): Array[Byte] = {
+      frames: Seq[Array[Byte]] = Nil,
+      frameWidth: Int = 0, frameHeight: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 65535 && height <= 65535,
       "MP4 dimensions must be in [1, 65535]")
     // movie timescale 1000 (mvhd duration is ms); media timescale 8000
@@ -1258,6 +1259,11 @@ object MediaCodecs {
           out.write(new Array[Byte](8))
           out.toByteArray
         }
+        // stsd carries the CODED size (may differ from the tkhd
+        // presentation size — players scale); default to the
+        // presentation size when unspecified
+        val cw = if (frameWidth > 0) frameWidth else width
+        val ch = if (frameHeight > 0) frameHeight else height
         val vStsd = {
           // VisualSampleEntry 'jpeg' (86 bytes, ISO/IEC 14496-12 §12.1.3)
           val e = new ByteArrayOutputStream(86)
@@ -1266,8 +1272,8 @@ object MediaCodecs {
           e.write(new Array[Byte](6)) // reserved
           e.write(0); e.write(1) // data_reference_index = 1
           e.write(new Array[Byte](16)) // pre_defined/reserved
-          e.write((width >> 8) & 0xff); e.write(width & 0xff)
-          e.write((height >> 8) & 0xff); e.write(height & 0xff)
+          e.write((cw >> 8) & 0xff); e.write(cw & 0xff)
+          e.write((ch >> 8) & 0xff); e.write(ch & 0xff)
           e.write(be32(0x00480000)) // horizresolution 72 dpi
           e.write(be32(0x00480000)) // vertresolution 72 dpi
           e.write(be32(0)) // reserved

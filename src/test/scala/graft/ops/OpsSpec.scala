@@ -1044,8 +1044,9 @@ class OpsSpec extends SparkTestBase {
       // Motion-JPEG track's 4 block-constant frames
       // (pixel(x, y, f) = (id + f + y/8) % 256 — lossy codec exact)
       if (kind == "video") {
-        val w = 32 + (id * 7919 % 608)
-        val h = 32 + (id * 4241 % 448)
+        // CODED frame size (smaller than the tkhd presentation size)
+        val w = 32 + (id * 7919 % 128)
+        val h = 32 + (id * 4241 % 96)
         val pcmN = (1000 + id * 31 % 60000) * 8
         val base = id % 64
         val per = pcmN / 16
