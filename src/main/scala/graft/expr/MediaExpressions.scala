@@ -79,8 +79,10 @@ object MediaKernels {
         // the raw Mpixels/s numbers live in KernelBench.
         require(durationMs >= 0 && durationMs <= Int.MaxValue / 16L,
           s"video duration_ms out of range: $durationMs")
-        val fw = 32 + ((variant * 7919L) % 128L).toInt
-        val fh = 32 + ((variant * 4241L) % 96L).toInt
+        // floorMod: a negative variant must not produce non-positive
+        // coded dims (every other variant use is sign-safe: & 63L etc.)
+        val fw = 32 + Math.floorMod(variant * 7919L, 128L).toInt
+        val fh = 32 + Math.floorMod(variant * 4241L, 96L).toInt
         val frames = (0 until 4).map { f =>
           MediaCodecs.encodeJpegGray(fw, fh,
             (_, y) => ((variant + f + (y >> 3)) & 0xffL).toInt)

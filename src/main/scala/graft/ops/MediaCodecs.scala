@@ -1124,8 +1124,11 @@ object MediaCodecs {
     // offset is fixed by ftyp's length
     val mdatPayloadOff = ftyp.length + 8
     val framesBytes = frames.map(_.length.toLong).sum
-    require(framesBytes <= Int.MaxValue / 2,
-      s"MP4 video frames too large: $framesBytes bytes")
+    // Long-space sizing of the COMBINED mdat (frames + PCM + box header):
+    // a frames-only guard would let the box size wrap Int when the PCM
+    // alone already sits near the limit
+    require(framesBytes + 2L * n + 8L <= Int.MaxValue,
+      s"MP4 mdat too large: $framesBytes frame bytes + ${2L * n} PCM bytes")
     val pcmOff = mdatPayloadOff + framesBytes.toInt
     val pcm = new Array[Byte](2 * n)
     var j = 0
@@ -1394,48 +1397,56 @@ object MediaCodecs {
     * (compressed audio, header-only structures) or with malformed/
     * truncated tables — the loud-fallback policy of [[decodeMeta]].
     */
-  def decodeMp4Pcm(b: Array[Byte]): Option[ContentStats] = {
-    if (!isMp4(b)) return None
-    var bigEndian = true
-    var channels = 0
-    var sampleBits = 0
-    var totalSamples = -1L // from stts
-    var uniformSize = -1 // stsz sample_size (0 = per-sample table)
-    var stszCount = -1L
-    var stszEntriesOff = -1 // start of the per-sample size table (size == 0)
-    var stszEnd = -1L
-    var stscRuns: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
-    var chunkOffsets: Array[Long] = null
-    var found = false
+  /** Raw sample-table fields of one trak (interpretation of the stsd
+    * sample entry is the caller's).
+    */
+  private final case class SampleTables(
+      totalSamples: Long, // from stts (-1 when absent/malformed)
+      uniformSize: Int, // stsz sample_size (0 = per-sample table)
+      stszCount: Long,
+      stszEntriesOff: Int, // start of the per-sample size table
+      stszEnd: Long,
+      stscRuns: Array[(Long, Long)], // (first_chunk, samples_per_chunk)
+      chunkOffsets: Array[Long])
 
+  /** Walk moov/trak/mdia for the first trak whose hdlr matches `handler`
+    * AND whose stsd entry `acceptStsd(entryOff, boxEnd)` accepts,
+    * collecting its stbl's raw tables — the shared demux scaffolding of
+    * [[decodeMp4Pcm]] and [[decodeMp4Frames]]. Per-trak state resets so
+    * a rejected trak's tables can never leak into an accepted one.
+    */
+  private def parseSampleTables(b: Array[Byte], handler: String)(
+      acceptStsd: (Int, Int) => Boolean): Option[SampleTables] = {
+    var result: Option[SampleTables] = None
     walkBoxes(b, 0, b.length) { (typ, from, to) =>
       if (typ == "moov") {
         walkBoxes(b, from, to) { (t2, f2, t2end) =>
-          if (t2 == "trak" && !found) {
+          if (t2 == "trak" && result.isEmpty) {
             // locate mdia -> (hdlr, minf -> stbl)
             walkBoxes(b, f2, t2end) { (t3, f3, t3end) =>
               if (t3 == "mdia") {
-                var isSound = false
+                var handlerMatches = false
+                var accepted = false
+                var totalSamples = -1L
+                var uniformSize = -1
+                var stszCount = -1L
+                var stszEntriesOff = -1
+                var stszEnd = -1L
+                var stscRuns: Array[(Long, Long)] = null
+                var chunkOffsets: Array[Long] = null
                 walkBoxes(b, f3, t3end) { (t4, f4, t4end) =>
                   if (t4 == "hdlr" && t4end - f4 >= 12) {
-                    val handler = new String(b, f4 + 8, 4, StandardCharsets.US_ASCII)
-                    isSound = handler == "soun"
-                  } else if (t4 == "minf" && isSound) {
+                    val h = new String(b, f4 + 8, 4, StandardCharsets.US_ASCII)
+                    handlerMatches = h == handler
+                  } else if (t4 == "minf" && handlerMatches) {
                     walkBoxes(b, f4, t4end) { (t5, f5, t5end) =>
                       if (t5 == "stbl") {
                         walkBoxes(b, f5, t5end) { (t6, f6, t6end) =>
                           t6 match {
                             case "stsd" if t6end - f6 >= 8 =>
                               val nEntries = readBe32(b, f6 + 4)
-                              if (nEntries >= 1 && t6end - f6 >= 8 + 36) {
-                                val e = f6 + 8
-                                val fmt = new String(b, e + 4, 4, StandardCharsets.US_ASCII)
-                                if (fmt == "twos" || fmt == "sowt") {
-                                  bigEndian = fmt == "twos"
-                                  channels = readBe16(b, e + 16 + 8)
-                                  sampleBits = readBe16(b, e + 16 + 10)
-                                }
-                              }
+                              if (nEntries >= 1)
+                                accepted = acceptStsd(f6 + 8, t6end)
                             case "stts" if t6end - f6 >= 8 =>
                               val n = readBe32(b, f6 + 4)
                               if (t6end - f6 >= 8 + 8L * n) {
@@ -1470,7 +1481,10 @@ object MediaCodecs {
                           }
                           true
                         }
-                        found = channels > 0
+                        if (accepted)
+                          result = Some(SampleTables(totalSamples,
+                            uniformSize, stszCount, stszEntriesOff,
+                            stszEnd, stscRuns, chunkOffsets))
                       }
                       true
                     }
@@ -1486,8 +1500,29 @@ object MediaCodecs {
       }
       true
     }
+    result
+  }
+
+  def decodeMp4Pcm(b: Array[Byte]): Option[ContentStats] = {
+    if (!isMp4(b)) return None
+    var bigEndian = true
+    var channels = 0
+    var sampleBits = 0
+    val tables = parseSampleTables(b, "soun") { (e, end) =>
+      if (end - e >= 36) {
+        val fmt = new String(b, e + 4, 4, StandardCharsets.US_ASCII)
+        if (fmt == "twos" || fmt == "sowt") {
+          bigEndian = fmt == "twos"
+          channels = readBe16(b, e + 16 + 8)
+          sampleBits = readBe16(b, e + 16 + 10)
+        }
+      }
+      channels > 0
+    }.getOrElse(return None)
+    import tables.{totalSamples, uniformSize, stszCount, stszEntriesOff,
+      stszEnd, stscRuns, chunkOffsets}
     // decodable = 16-bit mono/stereo PCM with complete, consistent tables
-    if (!found || sampleBits != 16 || channels < 1 || channels > 2 ||
+    if (sampleBits != 16 || channels < 1 || channels > 2 ||
         totalSamples < 0 || stscRuns == null || stscRuns.isEmpty ||
         chunkOffsets == null || chunkOffsets.isEmpty ||
         uniformSize < 0) return None
@@ -1562,90 +1597,13 @@ object MediaCodecs {
     */
   def decodeMp4Frames(b: Array[Byte]): Option[Array[ContentStats]] = {
     if (!isMp4(b)) return None
-    var isJpegTrack = false
-    var totalSamples = -1L
-    var uniformSize = -1
-    var stszCount = -1L
-    var stszEntriesOff = -1
-    var stszEnd = -1L
-    var stscRuns: Array[(Long, Long)] = null
-    var chunkOffsets: Array[Long] = null
-    var found = false
-
-    walkBoxes(b, 0, b.length) { (typ, from, to) =>
-      if (typ == "moov") {
-        walkBoxes(b, from, to) { (t2, f2, t2end) =>
-          if (t2 == "trak" && !found) {
-            walkBoxes(b, f2, t2end) { (t3, f3, t3end) =>
-              if (t3 == "mdia") {
-                var isVideo = false
-                walkBoxes(b, f3, t3end) { (t4, f4, t4end) =>
-                  if (t4 == "hdlr" && t4end - f4 >= 12) {
-                    val handler = new String(b, f4 + 8, 4, StandardCharsets.US_ASCII)
-                    isVideo = handler == "vide"
-                  } else if (t4 == "minf" && isVideo) {
-                    walkBoxes(b, f4, t4end) { (t5, f5, t5end) =>
-                      if (t5 == "stbl") {
-                        walkBoxes(b, f5, t5end) { (t6, f6, t6end) =>
-                          t6 match {
-                            case "stsd" if t6end - f6 >= 8 =>
-                              val nEntries = readBe32(b, f6 + 4)
-                              if (nEntries >= 1 && t6end - f6 >= 8 + 8) {
-                                val e = f6 + 8
-                                val fmt = new String(b, e + 4, 4, StandardCharsets.US_ASCII)
-                                isJpegTrack = fmt == "jpeg"
-                              }
-                            case "stts" if t6end - f6 >= 8 =>
-                              val n = readBe32(b, f6 + 4)
-                              if (t6end - f6 >= 8 + 8L * n) {
-                                var tot = 0L
-                                var k = 0
-                                while (k < n) {
-                                  tot += readBe32(b, f6 + 8 + 8 * k).toLong & 0xffffffffL
-                                  k += 1
-                                }
-                                totalSamples = tot
-                              }
-                            case "stsc" if t6end - f6 >= 8 =>
-                              val n = readBe32(b, f6 + 4)
-                              if (n >= 0 && t6end - f6 >= 8 + 12L * n) {
-                                stscRuns = Array.tabulate(n) { k =>
-                                  (readBe32(b, f6 + 8 + 12 * k).toLong & 0xffffffffL,
-                                    readBe32(b, f6 + 12 + 12 * k).toLong & 0xffffffffL)
-                                }
-                              }
-                            case "stsz" if t6end - f6 >= 12 =>
-                              uniformSize = readBe32(b, f6 + 4)
-                              stszCount = readBe32(b, f6 + 8).toLong & 0xffffffffL
-                              stszEntriesOff = f6 + 12
-                              stszEnd = t6end
-                            case "stco" if t6end - f6 >= 8 =>
-                              val n = readBe32(b, f6 + 4)
-                              if (n >= 0 && t6end - f6 >= 8 + 4L * n) {
-                                chunkOffsets = Array.tabulate(n)(k =>
-                                  readBe32(b, f6 + 8 + 4 * k).toLong & 0xffffffffL)
-                              }
-                            case _ =>
-                          }
-                          true
-                        }
-                        found = isJpegTrack
-                      }
-                      true
-                    }
-                  }
-                  true
-                }
-              }
-              true
-            }
-          }
-          true
-        }
-      }
-      true
-    }
-    if (!found || totalSamples <= 0 || totalSamples > 100000 ||
+    val tables = parseSampleTables(b, "vide") { (e, end) =>
+      end - e >= 8 &&
+        new String(b, e + 4, 4, StandardCharsets.US_ASCII) == "jpeg"
+    }.getOrElse(return None)
+    import tables.{totalSamples, uniformSize, stszCount, stszEntriesOff,
+      stszEnd, stscRuns, chunkOffsets}
+    if (totalSamples <= 0 || totalSamples > 100000 ||
       stscRuns == null || stscRuns.isEmpty ||
       chunkOffsets == null || chunkOffsets.isEmpty ||
       uniformSize < 0 || stszCount != totalSamples) return None
@@ -1726,7 +1684,9 @@ object MediaCodecs {
         case (Some(a), Some(v)) =>
           Some(ContentStats("mp4", a.n + v.n, a.sum + v.sum, a.sumsq + v.sumsq))
         case (Some(a), None) => Some(a)
-        case (None, Some(v)) => Some(v)
+        // keep ONE format label per container kind — a video-only MP4
+        // must group with the audio-only and combined cases
+        case (None, Some(v)) => Some(v.copy(format = "mp4"))
         case (None, None) => None
       }
     }

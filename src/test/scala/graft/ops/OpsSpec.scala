@@ -951,6 +951,34 @@ class OpsSpec extends SparkTestBase {
     assert(viaSpark === a)
   }
 
+  test("media_frame_stats through Catalyst: per-frame rows match the synthesis formula") {
+    graft.sql.Registry.register(spark)
+    val media = Multimodal.attachRealMedia(docs.limit(30), "doc_id")
+    media.createOrReplaceTempView("mfs_media")
+    // SQL surface (codegen path): explode the per-frame stats
+    val rows = spark.sql(
+      """SELECT media_id, pos AS frame_idx, st.n, st.sum
+        |FROM mfs_media
+        |LATERAL VIEW posexplode(media_frame_stats(payload)) AS pos, st
+        |WHERE kind = 'video'""".stripMargin)
+      .collect()
+    assert(rows.nonEmpty && rows.length % 4 === 0)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val f = r.getInt(1)
+      val w = 32 + (id * 7919 % 128)
+      val h = 32 + (id * 4241 % 96)
+      assert(r.getLong(2) === w * h, s"n id=$id f=$f")
+      val expSum = w * (0L until h).map(y => (id + f + y / 8) % 256).sum
+      assert(r.getLong(3) === expSum, s"sum id=$id f=$f")
+    }
+    // non-video payloads: NULL through the expression
+    val nulls = spark.sql(
+      "SELECT count(*) FROM mfs_media WHERE kind <> 'video' AND media_frame_stats(payload) IS NOT NULL")
+      .head.getLong(0)
+    assert(nulls === 0L)
+  }
+
   test("multimodal REAL decode: attachRealMedia payloads parse back to the id-derived meta") {
     val media = Multimodal.attachRealMedia(docs, "doc_id")
     assert(media.schema.fieldNames.toSeq === Seq("media_id", "kind", "payload", "source"))
