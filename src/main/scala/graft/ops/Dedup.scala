@@ -1021,8 +1021,9 @@ object Dedup {
       threshold: Double,
       iters: Int = 3,
       maxClusterSize: Long = 100000L): DataFrame = {
-    val base = df.select(col(idCol).cast("long").as("id"),
-      graft.functions.vec_normalize(col(vecCol)).as("v"))
+    val base = Parallelize.spread(
+        df.select(col(idCol).cast("long").as("id"), col(vecCol).as("__raw")))
+      .select(col("id"), graft.functions.vec_normalize(col("__raw")).as("v"))
     val centroids = Similarity.kmeansCentroids(base, "v", "id", k, iters)
     // NOT persisted: the assignment pass (normalize + nearest-centroid)
     // is one shuffle-free codegen scan and recomputes more cheaply than
@@ -1420,13 +1421,28 @@ object Dedup {
     require(window >= 2 && window <= 1024,
       s"window must be in [2, 1024], got $window")
     require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
-    val base = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
-    val wh0 = windowHashTable(base, window, sampleMod)
-    val wh =
-      if (hashSquash > 0) wh0.withColumn("__h", pmod(col("__h"), lit(hashSquash)))
+    val base = Parallelize.spread(
+      df.select(col(idCol).as("__id"), col(textCol).as("__text")))
+    // slice the substring INLINE off the Generate's requiredChildOutput
+    // (__text rides the explode and is dropped by the projection before
+    // anything is materialized — whole-stage codegen fuses the two).
+    // The previous shape re-joined the exploded table to `base` for the
+    // slice, and Spark broadcast the 1.3M-row EXPLODED side (driver
+    // collect + HashedRelation build, ~2 s warm at sf0.1) — a join that
+    // buys nothing the generator did not already have in scope.
+    val wh0 = base
+      .select(col("__id"), col("__text"),
+        posexplode(graft.functions.window_hashes(col("__text"), window))
+          .as(Seq("__pos", "__h")))
+    val sampled =
+      if (sampleMod > 1)
+        wh0.filter(pmod(col("__h"), lit(sampleMod.toLong)) === 0)
       else wh0
-    wh.join(base, Seq("__id"))
-      .select(col("__h"), col("__id"), col("__pos"),
+    val wh =
+      if (hashSquash > 0)
+        sampled.withColumn("__h", pmod(col("__h"), lit(hashSquash)))
+      else sampled
+    wh.select(col("__h"), col("__id"), col("__pos"),
         expr(s"substring(__text, __pos + 1, $window)").as("__sub"))
       .groupBy(col("__h"), col("__sub"))
       .agg(min(struct(col("__id"), col("__pos"))).as("__w"))

@@ -99,11 +99,18 @@ object Multimodal {
     * the same numbers from the id formulas.
     */
   def attachRealMedia(df: DataFrame, idCol: String): DataFrame = {
-    val id = col(idCol).cast("long")
+    // spread BEFORE the per-row encoder: a one-file corpus read arrives
+    // as a single scan partition and would serialize every JPEG/WAV/MP4
+    // encode on one core (guide §2.5); only the 8-byte id crosses the
+    // spread shuffle, never payload bytes. No-op at production split
+    // counts.
+    val spreadIds = Parallelize.spread(
+      df.select(col(idCol).cast("long").as("media_id")))
+    val id = col("media_id")
     val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
       (pmod(id, lit(3)) + 1).cast("int"))
     val (w, h, d) = dims(id, kind)
-    df.select(
+    spreadIds.select(
       id.as("media_id"),
       kind.as("kind"),
       graft.functions.media_encode(kind, id, w, h, d).as("payload"),
