@@ -352,6 +352,11 @@ object functions {
   /** One independent `bits`-bit signature per LSH table. */
   def lsh_table_signatures(vec: Column, tables: Int, bits: Int): Column =
     toCol(LshTableSignatures(toExpr(vec), tables, bits))
+  /** Cosine similarity of two ARRAY<DOUBLE>/ARRAY<FLOAT> vectors (one
+    * codegen kernel; exact replica of the HOF formulation — see
+    * [[graft.expr.VectorKernels.cosineBoxed]]). */
+  def vec_cosine(a: Column, b: Column): Column =
+    toCol(VecCosine(toExpr(a), toExpr(b)))
   /** Index of the nearest centroid by squared L2 (IVF assignment). */
   def vec_nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
     toCol(NearestCentroid(toExpr(vec), centroids))

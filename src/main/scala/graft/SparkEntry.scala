@@ -642,7 +642,11 @@ object SparkEntry {
     // estimate must sit within the published 3-sigma bound; and the
     // lineage row-count metric must equal count(*) cross-engine.
     "sketch_build_resume" -> { (s, dir) =>
-      val li = table(s, dir, "lineitem").repartition(8)
+      // persisted: the full build, the resumed build, and the exact
+      // count each replan the scan+repartition otherwise (separate plans
+      // cannot reuse each other's shuffle output) — three single-core
+      // sort+shuffle passes of the same 8-partition table per run
+      val li = table(s, dir, "lineitem").repartition(8).persist()
       val sk = graft.job.PartitionSketcher.hll()
       val fullDir = tmpDir("graft-sbr") + "/cp"
       val full = graft.job.SketchBuild.resume(li, col("l_orderkey"), sk, fullDir)
@@ -654,6 +658,7 @@ object SparkEntry {
         .agg(sum(col("rows"))).head().getLong(0)
       val exact = li.agg(countDistinct(col("l_orderkey"))).head().getLong(0)
       val est = graft.core.Hll.fromBytes(full).estimate
+      li.unpersist(blocking = false)
       import s.implicits._
       Seq((rowsBuilt, exact,
         java.util.Arrays.equals(full, resumed),

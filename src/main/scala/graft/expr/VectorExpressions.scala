@@ -362,6 +362,55 @@ object VectorKernels {
     while (i < 8) { bits = (bits << 8) | (a(i) & 0xffL); i += 1 }
     java.lang.Double.longBitsToDouble(bits)
   }
+
+  /** Cosine similarity, replicating EXACTLY the higher-order-function
+    * formulation it replaced ([[graft.ops.Dedup.cosine]]'s former
+    * zip_with/aggregate chain — a CodegenFallback stack that broke the
+    * whole-stage span at every re-rank and pair-verify site):
+    *
+    *  - dot and both norms use sequential ascending-index summation
+    *    (`((0 + x0) + x1) + ...`) — bit-identical to `aggregate`'s fold;
+    *  - either norm exactly 0.0 -> 0.0 (checked BEFORE the null cases,
+    *    matching the three-valued `when(na === 0 || nb === 0, ...)`,
+    *    where `null OR true` is true);
+    *  - a null element in either array, or a length mismatch, -> null
+    *    (zip_with pads with nulls; null poisons the aggregate fold);
+    *  - result = dot / (na * nb) with the product formed first.
+    *
+    * Boxed return so codegen can express the null-on-non-null-inputs
+    * cases.
+    */
+  def cosineBoxed(
+      a: ArrayData, b: ArrayData,
+      aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val an = a.numElements()
+    val bn = b.numElements()
+    var aHasNull = false
+    var bHasNull = false
+    var sa = 0.0
+    var i = 0
+    while (i < an) {
+      if (a.isNullAt(i)) aHasNull = true
+      else { val x = elem(a, i, aFloat); sa += x * x }
+      i += 1
+    }
+    var sb = 0.0
+    i = 0
+    while (i < bn) {
+      if (b.isNullAt(i)) bHasNull = true
+      else { val x = elem(b, i, bFloat); sb += x * x }
+      i += 1
+    }
+    val na = math.sqrt(sa)
+    val nb = math.sqrt(sb)
+    if ((!aHasNull && na == 0.0) || (!bHasNull && nb == 0.0))
+      return java.lang.Double.valueOf(0.0)
+    if (aHasNull || bHasNull || an != bn) return null
+    var dot = 0.0
+    i = 0
+    while (i < an) { dot += elem(a, i, aFloat) * elem(b, i, bFloat); i += 1 }
+    java.lang.Double.valueOf(dot / (na * nb))
+  }
 }
 
 /** Shared type check: the vector operand must be ARRAY<DOUBLE> or
@@ -574,6 +623,58 @@ case class Vec8Dot(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Vec8Dot =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "vec8_dot"
+}
+
+/** `vec_cosine(a, b) -> double`: cosine similarity of two float/double
+  * arrays as ONE whole-stage-codegen kernel — the hot scoring expression
+  * of every exact re-rank and pair-verify path. Semantics are an exact
+  * replica of the zip_with/transform/aggregate chain it replaced (see
+  * [[VectorKernels.cosineBoxed]]); accepting ARRAY<FLOAT> natively also
+  * removes the upstream cast-transform (a CodegenFallback HOF that broke
+  * the span AND materialized a second array per row — round-4 lesson).
+  */
+case class VecCosine(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "vec_cosine expects two ARRAY<DOUBLE>/ARRAY<FLOAT> operands, got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+
+  private lazy val aFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val bFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosineBoxed(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aFloat, bFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("cosBoxed")
+      s"""
+         |java.lang.Double $boxed =
+         |  graft.expr.VectorKernels.cosineBoxed($a, $b, $aFloat, $bFloat);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecCosine =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_cosine"
 }
 
 /** `vec_normalize(vec) -> array<double>`: x / |x| (zeros stay zeros) —

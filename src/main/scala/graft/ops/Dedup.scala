@@ -883,15 +883,17 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
-  /** Cosine similarity of two double-array columns via built-in
-    * higher-order functions (codegen, no UDF).
+  /** Cosine similarity of two float/double-array columns — ONE native
+    * whole-stage-codegen kernel. Previously a zip_with/transform/
+    * aggregate chain: higher-order functions are CodegenFallback, so
+    * every re-rank and pair-verify site paid an interpreted per-element
+    * closure AND a broken codegen span (round-4 lesson). The kernel
+    * replicates the HOF semantics exactly — sequential summation order,
+    * zero-norm -> 0.0, null elements / length mismatch -> null — see
+    * [[graft.expr.VectorKernels.cosineBoxed]]; equivalence is
+    * property-tested against the old formulation.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
-  }
+  def cosine(a: Column, b: Column): Column = graft.functions.vec_cosine(a, b)
 
   /** Probability a pair at the given cosine lands in the same bucket in at
     * least one of `tables` hyperplane-LSH tables of `bits` planes each —
@@ -927,9 +929,11 @@ object Dedup {
       maxBucket: Int = 1000,
       droppedBuckets: Option[LongAccumulator] = None): DataFrame = {
     require(bits >= 1 && bits <= 24, "bits must be in [1, 24]")
+    // raw vectors (float or double): vec_cosine widens floats exactly,
+    // so skipping the cast-transform halves the verify-join bytes for
+    // float embeddings and keeps the HOF out of the plan
     val base = df.select(
-      col(idCol).cast("long").as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      col(idCol).cast("long").as("id"), col(vecCol).as("v"))
 
     // one signature per table from independent deterministic hyperplanes;
     // plane components derive on the fly from mix64(table, plane, dim) so

@@ -98,7 +98,8 @@ object Similarity {
     val qLit = typedLit(query)
     df.select(
         col(idCol).cast("long").as("id"),
-        Dedup.cosine(toDoubleArr(col(vecCol)), qLit).as("cos"))
+        // vec_cosine takes float arrays natively — no cast-transform HOF
+        Dedup.cosine(col(vecCol), qLit).as("cos"))
       .withColumn("cosine", round(col("cos"), 6))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
@@ -223,7 +224,7 @@ object Similarity {
   private def rerank(candidates: DataFrame, vecCol: String, query: Seq[Double], k: Int): DataFrame = {
     val qLit = typedLit(query)
     candidates
-      .select(col("id"), Dedup.cosine(toDoubleArr(col(vecCol)), qLit).as("cos"))
+      .select(col("id"), Dedup.cosine(col(vecCol), qLit).as("cos"))
       .withColumn("cosine", round(col("cos"), 6))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
@@ -386,7 +387,7 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"), col(vecCol))
       .join(broadcast(q.select(col("query_id"), col("qv"))), "query_id")
     val scored = candidates.withColumn("score",
-      round(Dedup.cosine(toDoubleArr(col(vecCol)), col("qv")), 6))
+      round(Dedup.cosine(col(vecCol), col("qv")), 6))
     perQueryTopK(scored, k)
       .select(col("query_id"), col("neighbor_id").as("id"),
         col("score").as("cosine"))

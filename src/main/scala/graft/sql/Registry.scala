@@ -233,6 +233,10 @@ object Registry {
       require(args.size == 2, "vec8_dot(a, b)")
       Vec8Dot(args(0), args(1))
     },
+    "vec_cosine" -> { args =>
+      require(args.size == 2, "vec_cosine(a, b)")
+      VecCosine(args(0), args(1))
+    },
     "vec8_scale" -> { args =>
       require(args.size == 1, "vec8_scale(a)")
       Vec8Scale(args.head)

@@ -163,6 +163,59 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(sqlDot.getLong(0) != 0L && sqlDot.getDouble(1) > 0.0)
   }
 
+  test("vec_cosine == the HOF formulation bit-for-bit, incl. edge cases") {
+    // the exact zip_with/transform/aggregate chain vec_cosine replaced
+    def hofCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+      val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
+      when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
+    }
+    val rnd = new scala.util.Random(11)
+    val pairs: Seq[(Seq[java.lang.Double], Seq[java.lang.Double])] =
+      (0 until 300).map { i =>
+        val dim = 1 + rnd.nextInt(8)
+        def vec(d: Int): Seq[java.lang.Double] = (0 until d).map { _ =>
+          java.lang.Double.valueOf(rnd.nextDouble() * 2 - 1) }
+        i % 10 match {
+          case 7 => (Seq.fill(3)(java.lang.Double.valueOf(0.0)), vec(3)) // zero norm
+          case 8 => (vec(dim), vec(dim + 1)) // length mismatch
+          case 9 => // null element
+            val v = vec(dim).updated(0, null.asInstanceOf[java.lang.Double])
+            (v, vec(dim))
+          case _ => (vec(dim), vec(dim))
+        }
+      }
+    val df = pairs.toDF("a", "b").repartition(3)
+      .select(
+        graft.functions.vec_cosine(col("a"), col("b")).as("k"),
+        hofCosine(col("a"), col("b")).as("h"))
+    val rows = df.collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.isNullAt(0) === r.isNullAt(1), s"null mismatch at row $i: $r")
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+          java.lang.Double.doubleToLongBits(r.getDouble(1)), s"value at row $i: $r")
+    }
+    // float inputs widen exactly: kernel on floats == HOF on the cast copy
+    val fpairs = (0 until 100).map { _ =>
+      (Seq.fill(6)(rnd.nextFloat()), Seq.fill(6)(rnd.nextDouble() * 2 - 1)) }
+    val fr = fpairs.toDF("af", "b").repartition(2)
+      .select(
+        graft.functions.vec_cosine(col("af"), col("b")).as("k"),
+        hofCosine(transform(col("af"), x => x.cast("double")), col("b")).as("h"))
+      .collect()
+    fr.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // SQL name
+    graft.sql.Registry.register(SparkTestBase.spark)
+    val sqlV = SparkTestBase.spark.sql(
+      "SELECT vec_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d))").head().getDouble(0)
+    assert(sqlV === 1.0)
+  }
+
   test("null array elements are rejected loudly, null vectors yield null") {
     val err = intercept[Exception] {
       Seq(Seq[java.lang.Double](1.0, null, 3.0)).toDF("v")
