@@ -346,13 +346,21 @@ object SparkEntry {
       val shardTable = graft.job.BloomShards.build(
         orders, col("o_orderkey"), n, 0.01, shards = 8).cache()
       val nShards = shardTable.count().toInt
-      val pass = graft.job.BloomShards.probe(
-        orders.select(col("o_orderkey")), col("o_orderkey"), shardTable, 8)
-        .filter(col("might_contain")).count()
       val probes = 500000L
-      val fp = graft.job.BloomShards.probe(
-        s.range(1000000000L, 1000000000L + probes).toDF("k"), col("k"), shardTable, 8)
-        .filter(col("might_contain")).count()
+      // member and non-member probes fused into ONE co-partitioned probe
+      // pass over a tagged union (was two probe jobs, each shipping the
+      // shard filters again); the aggregated hit counts are identical
+      val tagged = orders.select(col("o_orderkey").as("k"))
+        .withColumn("is_member", lit(true))
+        .unionByName(s.range(1000000000L, 1000000000L + probes).toDF("k")
+          .withColumn("is_member", lit(false)))
+      val pr = graft.job.BloomShards.probe(tagged, col("k"), shardTable, 8)
+        .agg(
+          sum(when(col("is_member") && col("might_contain"), 1L).otherwise(0L)),
+          sum(when(!col("is_member") && col("might_contain"), 1L).otherwise(0L)))
+        .head()
+      val pass = pr.getLong(0)
+      val fp = pr.getLong(1)
       shardTable.unpersist()
       import s.implicits._
       Seq((pass, nShards, fp.toDouble / probes <= 0.01 * 1.05))
@@ -367,14 +375,29 @@ object SparkEntry {
     "bloom_set_algebra" -> { (s, dir) =>
       val orders = table(s, dir, "orders")
       val n = orders.count()
-      val hi = orders.filter(col("o_totalprice") > 200000)
-      val lo = orders.filter(col("o_totalprice") < 400000)
-      val a = buildFilter(hi, "o_orderkey", n, 0.01)
-      val b = buildFilter(lo, "o_orderkey", n, 0.01)
-      val nA = hi.count()
-      val nB = lo.count()
-      val overlap = orders.filter(
-        col("o_totalprice") > 200000 && col("o_totalprice") < 400000).count()
+      // ONE conditional-aggregation pass builds both filters and all
+      // three counts (was 5 jobs re-scanning orders; a null key hash is
+      // skipped by the aggregate, so bloom_agg_hashed(when(cond, key))
+      // == filter(cond) + build, and SBBF insert order cannot change the
+      // bytes — bit-OR). Same filters, same counts, one scan.
+      val hiC = col("o_totalprice") > 200000
+      val loC = col("o_totalprice") < 400000
+      val row0 = orders.select(
+          abloom_key_hash(when(hiC, col("o_orderkey"))).as("__ha"),
+          abloom_key_hash(when(loC, col("o_orderkey"))).as("__hb"),
+          hiC.as("__hi"), loC.as("__lo"))
+        .agg(
+          bloom_agg_hashed(col("__ha"), n, 0.01).as("a"),
+          bloom_agg_hashed(col("__hb"), n, 0.01).as("b"),
+          sum(when(col("__hi"), 1L).otherwise(0L)).as("na"),
+          sum(when(col("__lo"), 1L).otherwise(0L)).as("nb"),
+          sum(when(col("__hi") && col("__lo"), 1L).otherwise(0L)).as("ov"))
+        .head()
+      val a = row0.getAs[Array[Byte]](0)
+      val b = row0.getAs[Array[Byte]](1)
+      val nA = row0.getLong(2)
+      val nB = row0.getLong(3)
+      val overlap = row0.getLong(4)
       import s.implicits._
       val row = Seq((a, b)).toDF("a", "b").select(
         bloom_cardinality_estimate(col("a")),
@@ -561,7 +584,10 @@ object SparkEntry {
         .withRangeBucket(li, col("l_extendedprice"), cuts)
         .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val n = li.count()
+      // every row lands in exactly one bucket (a null bucket would have
+      // thrown in the getInt above), so the total rides the same job —
+      // no third lineitem scan
+      val n = counts.values.sum
       val ideal = n.toDouble / buckets
       import s.implicits._
       Seq((n, counts.size,

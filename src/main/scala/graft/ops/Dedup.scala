@@ -1100,32 +1100,29 @@ object Dedup {
     var iter = 0
     val spark = pairs.sparkSession
     while (changed > 0 && iter < maxIters) {
-      // min over (own label, labels of every neighbor) — expressed as a
-      // left join against the per-node neighbor minimum rather than a
-      // union (a union whose right side embeds `labels` carries the same
-      // attribute ids on both children, which trips Catalyst's Union
-      // constraint rewrite); checkpointed so the pointer-jump self-join
-      // below reads a materialized table. `prev` (the incoming label)
-      // rides along so convergence is decided inside this round's jobs.
+      // min over (own label, labels of every neighbor, label of own
+      // label) — ONE plan, ONE eager checkpoint job per round. The
+      // neighbor minimum is a left join against the per-node min rather
+      // than a union (a union whose right side embeds `labels` carries
+      // the same attribute ids on both children, which trips Catalyst's
+      // Union constraint rewrite).
+      //
+      // POINTER JUMPING: rep := min(rep, rep(rep)) — following the label
+      // indirection halves every label path each round, so chains
+      // converge in O(log diameter) rounds instead of O(diameter). The
+      // jump here reads the PREVIOUS round's checkpointed labels (the
+      // classic synchronous formulation) rather than this round's
+      // propagated table: that removes the second eager materialization
+      // per round the old shape paid, and the fixpoint is unchanged — at
+      // convergence rep(u) <= rep of every neighbor AND rep(rep(u)) ==
+      // rep(u), which forces rep == component minimum; stale-read
+      // jumping still halves paths per round (property-tested on long
+      // chains), it can only trade at most one extra cheap round.
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "v"), "v")
         .groupBy(col("u")).agg(min(col("rep")).as("__nrep"))
         .withColumnRenamed("u", "id")
-      val propagated = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("rep").as("prev"),
-          least(col("rep"), coalesce(col("__nrep"), col("rep"))).as("rep"))
-        .localCheckpoint(true)
-      // POINTER JUMPING: rep := min(rep, rep(rep)). Edge propagation
-      // alone moves a label one hop per round (O(diameter) rounds — a
-      // long near-dup chain would exhaust maxIters); following the
-      // label indirection halves every label path each round, so chains
-      // converge in O(log diameter) rounds. Every rep value is itself
-      // an id in `labels`, so the self-join is total; the fixpoint is
-      // unchanged (at convergence rep(u) <= rep of every neighbor AND
-      // rep(rep(u)) == rep(u), which forces rep == component minimum).
-      //
-      // Convergence detection is FOLDED INTO this checkpoint job via an
+      // Convergence detection is FOLDED INTO the checkpoint job via an
       // accumulator (a per-row flag UDF evaluated as the rows
       // materialize) instead of a separate count() job joining next
       // against labels — one fewer Spark job per round. Accumulators in
@@ -1134,18 +1131,19 @@ object Dedup {
       // early with partially-propagated labels.
       val acc = spark.sparkContext.longAccumulator("graft.cluster.changed")
       val bump = udf((c: Boolean) => { if (c) acc.add(1L); c })
-      val next3 = propagated.alias("l")
-        .join(propagated.select(col("id").as("__rid"), col("rep").as("__rrep"))
-          .alias("r"), col("l.rep") === col("__rid"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.rep"), coalesce(col("__rrep"), col("l.rep"))).as("rep"),
-          col("l.prev").as("prev"))
+      val next3 = labels
+        .join(nbrMin, Seq("id"), "left")
+        .join(labels.select(col("id").as("__rid"), col("rep").as("__rrep")),
+          col("rep") === col("__rid"), "left")
+        .select(col("id"), col("rep").as("prev"),
+          least(col("rep"),
+            coalesce(col("__nrep"), col("rep")),
+            coalesce(col("__rrep"), col("rep"))).as("rep"))
         .select(col("id"), col("rep"),
           bump(col("rep") =!= col("prev")).as("__chg"))
         .localCheckpoint(true)
       changed = acc.value
-      // superseded checkpoints: only next3 stays live into the next round
-      propagated.unpersist()
+      // superseded checkpoint: only next3 stays live into the next round
       labelsCkpt.unpersist()
       labelsCkpt = next3
       labels = next3.select(col("id"), col("rep"))
