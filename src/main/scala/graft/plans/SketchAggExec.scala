@@ -96,6 +96,14 @@ case class SketchPartialAggExec(
     val outputSchema = output
     val threshold = flushThreshold
     val maxBytes = flushBytes
+    // single LONG group key -> primitive open-addressing map (below):
+    // at high group cardinality (~1 row/group) the generic path's cost
+    // is dominated by UnsafeRow key hashing/copies and map-entry
+    // allocation churn — measured 1.3-1.4x the builtin's radix-sort
+    // fallback at 200k-1M groups. The long fast path removes every
+    // per-row allocation on the probe side.
+    val longKeyPath = groupExprs.length == 1 &&
+      groupExprs.head.dataType == org.apache.spark.sql.types.LongType
 
     org.apache.spark.sql.GraftBridge.mapPartitionsInternal(child.execute()) { iter =>
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
@@ -121,7 +129,152 @@ case class SketchPartialAggExec(
       val effectiveThreshold =
         math.max(1L, math.min(threshold.toLong, maxBytes / perGroupBytes)).toInt
 
-      new Iterator[InternalRow] {
+      if (longKeyPath) new Iterator[InternalRow] {
+        // -------- primitive fast path: single LONG group key ----------
+        // Open-addressing mix64/linear-probe map over parallel arrays —
+        // no UnsafeRow key copies, no entry objects, no per-row boxing.
+        // Flush semantics (group rail, empty-buffer byte estimate,
+        // sampled live-byte guard) are IDENTICAL to the generic path;
+        // a nullable key gets one out-of-table slot.
+        private var cap = 1 << 10
+        private var mask = cap - 1
+        private var keys = new Array[Long](cap)
+        private var occ = new Array[Boolean](cap)
+        private var vals = new Array[Array[Any]](cap)
+        private var n = 0
+        private var nullBufs: Array[Any] = _
+        private val outRow = new GenericInternalRow(1 + funcs.length)
+        // drain state: -2 = not draining; -1 = null slot pending; >= 0 =
+        // next table index to scan
+        private var drainIdx = -2
+
+        private def probe(k: Long): Int = {
+          var i = graft.core.Hashing.mix64(k).toInt & mask
+          while (occ(i) && keys(i) != k) i = (i + 1) & mask
+          i
+        }
+        private def grow(): Unit = {
+          val ok = keys; val oo = occ; val ov = vals; val ocap = cap
+          cap <<= 1; mask = cap - 1
+          keys = new Array[Long](cap)
+          occ = new Array[Boolean](cap)
+          vals = new Array[Array[Any]](cap)
+          var i = 0
+          while (i < ocap) {
+            if (oo(i)) {
+              val j = probe(ok(i))
+              occ(j) = true; keys(j) = ok(i); vals(j) = ov(i)
+            }
+            i += 1
+          }
+        }
+        private def newBufs(): Array[Any] = {
+          val bufs = new Array[Any](funcs.length)
+          var i = 0
+          while (i < funcs.length) {
+            bufs(i) = funcs(i).createAggregationBuffer(); i += 1
+          }
+          bufs
+        }
+        private def mapSize: Int = n + (if (nullBufs != null) 1 else 0)
+
+        private val SampleEvery = 8192
+        private var rowsSinceSample = 0
+        private def groupBytes(bufs: Array[Any]): Long = {
+          var bytes = 128L
+          var i = 0
+          while (i < funcs.length) {
+            bytes += funcs(i).serialize(bufs(i)).length; i += 1
+          }
+          bytes
+        }
+        private def liveBytesExceeded(hot: Array[Any]): Boolean = {
+          rowsSinceSample = 0
+          var perGroup = groupBytes(hot)
+          // second probe: the first occupied slot (expected O(1) scan at
+          // load factor <= 0.5) — the generic path's "oldest entry"
+          // stand-in for long-lived groups that are no longer hot
+          var i = 0
+          while (i < cap && !occ(i)) i += 1
+          if (i < cap && !(vals(i) eq hot)) {
+            val hb = groupBytes(vals(i))
+            if (hb > perGroup) perGroup = hb
+          }
+          perGroup * mapSize > maxBytes
+        }
+
+        private def aggregateChunk(): Unit = {
+          java.util.Arrays.fill(occ, false)
+          n = 0
+          nullBufs = null
+          var flush = false
+          while (iter.hasNext && !flush) {
+            val row = iter.next()
+            val keyRow = keyProj(row)
+            var bufs: Array[Any] = null
+            if (keyRow.isNullAt(0)) {
+              if (nullBufs == null) nullBufs = newBufs()
+              bufs = nullBufs
+            } else {
+              val k = keyRow.getLong(0)
+              if ((n + 1) * 2 > cap) grow()
+              val i = probe(k)
+              if (occ(i)) bufs = vals(i)
+              else {
+                bufs = newBufs()
+                occ(i) = true; keys(i) = k; vals(i) = bufs; n += 1
+              }
+            }
+            var i = 0
+            while (i < funcs.length) {
+              bufs(i) = funcs(i).update(bufs(i), row); i += 1
+            }
+            rowsSinceSample += 1
+            if (mapSize >= effectiveThreshold ||
+                (rowsSinceSample >= SampleEvery && liveBytesExceeded(bufs))) {
+              numFlushes += 1
+              flush = true
+            }
+          }
+          drainIdx = if (nullBufs != null) -1 else nextOcc(0)
+        }
+        private def nextOcc(from: Int): Int = {
+          var i = from
+          while (i < cap && !occ(i)) i += 1
+          i // == cap when exhausted
+        }
+
+        override def hasNext: Boolean = {
+          if (drainIdx == -1 || (drainIdx >= 0 && drainIdx < cap)) true
+          else if (iter.hasNext) {
+            aggregateChunk()
+            drainIdx == -1 || drainIdx < cap
+          } else false
+        }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          var bufs: Array[Any] = null
+          if (drainIdx == -1) {
+            outRow.update(0, null)
+            bufs = nullBufs
+            nullBufs = null
+            drainIdx = nextOcc(0)
+          } else {
+            outRow.update(0, keys(drainIdx))
+            bufs = vals(drainIdx)
+            drainIdx = nextOcc(drainIdx + 1)
+          }
+          var i = 0
+          while (i < funcs.length) {
+            outRow.update(1 + i, funcs(i).serialize(bufs(i)))
+            i += 1
+          }
+          numOutputRows += 1
+          outProj(outRow)
+        }
+      }
+      else new Iterator[InternalRow] {
         private val map = new java.util.LinkedHashMap[UnsafeRow, Array[Any]]()
         private var drain: java.util.Iterator[
           java.util.Map.Entry[UnsafeRow, Array[Any]]] = _
