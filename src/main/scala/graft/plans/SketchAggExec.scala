@@ -66,7 +66,8 @@ case class SketchPartialAggExec(
     aggregateExpressions: Seq[AggregateExpression],
     flushThreshold: Int,
     flushBytes: Long,
-    child: SparkPlan)
+    child: SparkPlan,
+    longKeyFastPath: Boolean = true)
   extends UnaryExecNode {
 
   require(flushThreshold > 0, "spark.graft.sketchAgg.flushThreshold must be positive")
@@ -102,7 +103,7 @@ case class SketchPartialAggExec(
     // allocation churn — measured 1.3-1.4x the builtin's radix-sort
     // fallback at 200k-1M groups. The long fast path removes every
     // per-row allocation on the probe side.
-    val longKeyPath = groupExprs.length == 1 &&
+    val longKeyPath = longKeyFastPath && groupExprs.length == 1 &&
       groupExprs.head.dataType == org.apache.spark.sql.types.LongType
 
     org.apache.spark.sql.GraftBridge.mapPartitionsInternal(child.execute()) { iter =>
@@ -519,7 +520,9 @@ case class SketchAggStrategy(session: SparkSession) extends SparkStrategy {
       val flushBytes = session.conf
         .get("spark.graft.sketchAgg.flushBytes", (256L << 20).toString).toLong
       val partial = SketchPartialAggExec(
-        grouping, aggs, flushThreshold, flushBytes, planLater(child))
+        grouping, aggs, flushThreshold, flushBytes, planLater(child),
+        longKeyFastPath = session.conf
+          .get("spark.graft.sketchAgg.longKeyFastPath", "true").toBoolean)
       SketchFinalAggExec(grouping.map(_.toAttribute), aggs, results, partial) :: Nil
     case _ => Nil
   }
