@@ -117,10 +117,7 @@ object SparkEntry {
     * present (the harness pins the session timezone to UTC, making the
     * cast value-preserving).
     */
-  private def replayStream(events: DataFrame): DataFrame =
-    replayStreamKeyed(events, None)
-
-  /** Like [[replayStream]] but the written replay INPUT directory is
+  /** The written replay INPUT directory is
     * shared per (JVM, key): ten streaming queries replay the same
     * deterministic source tables, and re-writing an identical temp
     * parquet copy per query per pass is pure harness plumbing (the
@@ -152,19 +149,35 @@ object SparkEntry {
   /** Drain a streaming aggregate through a memory sink (AvailableNow)
     * and return the result table.
     */
+  /** Best-effort recursive delete for per-call scratch dirs (tmpfs is
+    * RAM — leaked checkpoints would be memory, not disk).
+    */
+  private def deleteRecursively(path: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => try java.nio.file.Files.delete(f) catch { case _: Exception => () })
+    } catch { case _: Exception => () }
+
   private def runToMemory(
       agg: DataFrame, prefix: String, mode: String = "complete"): DataFrame = {
     val s = agg.sparkSession
     val qname = prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // explicit checkpoint under the tmpfs root: the default temporary
     // checkpoint lands in java.io.tmpdir on the slow disk, and a
-    // stateful micro-batch touches it once per state partition
+    // stateful micro-batch touches it once per state partition. Deleted
+    // after termination — the memory sink holds the results, nothing
+    // reads the checkpoint again (AvailableNow one-shot replay).
+    val ckpt = tmpDir("graft-ckpt")
     val q = agg.writeStream.format("memory").queryName(qname)
-      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .option("checkpointLocation", ckpt)
       .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    deleteRecursively(ckpt)
     s.table(qname)
   }
 
@@ -182,30 +195,25 @@ object SparkEntry {
   private def cachedSizing(key: String)(compute: => Long): Long =
     sizingCache.synchronized(sizingCache.getOrElseUpdate(key, compute))
 
-  private val perDayKCache = scala.collection.mutable.Map[String, Int]()
-  private def perDayExactK(events: DataFrame, keyCol: String): Int =
-    perDayExactK(events, keyCol, None)
   /** With `cacheKey` set, the (deterministic, data-derived) k is computed
-    * once per (JVM, sf dir): three streaming queries size their sketches
-    * from the identical per-day distinct scan — sizing METADATA shared
-    * like the `annFixture` indexes; the timed aggregations still run per
-    * invocation.
+    * once per (JVM, sf dir) via [[cachedSizing]]: three streaming queries
+    * size their sketches from the identical per-day distinct scan —
+    * sizing METADATA shared like the `annFixture` indexes; the timed
+    * aggregations still run per invocation.
     */
   private def perDayExactK(
       events: DataFrame, keyCol: String, cacheKey: Option[String]): Int = {
-    def compute(): Int = {
+    def compute(): Long = {
       val maxDay = events.groupBy(to_date(col("ts")))
         .agg(countDistinct(col(keyCol)).as("d"))
         .agg(max(col("d"))).head().getLong(0)
       math.max(graft.core.Kmv.MinK.toLong,
-        math.min(maxDay + 16, graft.core.Kmv.MaxK.toLong)).toInt
+        math.min(maxDay + 16, graft.core.Kmv.MaxK.toLong))
     }
-    cacheKey match {
-      case Some(k) => perDayKCache.synchronized {
-        perDayKCache.getOrElseUpdate(k, compute())
-      }
+    (cacheKey match {
+      case Some(k) => cachedSizing(k)(compute())
       case None => compute()
-    }
+    }).toInt
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -1207,8 +1215,12 @@ object SparkEntry {
       val aug = events.unionByName(events.filter(col("event_id") % 5 === 0))
       // ONE job for both driver-side scalars (was count + distinct-count,
       // two full scans)
+      // countDistinct over a STRUCT: a tuple with a null field is still a
+      // non-null struct, so this counts exactly what the old
+      // distinct().count() counted (multi-arg countDistinct would drop
+      // null-bearing tuples — review-pass fix)
       val pre = aug.agg(count(lit(1)),
-        countDistinct(col("event_type"), col("user_id"))).head()
+        countDistinct(struct(col("event_type"), col("user_id")))).head()
       val total = pre.getLong(0)
       val nDistinct = pre.getLong(1)
       val stream = replayStreamKeyed(aug, Some(s"$dir#firstseen_aug"))
@@ -1367,7 +1379,8 @@ object SparkEntry {
       def perQueryCounts(batch: DataFrame): (Long, Boolean) = {
         val r = batch.groupBy(col("query_id")).count()
           .agg(count(lit(1)).as("nq"),
-            sum(when(col("count") =!= k, 1L).otherwise(0L)).as("bad")).head()
+            coalesce(sum(when(col("count") =!= k, 1L).otherwise(0L)), lit(0L))
+              .as("bad")).head()
         (r.getLong(0), r.getLong(1) == 0L)
       }
       val (ivfQ, ivfKOk) = perQueryCounts(ivfBatch)
@@ -1440,7 +1453,8 @@ object SparkEntry {
       // ONE aggregation job for the per-query-count checks (was two)
       val cRow = batch.groupBy(col("query_id")).count()
         .agg(count(lit(1)).as("nq"),
-          sum(when(col("count") =!= k, 1L).otherwise(0L)).as("bad")).head()
+          coalesce(sum(when(col("count") =!= k, 1L).otherwise(0L)), lit(0L))
+            .as("bad")).head()
       val allK = cRow.getLong(0) == nQ && cRow.getLong(1) == 0L
       val codeBytes = index.select(length(col("pqcode"))).distinct()
         .collect().map(_.getInt(0)).toSeq == Seq(8)
@@ -1956,12 +1970,14 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + lit(2) * off)
           .withColumn("text", reverse(col("text"))))
       val statePath = tmpDir("graft-sss") + "/state"
+      val sssCkpt = tmpDir("graft-ckpt")
       val q = graft.streaming.StreamingSketches.maintainSubstringState(
         replayStreamKeyed(corpus, Some(s"$dir#documents")), "text", "doc_id",
         statePath, window = 40,
-        checkpoint = Some(tmpDir("graft-ckpt")),
+        checkpoint = Some(sssCkpt),
         trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       q.awaitTermination()
+      deleteRecursively(sssCkpt)
       val state = s.read.parquet(statePath)
       graft.ops.Dedup.duplicateSpansAgainst(
           newBatch, state, corpus, "text", "doc_id", window = 40)

@@ -1025,15 +1025,22 @@ object Dedup {
       threshold: Double,
       iters: Int = 3,
       maxClusterSize: Long = 100000L): DataFrame = {
-    val base = Parallelize.spread(
-        df.select(col(idCol).cast("long").as("id"), col(vecCol).as("__raw")))
-      .select(col("id"), graft.functions.vec_normalize(col("__raw")).as("v"))
+    val base = df.select(col(idCol).cast("long").as("id"),
+      graft.functions.vec_normalize(col(vecCol)).as("v"))
+    // centroids train on the UNSPREAD input: spread would put a
+    // round-robin repartition upstream of kmeansCentroids' avg() — an
+    // order-dependent float reduction — making the centroids (and with
+    // adversarial data, the clustering) nondeterministic run to run,
+    // exactly the case Parallelize's contract forbids. The expensive
+    // stages (assignment scan + within-cluster pair join) spread below,
+    // AFTER the float reduction — review-pass fix.
     val centroids = Similarity.kmeansCentroids(base, "v", "id", k, iters)
+    val spreadBase = Parallelize.spread(base)
     // NOT persisted: the assignment pass (normalize + nearest-centroid)
     // is one shuffle-free codegen scan and recomputes more cheaply than
     // a corpus-sized cache entry lives (the jaccardPairs cache-lifetime
     // footgun); callers looping over batches should persist `df` upstream
-    val assigned = base.withColumn("cluster",
+    val assigned = spreadBase.withColumn("cluster",
       graft.functions.vec_nearest_centroid(col("v"), centroids))
     val biggest = assigned.groupBy(col("cluster")).count()
       .agg(max(col("count"))).head().getLong(0)

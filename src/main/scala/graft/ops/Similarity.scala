@@ -86,6 +86,20 @@ object Similarity {
   private def toDoubleArr(vecCol: Column): Column =
     transform(vecCol, x => x.cast("double"))
 
+  /** Cosine-ready vector column: float/double arrays probe the native
+    * vec_cosine kernel directly (no cast-transform HOF); any OTHER
+    * numeric element type keeps the old element-wise double cast so
+    * integer/decimal embedding columns still work (review-pass fix for
+    * the kernel's narrower type check).
+    */
+  private def cosineReady(df: DataFrame, vecCol: String): Column =
+    df.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType |
+        org.apache.spark.sql.types.FloatType, _) => col(vecCol)
+      case _ => toDoubleArr(col(vecCol))
+    }
+
   /** Exact cosine top-k against a query vector. Deterministic ordering:
     * (cosine desc, id asc).
     */
@@ -98,8 +112,8 @@ object Similarity {
     val qLit = typedLit(query)
     df.select(
         col(idCol).cast("long").as("id"),
-        // vec_cosine takes float arrays natively — no cast-transform HOF
-        Dedup.cosine(col(vecCol), qLit).as("cos"))
+        // vec_cosine takes float/double arrays natively — no HOF cast
+        Dedup.cosine(cosineReady(df, vecCol), qLit).as("cos"))
       .withColumn("cosine", round(col("cos"), 6))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
@@ -224,7 +238,7 @@ object Similarity {
   private def rerank(candidates: DataFrame, vecCol: String, query: Seq[Double], k: Int): DataFrame = {
     val qLit = typedLit(query)
     candidates
-      .select(col("id"), Dedup.cosine(col(vecCol), qLit).as("cos"))
+      .select(col("id"), Dedup.cosine(cosineReady(candidates, vecCol), qLit).as("cos"))
       .withColumn("cosine", round(col("cos"), 6))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
@@ -387,7 +401,7 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"), col(vecCol))
       .join(broadcast(q.select(col("query_id"), col("qv"))), "query_id")
     val scored = candidates.withColumn("score",
-      round(Dedup.cosine(col(vecCol), col("qv")), 6))
+      round(Dedup.cosine(cosineReady(candidates, vecCol), col("qv")), 6))
     perQueryTopK(scored, k)
       .select(col("query_id"), col("neighbor_id").as("id"),
         col("score").as("cosine"))

@@ -192,12 +192,18 @@ case class SketchPartialAggExec(
         private def liveBytesExceeded(hot: Array[Any]): Boolean = {
           rowsSinceSample = 0
           var perGroup = groupBytes(hot)
-          // second probe: the first occupied slot (expected O(1) scan at
-          // load factor <= 0.5) — the generic path's "oldest entry"
-          // stand-in for long-lived groups that are no longer hot
+          // second probe: the first occupied slot within a BOUNDED scan —
+          // the generic path's "oldest entry" stand-in for long-lived
+          // groups that are no longer hot. The bound matters when a
+          // previously-grown table meets a low-cardinality chunk (cap
+          // millions, occupancy tens): an unbounded scan would walk the
+          // empty prefix on every 8192-row sample. If no slot lands in
+          // the window the hot-entry estimate alone governs — same
+          // heuristic strength as the generic path's single extra probe.
           var i = 0
-          while (i < cap && !occ(i)) i += 1
-          if (i < cap && !(vals(i) eq hot)) {
+          val scanLimit = math.min(cap, 256)
+          while (i < scanLimit && !occ(i)) i += 1
+          if (i < scanLimit && !(vals(i) eq hot)) {
             val hb = groupBytes(vals(i))
             if (hb > perGroup) perGroup = hb
           }
